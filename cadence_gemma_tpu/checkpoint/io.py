@@ -1,0 +1,72 @@
+"""Orbax checkpoint I/O with pluggable restore-time sharding.
+
+API-compatible with the reference utilities
+(``/root/reference/recurrentgemma/jax/utils.py:25-78``):
+``save_parameters(path, params)`` and
+``load_parameters(path, sharding)`` where ``sharding`` is
+``"single_device"``, ``"replicated"``, or a pytree of
+``jax.sharding.Sharding`` matching the checkpoint structure.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import orbax.checkpoint as ocp
+
+from cadence_gemma_tpu import array_typing as at
+
+
+def save_parameters(checkpoint_path: str, params: at.Params) -> None:
+  """Saves ``{"params": params}`` as an orbax PyTree checkpoint."""
+  checkpointer = ocp.PyTreeCheckpointer()
+  checkpointer.save(checkpoint_path, {"params": params})
+
+
+def _replicated_sharding() -> jax.sharding.Sharding:
+  mesh = jax.sharding.Mesh(jax.devices(), ("all",))
+  return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+
+def load_parameters(
+    checkpoint_path: str,
+    sharding: str | Mapping[str, Any] = "single_device",
+) -> at.Params:
+  """Restores a checkpoint with the requested placement.
+
+  Args:
+    checkpoint_path: Orbax checkpoint directory.
+    sharding: ``"single_device"`` (first local device), ``"replicated"``
+      (copied to every device), or a pytree of shardings matching the
+      checkpoint tree for arbitrary placements (e.g. TP parameter layouts
+      from :mod:`cadence_gemma_tpu.parallel.partitioning`).
+
+  Returns:
+    The restored parameter tree, placed as requested.
+  """
+  checkpointer = ocp.PyTreeCheckpointer()
+  structure = checkpointer.metadata(checkpoint_path)
+  # Newer orbax wraps the tree in StepMetadata/TreeMetadata containers.
+  if hasattr(structure, "item_metadata"):
+    structure = structure.item_metadata
+  if hasattr(structure, "tree"):
+    structure = structure.tree
+
+  if isinstance(sharding, str):
+    if sharding == "single_device":
+      shard = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    elif sharding == "replicated":
+      shard = _replicated_sharding()
+    else:
+      raise ValueError(f"Unknown sharding mode {sharding!r}.")
+    sharding_tree = jax.tree_util.tree_map(lambda _: shard, structure)
+  else:
+    sharding_tree = sharding
+
+  restore_args = jax.tree_util.tree_map(
+      lambda _, s: ocp.ArrayRestoreArgs(restore_type=jax.Array, sharding=s),
+      structure,
+      sharding_tree,
+  )
+  return checkpointer.restore(checkpoint_path, restore_args=restore_args)

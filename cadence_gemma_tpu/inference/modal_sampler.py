@@ -1,0 +1,124 @@
+"""Image+text sampler: fuses vision encoding into the device-side prefill.
+
+API-compatible with the reference ``ModalSampler``
+(``/root/reference/recurrentgemma/jax/modal_sampler.py:81-501``), but the
+vision pathway is JAX end-to-end: the reference runs two timm/PyTorch ViTs
+on the host and copies features across frameworks per call
+(``modal_sampler.py:452-454``); here the encoder is a jitted JAX module, so
+image preprocessing → ViT towers → VL projection → Griffin prefill is one
+device program with no host round-trips — the TTFT path the build targets.
+
+The encoder is pluggable: anything callable as ``encoder(pixels) ->
+[b, vision_tokens, vision_width]`` works (see
+:class:`cadence_gemma_tpu.models.vit.DinoSigLIPEncoder`). Pre-computed
+feature tensors are also accepted directly via ``img_embed``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import jaxtyping as jt
+
+from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+
+SamplerOutput = sampler_lib.SamplerOutput
+
+
+class ModalSampler(sampler_lib.Sampler):
+  """Sampler that also accepts an image path / pixels / features."""
+
+  def __init__(
+      self,
+      model,
+      vocab: Any,
+      params: at.Params,
+      jit_compile: bool = True,
+      deterministic_sampling: bool = True,
+      is_it_model: bool = False,
+      vision_encoder: Any | None = None,
+      vision_params: at.Params | None = None,
+      **kwargs,
+  ):
+    """See :class:`cadence_gemma_tpu.inference.sampler.Sampler`.
+
+    Args:
+      vision_encoder: Optional encoder module with
+        ``apply({'params': vision_params}, pixels)`` →
+        ``[b, vision_tokens, vision_width]`` and a
+        ``preprocess_path(img_path)`` → pixels helper. Required only when
+        calling with ``img_path``/``pixels`` rather than ``img_embed``.
+      vision_params: Parameters for the encoder.
+    """
+    super().__init__(
+        model,
+        vocab,
+        params,
+        jit_compile=jit_compile,
+        deterministic_sampling=deterministic_sampling,
+        is_it_model=is_it_model,
+        **kwargs,
+    )
+    self.vision_encoder = vision_encoder
+    self.vision_params = vision_params
+    if vision_encoder is not None and jit_compile:
+      self._encode_fn = jax.jit(
+          lambda p, px: vision_encoder.apply({"params": p}, px)
+      )
+    elif vision_encoder is not None:
+      self._encode_fn = lambda p, px: vision_encoder.apply({"params": p}, px)
+    else:
+      self._encode_fn = None
+
+  def encode_image(self, img_path: str) -> at.Image:
+    """Decodes + preprocesses + encodes an image file to fused features."""
+    if self.vision_encoder is None:
+      raise ValueError(
+          "ModalSampler needs a vision_encoder to take image paths; pass "
+          "img_embed directly otherwise."
+      )
+    pixels = self.vision_encoder.preprocess_path(img_path)
+    features = self._encode_fn(self.vision_params, pixels)
+    return features.astype(jnp.bfloat16)
+
+  def __call__(
+      self,
+      input_strings: Sequence[str],
+      total_generation_steps: int,
+      rng: jt.PRNGKeyArray | None = None,
+      echo: bool = False,
+      return_logits: bool = False,
+      end_sampling_at_eos_token: bool = True,
+      img_path: str = "",
+      pixels: at.ImagePixels | None = None,
+      img_embed: at.Image | None = None,
+  ) -> SamplerOutput:
+    """Samples completions, optionally conditioned on one image.
+
+    Exactly one (or none) of ``img_path`` / ``pixels`` / ``img_embed`` may
+    be given. An empty ``img_path`` means text-only (the reference crashes
+    on that path, ``modal_sampler.py:451-472``; here it degrades cleanly).
+    """
+    given = [img_path != "", pixels is not None, img_embed is not None]
+    if sum(given) > 1:
+      raise ValueError(
+          "Pass at most one of img_path, pixels, or img_embed."
+      )
+    if img_path:
+      img_embed = self.encode_image(img_path)
+    elif pixels is not None:
+      img_embed = self._encode_fn(self.vision_params, pixels).astype(
+          jnp.bfloat16
+      )
+    return super().__call__(
+        input_strings=input_strings,
+        total_generation_steps=total_generation_steps,
+        rng=rng,
+        echo=echo,
+        return_logits=return_logits,
+        end_sampling_at_eos_token=end_sampling_at_eos_token,
+        img_embed=img_embed,
+    )

@@ -1,0 +1,462 @@
+"""Batch sampler for Griffin models: jitted prefill + while-loop decode.
+
+API-compatible with the reference ``Sampler``
+(``/root/reference/recurrentgemma/jax/sampler.py:75-478``): same constructor,
+``__call__`` signature, ``SamplingState``/``SamplerOutput`` fields, echo /
+return_logits semantics, and EOS early stopping.
+
+Performance structure (the decode-throughput / TTFT critical path):
+  * Prefill runs as one jitted program with donated buffers, split into
+    "all tokens but the last" (no logits materialized) + "last token" — so
+    the [b, t, vocab] logits tensor is never built for the prompt.
+  * Decode is a single ``lax.while_loop`` program whose carry (cache +
+    token/logits buffers) stays device-resident; one kernel launch for the
+    whole generation, O(1) memory in sequence length.
+  * Prompt lengths are bucketed to powers of two (>= 16) so changing prompt
+    lengths hit a small, bounded set of compiled programs instead of
+    recompiling per length (left-padding keeps results identical — padded
+    positions carry ``segment_pos == -1`` and the first real token resets
+    the recurrence at position 0). Disable with ``bucket_prompt_lengths``.
+
+The same class implements the multimodal prefill: ``__call__`` accepts
+pre-fused vision features that are spliced into the prompt on device (see
+``modal_sampler.py`` for the encoder-owning wrapper). Unlike the reference,
+decode positions account for the spliced visual tokens (the reference
+continues from the text-only position, ``modal_sampler.py:341`` —
+a train/inference mismatch we fix; set ``reference_position_quirk=True``
+to reproduce the reference behavior bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Generic, Sequence, TypeVar
+
+from flax import linen as nn
+from flax import struct
+import jax
+import jax.numpy as jnp
+import jaxtyping as jt
+
+from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu import common
+
+Cache = TypeVar("Cache")
+
+
+@struct.dataclass
+class SamplingState(Generic[Cache]):
+  """Device-resident sampling loop state.
+
+  Attributes:
+    tokens_buffer: [b, steps(+prompt if echo)] output token accumulator.
+    rng: PRNG key for categorical sampling (None when greedy).
+    step: Current decode step.
+    total_steps: Steps at which to stop.
+    positions: Position of the next token to be generated, [b, 1].
+    cache: Per-layer model cache.
+    done: Per-sequence EOS flags.
+    logits_buffer: Optional logits accumulator, [b, steps, vocab].
+  """
+
+  tokens_buffer: jt.Integer[jt.Array, "*b l"]
+  rng: jt.PRNGKeyArray | None
+  step: jt.Integer[jt.Array, ""]
+  total_steps: jt.Integer[jt.Array, ""]
+  positions: jt.Integer[jt.Array, "*b 1"]
+  cache: Cache
+  done: jt.Bool[jt.Array, "*b"]
+  logits_buffer: jt.Float[jt.Array, "*b l v"] | None = None
+
+
+@struct.dataclass
+class SamplerOutput:
+  """Generated text plus per-sequence tokens and (optionally) logits."""
+
+  text: list[str]
+  tokens: list[jax.Array]
+  logits: list[jax.Array]
+
+
+def _next_bucket(n: int, minimum: int = 16) -> int:
+  """Smallest power of two >= max(n, minimum)."""
+  b = minimum
+  while b < n:
+    b *= 2
+  return b
+
+
+class Sampler(Generic[Cache]):
+  """Greedy / categorical sampler for a Griffin model."""
+
+  def __init__(
+      self,
+      model: nn.Module,
+      vocab: Any,
+      params: at.Params,
+      jit_compile: bool = True,
+      deterministic_sampling: bool = True,
+      is_it_model: bool = False,
+      bucket_prompt_lengths: bool = True,
+      reference_position_quirk: bool = False,
+  ):
+    """See the class docstring.
+
+    Args:
+      model: A Griffin instance (or any module with the same call contract).
+      vocab: Tokenizer implementing the ``Vocabulary`` protocol.
+      params: Model parameter tree (the ``params`` sub-tree).
+      jit_compile: Jit the prefill and decode programs.
+      deterministic_sampling: argmax decoding when True, else categorical.
+      is_it_model: Wrap prompts in the Gemma chat template.
+      bucket_prompt_lengths: Pad prompts to power-of-two buckets to bound
+        the number of compiled prefill programs.
+      reference_position_quirk: Reproduce the reference's multimodal decode
+        positions (which ignore the spliced visual tokens).
+    """
+    self.model = model
+    self.vocab = vocab
+    self.params = params
+    self.deterministic_sampling = deterministic_sampling
+    self.jit_compile = jit_compile
+    self.bucket_prompt_lengths = bucket_prompt_lengths
+    self.reference_position_quirk = reference_position_quirk
+    self._is_it_model = is_it_model
+    self._compiled_prompt_processing_fn = jax.jit(
+        self._prompt_processing_fn,
+        donate_argnums=[1, 2, 3],
+        static_argnums=[4, 5, 6],
+    )
+    self._compiled_sample_fn = jax.jit(
+        self._sample_fn, donate_argnums=[1], static_argnums=[2]
+    )
+
+  @property
+  def dtype(self) -> jnp.dtype:
+    return jax.tree_util.tree_leaves(self.params)[0].dtype
+
+  @property
+  def vocab_size(self) -> int:
+    return self.model.config.vocab_size
+
+  @property
+  def _vision_tokens(self) -> int:
+    return getattr(self.model.config, "vision_tokens", 0)
+
+  @property
+  def prompt_processing_fn(self) -> Callable[..., SamplingState]:
+    if self.jit_compile:
+      return self._compiled_prompt_processing_fn
+    return self._prompt_processing_fn
+
+  @property
+  def sample_fn(self) -> Callable[..., SamplingState]:
+    if self.jit_compile:
+      return self._compiled_sample_fn
+    return self._sample_fn
+
+  # -- model invocation -----------------------------------------------------
+
+  def apply_model(
+      self,
+      params: at.Params,
+      tokens: at.Tokens,
+      segment_pos: at.SegmentPos,
+      cache: Cache | None,
+      return_logits: bool,
+      return_cache: bool,
+      img_embed: at.Image | None = None,
+  ) -> tuple[at.TokenLogits | None, Cache | None]:
+    kwargs = {}
+    if img_embed is not None:
+      kwargs["image"] = img_embed
+    return self.model.apply(
+        {"params": params},
+        tokens=tokens,
+        segment_pos=segment_pos,
+        cache=cache,
+        return_logits=return_logits,
+        return_cache=return_cache,
+        **kwargs,
+    )
+
+  # -- tokenization -----------------------------------------------------------
+
+  def tokenize(self, input_string: str) -> jax.Array:
+    """BOS + encoded prompt (optionally chat-templated)."""
+    if self._is_it_model:
+      input_string = common.apply_it_formatter(input_string)
+    ids = self.vocab.EncodeAsIds(input_string)
+    return jnp.array([self.vocab.bos_id()] + ids, dtype=jnp.int32)
+
+  def _get_padded_tokens(self, tokens: Sequence[jax.Array]) -> at.Tokens:
+    """Left-pads a ragged batch (optionally up to a length bucket)."""
+    max_len = max(len(ids) for ids in tokens)
+    if self.bucket_prompt_lengths:
+      max_len = _next_bucket(max_len)
+    padded = [
+        jnp.pad(ids, (max_len - len(ids), 0),
+                constant_values=self.vocab.pad_id())
+        for ids in tokens
+    ]
+    return jnp.stack(padded, axis=0)
+
+  # -- sampling steps ---------------------------------------------------------
+
+  def _sample_from_logits(
+      self,
+      rng: jt.PRNGKeyArray | None,
+      logits: jt.Float[jt.Array, "*b v"],
+  ) -> tuple[jt.Integer[jt.Array, "*b"], jt.PRNGKeyArray | None]:
+    if self.deterministic_sampling:
+      return jnp.argmax(logits, axis=-1), rng
+    assert rng is not None
+    rng, step_rng = jax.random.split(rng)
+    return jax.random.categorical(step_rng, logits), rng
+
+  def _sample_step(
+      self,
+      params: at.Params,
+      state: SamplingState,
+      end_sampling_at_eos_token: bool = True,
+  ) -> SamplingState:
+    """One decode step: feed the last token, sample the next."""
+    last_token = state.tokens_buffer[:, state.step][:, None]
+    logits, cache = self.apply_model(
+        params=params,
+        tokens=last_token,
+        segment_pos=state.positions,
+        cache=state.cache,
+        return_logits=True,
+        return_cache=True,
+    )
+    next_token, rng = self._sample_from_logits(state.rng, logits[:, 0])
+    tokens_buffer = state.tokens_buffer.at[:, state.step + 1].set(next_token)
+
+    logits_buffer = state.logits_buffer
+    if logits_buffer is not None:
+      logits_buffer = logits_buffer.at[:, state.step + 1].set(logits[:, 0])
+
+    if end_sampling_at_eos_token:
+      done_now = jnp.equal(next_token, self.vocab.eos_id())
+    else:
+      done_now = False
+
+    return SamplingState(
+        tokens_buffer=tokens_buffer,
+        rng=rng,
+        step=state.step + 1,
+        total_steps=state.total_steps,
+        positions=state.positions + 1,
+        cache=cache,
+        done=state.done | done_now,
+        logits_buffer=logits_buffer,
+    )
+
+  def _sample_fn(
+      self,
+      params: at.Params,
+      state: SamplingState,
+      end_sampling_at_eos_token: bool = True,
+  ) -> SamplingState:
+    """Whole decode loop as one XLA while-loop program."""
+
+    def body(s):
+      return self._sample_step(params, s, end_sampling_at_eos_token)
+
+    def cond(s):
+      # total_steps - 1 because the first token was sampled from the prompt.
+      return (s.step < s.total_steps - 1) & jnp.any(~s.done)
+
+    return jax.lax.while_loop(cond, body, state)
+
+  def _prompt_processing_fn(
+      self,
+      params: at.Params,
+      tokens: at.Tokens,
+      rng: jt.PRNGKeyArray | None,
+      input_lengths: at.NumTokens,
+      total_generation_steps: int,
+      return_logits: bool,
+      echo: bool,
+      img_embed: at.Image | None = None,
+  ) -> SamplingState:
+    """Prefill: builds the cache, samples the first token, allocates buffers."""
+    batch_size, prompt_length = tokens.shape
+
+    # Left-aligned positions ending at input_length - 1; padding gets -1.
+    positions = jnp.repeat(jnp.arange(prompt_length)[None], batch_size, axis=0)
+    positions = positions - prompt_length + input_lengths[:, None]
+    positions = jnp.maximum(positions, -1)
+
+    if total_generation_steps == 0:
+      prev_logits, cache = self.apply_model(
+          params=params,
+          tokens=tokens,
+          segment_pos=positions,
+          cache=None,
+          return_logits=return_logits and echo,
+          return_cache=False,
+          img_embed=img_embed,
+      )
+      logits = None
+    elif prompt_length == 1:
+      logits, cache = self.apply_model(
+          params=params,
+          tokens=tokens,
+          segment_pos=positions,
+          cache=None,
+          return_logits=return_logits,
+          return_cache=True,
+          img_embed=img_embed,
+      )
+      if img_embed is not None:
+        # Only the last position's logits seed decoding.
+        logits = logits[:, -1:]
+      prev_logits = logits[:, :0]
+    else:
+      # Bulk prefill without materializing prompt logits...
+      prev_logits, cache = self.apply_model(
+          params=params,
+          tokens=tokens[:, :-1],
+          segment_pos=positions[:, :-1],
+          cache=None,
+          return_logits=return_logits and echo,
+          return_cache=True,
+          img_embed=img_embed,
+      )
+      # ...then one step for the last token's logits.
+      last_positions = positions[:, -1:]
+      if img_embed is not None and not self.reference_position_quirk:
+        last_positions = last_positions + self._vision_tokens
+      logits, cache = self.apply_model(
+          params=params,
+          tokens=tokens[:, -1:],
+          segment_pos=last_positions,
+          cache=cache,
+          return_logits=True,
+          return_cache=total_generation_steps > 1,
+      )
+
+    tokens_buffer = jnp.full(
+        (batch_size, total_generation_steps),
+        self.vocab.pad_id(),
+        dtype=jnp.int32,
+    )
+    if logits is not None:
+      next_token, rng = self._sample_from_logits(rng, logits[:, 0])
+      tokens_buffer = tokens_buffer.at[:, 0].set(next_token)
+
+    if return_logits:
+      logits_buffer = jnp.zeros(
+          (batch_size, total_generation_steps, self.vocab_size),
+          dtype=self.dtype,
+      )
+      if logits is not None:
+        logits_buffer = logits_buffer.at[:, 0].set(logits[:, 0])
+    else:
+      logits_buffer = None
+
+    step = jnp.array(0, dtype=jnp.int32)
+    total_steps = jnp.array(total_generation_steps, dtype=jnp.int32)
+
+    if echo:
+      tokens_buffer = jnp.concatenate([tokens, tokens_buffer], axis=1)
+      if return_logits:
+        if logits is None:
+          logits_buffer = prev_logits
+        else:
+          logits_buffer = jnp.concatenate(
+              [prev_logits, logits, logits_buffer], axis=1
+          )
+      step = step + prompt_length
+      total_steps = total_steps + prompt_length
+
+    next_positions = positions[:, -1:] + 1
+    if (
+        img_embed is not None
+        and prompt_length > 1
+        and not self.reference_position_quirk
+    ):
+      next_positions = next_positions + self._vision_tokens
+
+    return SamplingState(
+        tokens_buffer=tokens_buffer,
+        rng=rng,
+        step=step,
+        total_steps=total_steps,
+        positions=next_positions,
+        cache=cache,
+        done=jnp.zeros((batch_size,), dtype=jnp.bool_),
+        logits_buffer=logits_buffer,
+    )
+
+  # -- public entry -----------------------------------------------------------
+
+  def __call__(
+      self,
+      input_strings: Sequence[str],
+      total_generation_steps: int,
+      rng: jt.PRNGKeyArray | None = None,
+      echo: bool = False,
+      return_logits: bool = False,
+      end_sampling_at_eos_token: bool = True,
+      img_embed: at.Image | None = None,
+  ) -> SamplerOutput:
+    """Generates completions for a batch of prompts.
+
+    Args:
+      input_strings: Prompts.
+      total_generation_steps: Decode steps (0 = prefill only).
+      rng: PRNG key, required for non-deterministic sampling.
+      echo: Include the prompt in the output buffers.
+      return_logits: Accumulate per-step logits.
+      end_sampling_at_eos_token: Stop a sequence once it emits EOS.
+      img_embed: Optional fused vision features [b, vision_tokens,
+        vision_width] spliced into the prompt on device.
+
+    Returns:
+      A :class:`SamplerOutput`.
+    """
+    if not self.deterministic_sampling and rng is None:
+      raise ValueError(
+          "rng must be provided when sampling non-deterministically."
+      )
+    if total_generation_steps < 0:
+      raise ValueError("total_generation_steps must be at least 0.")
+
+    all_input_ids = [self.tokenize(s) for s in input_strings]
+    input_lengths = jnp.asarray([len(ids) for ids in all_input_ids])
+    padded_tokens = self._get_padded_tokens(all_input_ids)
+    pad_lengths = padded_tokens.shape[1] - input_lengths
+
+    state = self.prompt_processing_fn(
+        self.params,
+        padded_tokens,
+        rng,
+        input_lengths,
+        total_generation_steps,
+        return_logits,
+        echo,
+        img_embed,
+    )
+    if total_generation_steps > 1:
+      state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
+
+    # Echoed buffers start with the (padded) prompt: drop per-row padding.
+    tokens = [
+        seq[int(l):] if echo else seq
+        for seq, l in zip(state.tokens_buffer, pad_lengths)
+    ]
+    if return_logits:
+      logits = [
+          seq[int(l):] if echo else seq
+          for seq, l in zip(state.logits_buffer, pad_lengths)
+      ]
+    else:
+      logits = []
+
+    return SamplerOutput(
+        text=[self.vocab.DecodeIds(seq.tolist()) for seq in tokens],
+        tokens=tokens,
+        logits=logits,
+    )

@@ -1,0 +1,343 @@
+"""Primitive layers: RMSNorm, block-diagonal linear, RG-LRU, Conv1D, Einsum.
+
+TPU-native re-implementation of the reference layer zoo
+(``/root/reference/recurrentgemma/jax/layers.py:31-635``). Parameter names
+and trees are kept identical (``scale``, ``w``/``b``, ``a_param``,
+``input_gate``/``a_gate``) so checkpoints and
+``GriffinConfig.from_flax_params_or_variables`` are interchangeable with the
+reference.
+
+Numerics pinned to the reference (bit-parity targets, SURVEY §7 hard part 3):
+  * RMSNorm uses ``rsqrt(mean(x^2) + eps)`` and a ``(scale + 1)`` gain with a
+    zero-initialized scale.
+  * RG-LRU: ``log_a = -8 * sigmoid(W_a x) * softplus(Λ)``; the input is
+    scaled by ``sqrt(1 - a^2)`` whose gradient is clipped at 1000 via a
+    custom VJP; recurrence state is always float32; ``a`` is zeroed at
+    document starts (``segment_pos == 0``).
+  * Conv1D is a width-``temporal_width`` causal depthwise convolution with
+    document-boundary masking and a (temporal_width - 1)-step decode cache.
+"""
+
+
+import functools
+from typing import Sequence
+
+import einops
+from flax import linen as nn
+import jax
+import jax.numpy as jnp
+
+from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.ops import scan
+
+
+class RMSNorm(nn.Module):
+  """Root-mean-square normalization with a (scale + 1) learned gain."""
+
+  width: int
+  eps: float = 1e-6
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  @at.typed
+  def __call__(self, x: at.ExpandedActivations) -> at.ExpandedActivations:
+    scale = self.param(
+        "scale", nn.initializers.zeros_init(), (self.width,), self.param_dtype
+    )
+    x, scale = nn.dtypes.promote_dtype(x, scale, dtype=self.dtype)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    normed = x * jax.lax.rsqrt(var + self.eps)
+    scale = jnp.expand_dims(scale, axis=tuple(range(x.ndim - 1)))
+    return normed * (scale + 1)
+
+
+class BlockDiagonalLinear(nn.Module):
+  """Per-head block-diagonal projection used by the RG-LRU gates."""
+
+  width: int
+  num_blocks: int
+  w_init_variance_scale: float = 1.0
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  @at.typed
+  def __call__(self, x: at.ExpandedActivations) -> at.ExpandedActivations:
+    assert self.width % self.num_blocks == 0
+    block_width = self.width // self.num_blocks
+    w = self.param(
+        "w",
+        nn.initializers.variance_scaling(
+            scale=self.w_init_variance_scale,
+            mode="fan_in",
+            distribution="normal",
+        ),
+        (self.num_blocks, block_width, block_width),
+        self.param_dtype,
+    )
+    b = self.param(
+        "b",
+        nn.initializers.zeros_init(),
+        (self.num_blocks, block_width),
+        self.param_dtype,
+    )
+    x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+    x = einops.rearrange(x, "... (h i) -> ... h i", h=self.num_blocks)
+    y = jnp.einsum("... h i, h i j -> ... h j", x, w) + b
+    return einops.rearrange(y, "... h j -> ... (h j)", h=self.num_blocks)
+
+
+def rnn_param_init(
+    min_rad: float,
+    max_rad: float,
+    transform: str = "softplus",
+    eps: float = 1e-8,
+) -> nn.initializers.Initializer:
+  """Initializes the RG-LRU ``Λ`` so that ``|a|`` is uniform on a ring.
+
+  Samples radii with density proportional to ring area in
+  ``[min_rad, max_rad]`` and returns the softplus-preimage of ``-log a``
+  (reference ``jax/layers.py:132-155``).
+  """
+  if transform != "softplus":
+    raise NotImplementedError(f"Unknown transform {transform!r}.")
+
+  def init(key, shape: Sequence[int], dtype=jnp.float32) -> jax.Array:
+    u = jax.random.uniform(key, shape=shape)
+    a_real = 0.5 * jnp.log(u * (max_rad**2 - min_rad**2) + min_rad**2 + eps)
+    # Solve softplus(Λ) = -a_real for Λ.
+    return jnp.log(jnp.exp(-a_real) - 1.0).astype(dtype)
+
+  return init
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def sqrt_bound_derivative(x: jax.Array, max_gradient: float) -> jax.Array:
+  """``sqrt(x)`` whose gradient is clamped to ``max_gradient``.
+
+  Near x=0 the true derivative 1/(2 sqrt x) explodes and produces NaNs in
+  bfloat16 training; the backward pass evaluates it at
+  ``max(x, 1 / (4 max_gradient^2))`` instead.
+  """
+  del max_gradient
+  return jnp.sqrt(x)
+
+
+def _sqrt_bound_fwd(x, _):
+  return jnp.sqrt(x), x
+
+
+def _sqrt_bound_bwd(max_gradient, x, g):
+  x_clamped = jnp.maximum(x, 1.0 / (4.0 * max_gradient**2))
+  return (g * 0.5 * jax.lax.rsqrt(x_clamped),)
+
+
+sqrt_bound_derivative.defvjp(_sqrt_bound_fwd, _sqrt_bound_bwd)
+
+
+class RGLRU(nn.Module):
+  """Real-Gated Linear Recurrent Unit (arXiv:2402.19427, §2.4).
+
+  ``h_t = a_t h_{t-1} + sqrt(1 - a_t^2) (x_t ⊙ sigmoid(W_x x_t))`` with
+  ``a_t = exp(-8 sigmoid(W_a x_t) softplus(Λ))``; the state resets at
+  ``segment_pos == 0``. The scan itself is dispatched through
+  :func:`cadence_gemma_tpu.ops.scan.linear_scan` (Pallas kernel on TPU).
+  """
+
+  width: int
+  num_heads: int
+  scan_type: common.ScanType = common.ScanType.AUTO
+  w_init_variance_scale: float = 1.0
+  scan_sharding_spec: scan.ShardingSpec | None = None
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    self.a_param = self.param(
+        "a_param",
+        rnn_param_init(min_rad=0.9, max_rad=0.999),
+        (self.width,),
+        self.param_dtype,
+    )
+    self.input_gate = BlockDiagonalLinear(
+        width=self.width,
+        num_blocks=self.num_heads,
+        w_init_variance_scale=self.w_init_variance_scale,
+        name="input_gate",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.a_gate = BlockDiagonalLinear(
+        width=self.width,
+        num_blocks=self.num_heads,
+        w_init_variance_scale=self.w_init_variance_scale,
+        name="a_gate",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+
+  @at.typed
+  def __call__(
+      self,
+      x: at.ExpandedActivations,
+      segment_pos: at.SegmentPos,
+      cache: at.RNNState | None = None,
+      return_cache: bool = True,
+  ) -> tuple[at.ExpandedActivations, at.RNNState | None]:
+    """Runs the RG-LRU over ``x``; returns outputs and the final fp32 state."""
+    x, a_param = nn.dtypes.promote_dtype(x, self.a_param, dtype=self.dtype)
+    batch, seq_len, _ = x.shape
+    assert segment_pos.shape == (batch, seq_len)
+    reset = segment_pos == 0
+
+    gate_x = jax.nn.sigmoid(self.input_gate(x))
+    gate_a = jax.nn.sigmoid(self.a_gate(x))
+
+    log_a = -8.0 * gate_a * jax.nn.softplus(a_param)
+    a = jnp.exp(log_a)
+    a_squared = jnp.exp(2.0 * log_a)
+
+    gated_x = x * gate_x
+    # Gamma normalization; at document starts the multiplier is 1.
+    multiplier = sqrt_bound_derivative(1 - a_squared, 1000)
+    multiplier = reset[..., None] + (1 - reset[..., None]) * multiplier
+    normed_x = gated_x * multiplier.astype(x.dtype)
+
+    y, h_last = scan.linear_scan(
+        x=normed_x,
+        a=a * (1 - reset[..., None]),
+        h0=cache,
+        scan_type=self.scan_type,
+        sharding_spec=self.scan_sharding_spec,
+        unroll=128,
+    )
+    return y, (h_last if return_cache else None)
+
+  @classmethod
+  def init_cache(cls, batch_size: int, width: int) -> at.RNNState:
+    """Empty recurrent state — always float32."""
+    return jnp.zeros((batch_size, width), dtype=jnp.float32)
+
+
+class Conv1D(nn.Module):
+  """Causal depthwise temporal convolution with document masking.
+
+  Expressed as ``temporal_width`` shift-and-scale accumulations so that (a)
+  decode mode reduces to a tiny stencil over the cached tail and (b) the
+  per-shift document mask (no mixing across ``segment_pos == 0`` boundaries)
+  stays a cheap elementwise multiply. XLA fuses the whole stencil into a
+  couple of vector ops — no im2col materialization.
+  """
+
+  width: int
+  temporal_width: int
+  w_init_variance_scale: float = 0.01
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  @at.typed
+  def __call__(
+      self,
+      x: at.ExpandedActivations,
+      segment_pos: at.SegmentPos,
+      cache: at.Conv1DState | None = None,
+      return_cache: bool = True,
+  ) -> tuple[at.ExpandedActivations, at.Conv1DState | None]:
+    w = self.param(
+        "w",
+        nn.initializers.variance_scaling(
+            scale=self.w_init_variance_scale,
+            mode="fan_in",
+            distribution="normal",
+        ),
+        (self.temporal_width, self.width),
+        self.param_dtype,
+    )
+    b = self.param(
+        "b", nn.initializers.zeros_init(), (self.width,), self.param_dtype
+    )
+    x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+
+    output_len = x.shape[1]
+    if cache is not None:
+      # Decode: previous temporal_width - 1 inputs are cached.
+      state_dtype = cache.dtype
+      prompt_len = self.temporal_width - 1
+      x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    else:
+      state_dtype = x.dtype
+      prompt_len = 0
+
+    out = jnp.zeros_like(x[:, :output_len]) + b[None, None]
+    effective_width = min(self.temporal_width, prompt_len + output_len)
+    for shift in range(effective_width):
+      start = max(prompt_len - shift, 0)
+      end = prompt_len + output_len - shift
+      window = x[:, start:end]
+      if cache is None and shift > 0:
+        # Zero contributions that would cross a document boundary: a source
+        # token `shift` steps back must have no boundary in between.
+        not_boundary = (segment_pos != 0).astype(x.dtype)
+        mask = jnp.ones_like(window[..., 0])
+        for look_ahead in range(1, shift + 1):
+          mask = mask * not_boundary[:, start + look_ahead : end + look_ahead]
+        window = window * mask[..., None]
+      if window.shape[1] < output_len:
+        pad = output_len - window.shape[1]
+        window = jnp.pad(window, ((0, 0), (pad, 0), (0, 0)))
+      out = out + window * w[self.temporal_width - shift - 1][None, None, :]
+
+    if not return_cache:
+      return out, None
+
+    new_cache = x[:, 1 - self.temporal_width :].astype(state_dtype)
+    missing = self.temporal_width - 1 - new_cache.shape[1]
+    if missing > 0:
+      new_cache = jnp.pad(new_cache, ((0, 0), (missing, 0), (0, 0)))
+    return out, new_cache
+
+  @classmethod
+  def init_cache(
+      cls,
+      batch_size: int,
+      width: int,
+      dtype: at.dtype,
+      conv1d_temporal_width: int = 4,
+  ) -> at.Conv1DState:
+    return jnp.zeros(
+        (batch_size, conv1d_temporal_width - 1, width), dtype=dtype
+    )
+
+
+class Einsum(nn.Module):
+  """A parameterized einsum with bias (used for fused MLP up-projections)."""
+
+  w_shape: Sequence[int]
+  b_shape: Sequence[int]
+  eqn: str
+  w_init_variance_scale: float = 1.0
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  @at.typed
+  def __call__(self, x: jax.Array) -> jax.Array:
+    w = self.param(
+        "w",
+        nn.initializers.variance_scaling(
+            scale=self.w_init_variance_scale,
+            mode="fan_in",
+            distribution="normal",
+            in_axis=[1],
+        ),
+        tuple(self.w_shape),
+        self.param_dtype,
+    )
+    b = self.param(
+        "b", nn.initializers.zeros_init(), tuple(self.b_shape), self.param_dtype
+    )
+    x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+    return jnp.einsum(self.eqn, x, w) + b

@@ -1,0 +1,652 @@
+"""Griffin building blocks: local attention, recurrent block, MLP, embedder.
+
+TPU-native re-implementation of the reference module zoo
+(``/root/reference/recurrentgemma/jax/modules.py:35-982``) with identical
+parameter trees and cache semantics:
+
+  * Local sliding-window MQA (one shared KV head), partial RoPE on the first
+    half of the head dimensions, fp32 softmax with a large negative mask
+    fill, and a ring KV cache of exactly ``window_size`` slots driven by a
+    ``num_tokens`` counter.
+  * RecurrentBlock: gelu(y-branch) ⊙ (Conv1D → RG-LRU)(x-branch), then an
+    output projection. Cache = (fp32 RG-LRU state, conv tail).
+  * Gated-GeLU MLP with a fused ``(2, d, D)`` up-projection einsum.
+  * Tied-embedding encoder/decoder with optional ``sqrt(width)`` scaling
+    (cast through bfloat16 to match Gemma training).
+  * VisionLanguageConnector: the in-model vision→LM projector MLP.
+
+Unlike the reference, the prompt→cache path generalizes to any chunk length
+(the reference raises NotImplementedError for 1 < chunk < window,
+``modules.py:220``): chunked prefill works for arbitrary chunk sizes.
+"""
+
+
+from typing import NamedTuple, Union
+
+import einops
+from flax import linen as nn
+import jax
+import jax.numpy as jnp
+
+from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.models import layers
+from cadence_gemma_tpu.ops import scan
+
+# Large negative fill for masked logits; fits comfortably in float32 while
+# being far below any real logit (matches the reference constant,
+# modules.py:29).
+_MIN_LOGITS_VALUE = -2.3819763e38
+_MAX_WAVELENGTH = 10_000
+
+
+class RecurrentBlockCache(NamedTuple):
+  """State of a recurrent block: RG-LRU hidden state + conv tail."""
+
+  rg_lru_state: at.RNNState
+  conv1d_state: at.Conv1DState
+
+
+class AttentionBlockCache(NamedTuple):
+  """Ring KV cache of ``window_size`` slots plus a monotone token counter."""
+
+  keys: at.CachedKeys
+  values: at.CachedValues
+  num_tokens: at.NumTokens
+
+
+ResidualBlockCache = Union[RecurrentBlockCache, AttentionBlockCache]
+
+
+@at.typed
+def apply_rope(
+    inputs: at.Queries | at.Keys,
+    positions: at.SegmentPos,
+    max_wavelength: int = _MAX_WAVELENGTH,
+) -> at.Queries | at.Keys:
+  """Rotates the first half of the head dims; passes the rest through.
+
+  Gemma-style partial RoPE (reference ``modules.py:54-87``): of a head of
+  size ``h``, dims ``[0, h/2)`` are rotated pairwise (split at ``h/4``) by
+  position-dependent angles, dims ``[h/2, h)`` are untouched.
+  """
+  rotated, passthrough = jnp.split(inputs, 2, axis=-1)
+  half = rotated.shape[-1] // 2
+
+  exponents = 2.0 * jnp.arange(half) / rotated.shape[-1]
+  inv_timescale = max_wavelength ** (-exponents)
+  # positions: [b, t] -> [b, t, 1, 1] to broadcast over heads and dims.
+  angles = (
+      positions[..., None, None].astype(jnp.float32) * inv_timescale
+  )
+  sin = jnp.sin(angles).astype(inputs.dtype)
+  cos = jnp.cos(angles).astype(inputs.dtype)
+
+  first, second = jnp.split(rotated, 2, axis=-1)
+  return jnp.concatenate(
+      [first * cos - second * sin, second * cos + first * sin, passthrough],
+      axis=-1,
+  )
+
+
+def _causal_window_mask(
+    q_positions: jax.Array,
+    k_positions: jax.Array,
+    window_size: int,
+    q_segment_ids: jax.Array | None = None,
+    k_segment_ids: jax.Array | None = None,
+) -> at.AttentionMask:
+  """mask[b, q, k] = same segment ∧ k ≤ q ∧ q ≤ k + window."""
+  if q_segment_ids is not None or k_segment_ids is not None:
+    assert q_segment_ids is not None and k_segment_ids is not None
+    same_segment = q_segment_ids[..., None] == k_segment_ids[..., None, :]
+  else:
+    same_segment = (k_positions >= 0)[..., None, :]
+  causal = q_positions[..., None] >= k_positions[..., None, :]
+  in_window = q_positions[..., None] <= k_positions[..., None, :] + window_size
+  return same_segment & causal & in_window
+
+
+def compute_forward_pass_mask(
+    segment_pos: at.SegmentPos, window_size: int
+) -> at.AttentionMask:
+  """Mask for full-sequence (prompt) processing; documents split at pos 0."""
+  segment_ids = jnp.cumsum(segment_pos == 0, axis=-1)
+  positions = jnp.arange(segment_pos.shape[-1])[None]
+  positions = jnp.repeat(positions, segment_pos.shape[0], axis=0)
+  return _causal_window_mask(
+      positions, positions, window_size, segment_ids, segment_ids
+  )
+
+
+def compute_cache_mask(
+    seq_len: int,
+    cache_num_tokens: at.NumTokens,
+    window_size: int,
+) -> at.AttentionMask:
+  """Mask for decode steps against the ring cache.
+
+  Reconstructs each ring slot's absolute position from the write counter:
+  slot ``i`` holds position ``i + k*window`` if that has been written
+  (``< num_tokens``), else ``i + (k-1)*window``, where
+  ``k = num_tokens // window`` (reference ``modules.py:153-180``). The new
+  queries' positions are appended at the end.
+  """
+  q_positions = jnp.arange(seq_len)[None] + cache_num_tokens[:, None]
+  wraps = cache_num_tokens[:, None] // window_size
+  slots = jnp.arange(window_size)[None]
+  pos_current = slots + wraps * window_size
+  pos_previous = slots + (wraps - 1) * window_size
+  written = pos_current < cache_num_tokens[:, None]
+  k_positions = jnp.where(written, pos_current, pos_previous)
+  k_positions = jnp.concatenate([k_positions, q_positions], axis=-1)
+  return _causal_window_mask(q_positions, k_positions, window_size)
+
+
+def _right_align_in_window(
+    keys: at.Keys,
+    values: at.Values,
+    segment_pos: at.SegmentPos,
+    window_size: int,
+) -> AttentionBlockCache:
+  """Builds a fresh ring cache from a processed prompt.
+
+  The last ``min(window, t)`` KVs are rolled so that, combined with the
+  ``num_tokens`` counter, subsequent ring writes land in the correct slots
+  (reference ``modules.py:223-253``).
+  """
+  w = min(window_size, keys.shape[1])
+  num_tokens = segment_pos[:, -1] + 1
+  roll = jax.vmap(lambda v, n: jnp.roll(v, n, axis=0))
+  keys = roll(keys[:, -w:], num_tokens)
+  values = roll(values[:, -w:], num_tokens)
+  pad = ((0, 0), (0, window_size - w), (0, 0), (0, 0))
+  return AttentionBlockCache(
+      keys=jnp.pad(keys, pad),
+      values=jnp.pad(values, pad),
+      num_tokens=num_tokens,
+  )
+
+
+def update_attention_cache(
+    keys: at.Keys,
+    values: at.Values,
+    segment_pos: at.SegmentPos,
+    cache: AttentionBlockCache,
+) -> AttentionBlockCache:
+  """Writes new KVs into the ring cache.
+
+  Single-token decode writes in place at ``num_tokens % window``. Multi-token
+  chunks fold the existing cache and the new KVs into a rebuilt cache holding
+  the window-suffix of their concatenation — this generalizes the reference,
+  which only supports chunk lengths of exactly 1 or ``window``
+  (``modules.py:201-220``).
+  """
+  seq_len = keys.shape[-3]
+  window_size = cache.keys.shape[-3]
+
+  if seq_len == 1:
+    batch_idx = jnp.arange(keys.shape[0])
+    slot = cache.num_tokens % window_size
+    return AttentionBlockCache(
+        keys=cache.keys.at[batch_idx, slot].set(keys[:, 0]),
+        values=cache.values.at[batch_idx, slot].set(values[:, 0]),
+        num_tokens=cache.num_tokens + 1,
+    )
+
+  if seq_len >= window_size:
+    return _right_align_in_window(keys, values, segment_pos, window_size)
+
+  # General chunked prefill: unroll the ring into time order, append, re-roll.
+  def fold_one(c_keys, c_vals, n_tok, new_k, new_v):
+    # Unrolled cache in time order (oldest first).
+    shift = -(n_tok % window_size)
+    k_lin = jnp.roll(c_keys, shift, axis=0)
+    v_lin = jnp.roll(c_vals, shift, axis=0)
+    k_all = jnp.concatenate([k_lin, new_k], axis=0)[-window_size:]
+    v_all = jnp.concatenate([v_lin, new_v], axis=0)[-window_size:]
+    new_n = n_tok + new_k.shape[0]
+    return (
+        jnp.roll(k_all, new_n, axis=0),
+        jnp.roll(v_all, new_n, axis=0),
+        new_n,
+    )
+
+  new_keys, new_values, new_num = jax.vmap(fold_one)(
+      cache.keys, cache.values, cache.num_tokens, keys, values
+  )
+  return AttentionBlockCache(new_keys, new_values, new_num)
+
+
+class LocalAttentionBlock(nn.Module):
+  """Sliding-window multi-query attention (one shared KV head)."""
+
+  width: int
+  num_heads: int
+  window_size: int
+  final_w_init_variance_scale: float = 1.0
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @property
+  def head_dim(self) -> int:
+    return self.width // self.num_heads
+
+  def setup(self):
+    proj_init = nn.initializers.variance_scaling(
+        scale=1.0, mode="fan_in", distribution="normal"
+    )
+    out_init = nn.initializers.variance_scaling(
+        scale=self.final_w_init_variance_scale,
+        mode="fan_in",
+        distribution="normal",
+    )
+    dense = lambda feats, name, init, bias: nn.Dense(
+        features=feats,
+        use_bias=bias,
+        kernel_init=init,
+        name=name,
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.proj_q = dense(self.width, "proj_q", proj_init, False)
+    self.proj_k = dense(self.head_dim, "proj_k", proj_init, False)
+    self.proj_v = dense(self.head_dim, "proj_v", proj_init, False)
+    self.proj_final = dense(self.width, "proj_final", out_init, True)
+
+  @at.typed
+  def __call__(
+      self,
+      x: at.Activations,
+      segment_pos: at.SegmentPos,
+      cache: AttentionBlockCache | None = None,
+      return_cache: bool = True,
+  ) -> tuple[at.Activations, AttentionBlockCache | None]:
+    b, t, _ = x.shape
+    assert segment_pos.shape == (b, t), segment_pos.shape
+
+    queries = einops.rearrange(
+        self.proj_q(x), "... (n h) -> ... n h", n=self.num_heads
+    )
+    keys = self.proj_k(x)[..., None, :]  # single KV head
+    values = self.proj_v(x)[..., None, :]
+
+    queries = apply_rope(queries, segment_pos)
+    keys = apply_rope(keys, segment_pos)
+
+    if cache is not None:
+      new_cache = (
+          update_attention_cache(keys, values, segment_pos, cache)
+          if return_cache
+          else None
+      )
+      keys = jnp.concatenate([cache.keys, keys], axis=-3)
+      values = jnp.concatenate([cache.values, values], axis=-3)
+      attn_mask = compute_cache_mask(t, cache.num_tokens, self.window_size)
+    else:
+      new_cache = (
+          _right_align_in_window(keys, values, segment_pos, self.window_size)
+          if return_cache
+          else None
+      )
+      attn_mask = compute_forward_pass_mask(segment_pos, self.window_size)
+
+    logits = einops.einsum(queries, keys, "b t n h, b s n h -> b n t s")
+    logits = logits * (self.head_dim**-0.5)
+    masked = jnp.where(attn_mask[:, None], logits, _MIN_LOGITS_VALUE)
+    probs = jax.nn.softmax(masked.astype(jnp.float32), axis=-1).astype(x.dtype)
+    encoded = einops.einsum(probs, values, "b n t s, b s n h -> b t n h")
+    encoded = einops.rearrange(encoded, "... n h -> ... (n h)")
+    return self.proj_final(encoded), new_cache
+
+  @classmethod
+  def init_cache(
+      cls,
+      batch_size: int,
+      window_size: int,
+      heads_dim: int,
+      dtype: at.dtype,
+  ) -> AttentionBlockCache:
+    return AttentionBlockCache(
+        keys=jnp.zeros((batch_size, window_size, 1, heads_dim), dtype=dtype),
+        values=jnp.zeros((batch_size, window_size, 1, heads_dim), dtype=dtype),
+        num_tokens=jnp.zeros((batch_size,), dtype=jnp.int32),
+    )
+
+
+class RecurrentBlock(nn.Module):
+  """Griffin's recurrent temporal-mixing block."""
+
+  width: int
+  num_heads: int
+  lru_width: int | None = None
+  scan_type: common.ScanType = common.ScanType.AUTO
+  conv1d_temporal_width: int = 4
+  final_w_init_variance_scale: float = 1.0
+  scan_sharding_spec: scan.ShardingSpec | None = None
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    lru_width = self.lru_width or self.width
+    proj_init = nn.initializers.variance_scaling(
+        scale=1.0, mode="fan_in", distribution="normal"
+    )
+    out_init = nn.initializers.variance_scaling(
+        scale=self.final_w_init_variance_scale,
+        mode="fan_in",
+        distribution="normal",
+    )
+    self.linear_y = nn.Dense(
+        features=lru_width,
+        kernel_init=proj_init,
+        name="linear_y",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.linear_x = nn.Dense(
+        features=lru_width,
+        kernel_init=proj_init,
+        name="linear_x",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.linear_out = nn.Dense(
+        features=self.width,
+        kernel_init=out_init,
+        name="linear_out",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.conv_1d = layers.Conv1D(
+        width=lru_width,
+        temporal_width=self.conv1d_temporal_width,
+        name="conv_1d",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.rg_lru = layers.RGLRU(
+        width=lru_width,
+        num_heads=self.num_heads,
+        scan_type=self.scan_type,
+        name="rg_lru",
+        scan_sharding_spec=self.scan_sharding_spec,
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+
+  @at.typed
+  def __call__(
+      self,
+      x: at.Activations,
+      segment_pos: at.SegmentPos,
+      cache: RecurrentBlockCache | None = None,
+      return_cache: bool = True,
+  ) -> tuple[at.Activations, RecurrentBlockCache | None]:
+    y = jax.nn.gelu(self.linear_y(x))
+
+    x = self.linear_x(x)
+    x, conv1d_state = self.conv_1d(
+        x=x,
+        segment_pos=segment_pos,
+        cache=None if cache is None else cache.conv1d_state,
+        return_cache=return_cache,
+    )
+    x, rg_lru_state = self.rg_lru(
+        x=x,
+        segment_pos=segment_pos,
+        cache=None if cache is None else cache.rg_lru_state,
+        return_cache=return_cache,
+    )
+
+    x = self.linear_out(x * y)
+    if not return_cache:
+      return x, None
+    return x, RecurrentBlockCache(
+        rg_lru_state=rg_lru_state, conv1d_state=conv1d_state
+    )
+
+  @classmethod
+  def init_cache(
+      cls,
+      batch_size: int,
+      lru_width: int,
+      dtype: at.dtype,
+      conv1d_temporal_width: int = 4,
+  ) -> RecurrentBlockCache:
+    return RecurrentBlockCache(
+        rg_lru_state=layers.RGLRU.init_cache(batch_size, lru_width),
+        conv1d_state=layers.Conv1D.init_cache(
+            batch_size, lru_width, dtype, conv1d_temporal_width
+        ),
+    )
+
+
+class MLPBlock(nn.Module):
+  """Gated-GeLU MLP with fused gate/up projection."""
+
+  width: int
+  expanded_width: int
+  final_w_init_variance_scale: float = 1.0
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    self.ffw_up = layers.Einsum(
+        w_shape=(2, self.width, self.expanded_width),
+        b_shape=(2, 1, 1, self.expanded_width),
+        eqn="...td,cdD->c...tD",
+        name="ffw_up",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.ffw_down = nn.Dense(
+        features=self.width,
+        use_bias=True,
+        kernel_init=nn.initializers.variance_scaling(
+            scale=self.final_w_init_variance_scale,
+            mode="fan_in",
+            distribution="normal",
+        ),
+        name="ffw_down",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+
+  @at.typed
+  def __call__(self, x: at.Activations) -> at.Activations:
+    gate_and_up = self.ffw_up(x)
+    activations = nn.gelu(gate_and_up[0]) * gate_and_up[1]
+    return self.ffw_down(activations)
+
+
+class VisionLanguageConnector(nn.Module):
+  """Vision→LM projector: Einsum up-projection, GeLU, Dense down to width.
+
+  Parameter tree matches the reference's ``vl_connector``
+  (``modules.py:695-744``); the input feature width is config-derived
+  instead of the reference's hard-coded 2176.
+  """
+
+  width: int
+  expanded_width: int
+  vision_width: int = common.DEFAULT_VISION_WIDTH
+  final_w_init_variance_scale: float = 1.0
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    self.ffw_up = layers.Einsum(
+        w_shape=(1, self.vision_width, self.expanded_width),
+        b_shape=(1, 1, 1, self.expanded_width),
+        eqn="...td,rdD->r...tD",
+        name="ffw_up",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+    self.ffw_down = nn.Dense(
+        features=self.width,
+        use_bias=True,
+        kernel_init=nn.initializers.variance_scaling(
+            scale=self.final_w_init_variance_scale,
+            mode="fan_in",
+            distribution="normal",
+        ),
+        name="ffw_down",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+
+  @at.typed
+  def __call__(self, x: at.Image) -> at.Activations:
+    return self.ffw_down(nn.gelu(self.ffw_up(x)[0]))
+
+
+class ResidualBlock(nn.Module):
+  """Pre-norm residual block: temporal mixer then MLP."""
+
+  width: int
+  mlp_expanded_width: int
+  num_heads: int
+  attention_window_size: int
+  temporal_block_type: common.TemporalBlockType
+  lru_width: int | None = None
+  scan_type: common.ScanType = common.ScanType.AUTO
+  conv1d_temporal_width: int = 4
+  final_w_init_variance_scale: float = 1.0
+  scan_sharding_spec: scan.ShardingSpec | None = None
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    self.temporal_pre_norm = layers.RMSNorm(
+        width=self.width, dtype=self.dtype, param_dtype=self.param_dtype
+    )
+    if self.temporal_block_type is common.TemporalBlockType.RECURRENT:
+      self.recurrent_block = RecurrentBlock(
+          width=self.width,
+          num_heads=self.num_heads,
+          lru_width=self.lru_width,
+          conv1d_temporal_width=self.conv1d_temporal_width,
+          scan_type=self.scan_type,
+          final_w_init_variance_scale=self.final_w_init_variance_scale,
+          name="recurrent_block",
+          scan_sharding_spec=self.scan_sharding_spec,
+          dtype=self.dtype,
+          param_dtype=self.param_dtype,
+      )
+    else:
+      self.attention_block = LocalAttentionBlock(
+          width=self.width,
+          num_heads=self.num_heads,
+          window_size=self.attention_window_size,
+          final_w_init_variance_scale=self.final_w_init_variance_scale,
+          name="attention_block",
+          dtype=self.dtype,
+          param_dtype=self.param_dtype,
+      )
+    self.channel_pre_norm = layers.RMSNorm(
+        width=self.width, dtype=self.dtype, param_dtype=self.param_dtype
+    )
+    self.mlp_block = MLPBlock(
+        width=self.width,
+        expanded_width=self.mlp_expanded_width,
+        final_w_init_variance_scale=self.final_w_init_variance_scale,
+        name="mlp_block",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+    )
+
+  @property
+  def temporal_block(self) -> nn.Module:
+    if self.temporal_block_type is common.TemporalBlockType.RECURRENT:
+      return self.recurrent_block
+    return self.attention_block
+
+  @at.typed
+  def __call__(
+      self,
+      x: at.Activations,
+      segment_pos: at.SegmentPos,
+      cache: ResidualBlockCache | None = None,
+      return_cache: bool = True,
+  ) -> tuple[at.Activations, ResidualBlockCache | None]:
+    residual = x
+    x = self.temporal_pre_norm(x)
+    x, cache = self.temporal_block(
+        x, segment_pos, cache, return_cache=return_cache
+    )
+    x = x + residual
+
+    residual = x
+    x = self.channel_pre_norm(x)
+    x = self.mlp_block(x)
+    return x + residual, cache
+
+  @classmethod
+  def init_cache(
+      cls,
+      batch_size: int,
+      width: int,
+      num_heads: int,
+      attention_window_size: int,
+      temporal_block_type: common.TemporalBlockType,
+      dtype: at.dtype,
+      lru_width: int | None = None,
+      conv1d_temporal_width: int = 4,
+  ) -> ResidualBlockCache:
+    assert width % num_heads == 0
+    if temporal_block_type is common.TemporalBlockType.RECURRENT:
+      return RecurrentBlock.init_cache(
+          batch_size=batch_size,
+          lru_width=lru_width or width,
+          dtype=dtype,
+          conv1d_temporal_width=conv1d_temporal_width,
+      )
+    return LocalAttentionBlock.init_cache(
+        batch_size=batch_size,
+        window_size=attention_window_size,
+        heads_dim=width // num_heads,
+        dtype=dtype,
+    )
+
+
+class Embedder(nn.Module):
+  """Tied input/output token embedding."""
+
+  vocab_size: int
+  embed_dim: int
+  scale_by_sqrt_dim: bool
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  def setup(self):
+    self.input_embedding_table = self.param(
+        "input_embedding",
+        nn.initializers.variance_scaling(
+            scale=1.0,
+            mode="fan_in",
+            distribution="normal",
+            in_axis=1,
+            out_axis=0,
+        ),
+        (self.vocab_size, self.embed_dim),
+        self.param_dtype,
+    )
+
+  @at.typed
+  def encode(self, x: at.Tokens) -> at.Activations:
+    emb = self.input_embedding_table[(x,)]
+    [emb] = nn.dtypes.promote_dtype(emb, dtype=self.dtype)
+    if self.scale_by_sqrt_dim:
+      # The sqrt is rounded through bfloat16 to match how the reference
+      # models were trained (reference modules.py:971-973).
+      emb = emb * jnp.sqrt(self.embed_dim).astype(jnp.bfloat16)
+    return emb
+
+  @at.typed
+  def decode(self, x: at.Activations) -> at.TokenLogits:
+    x, table = nn.dtypes.promote_dtype(
+        x, self.input_embedding_table, dtype=self.dtype
+    )
+    return x @ table.T

@@ -1,0 +1,281 @@
+"""JAX vision towers: SigLIP-so400m and DINOv2-L(reg4) ViTs, fused encoder.
+
+TPU-native replacement for the reference's host-side PyTorch/timm encoders
+(``/root/reference/recurrentgemma/vit/dino_siglip.py:19-156``). The
+reference loads ``vit_so400m_patch14_siglip_384`` and
+``vit_large_patch14_reg4_dinov2.lvd142m`` (both at 384x384 / patch 14 →
+27x27 = 729 patches), takes each tower's block-22 output via
+``get_intermediate_layers(n={22})`` (un-normed patch tokens, prefix tokens
+dropped), and concatenates features to [b, 729, 1024+1152=2176].
+
+Here both towers are flax modules compiled by XLA on TPU: the patch-embed
+convolution lands on the MXU, attention/MLP run in bfloat16, and image
+preprocessing (resize + normalize) is jitted into the same program — so
+``pixels → fused features`` is one device executable with no host
+round-trips (the TTFT-critical path, SURVEY §3.2).
+
+Weights convert from timm checkpoints with
+:mod:`cadence_gemma_tpu.checkpoint.timm_import`.
+"""
+
+import dataclasses
+from typing import Sequence
+
+from flax import linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadence_gemma_tpu import array_typing as at
+
+# Preprocessing constants (timm data configs for the two models).
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+DINO_MEAN = (0.485, 0.456, 0.406)
+DINO_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+  """Architecture of one tower (timm-compatible)."""
+
+  embed_dim: int
+  depth: int
+  num_heads: int
+  mlp_hidden_dim: int
+  patch_size: int = 14
+  image_size: int = 384
+  num_prefix_tokens: int = 0   # cls + register tokens
+  use_layer_scale: bool = False
+  output_layer: int | None = None  # block index whose output is returned
+
+  @property
+  def grid(self) -> int:
+    return self.image_size // self.patch_size
+
+  @property
+  def num_patches(self) -> int:
+    return self.grid * self.grid
+
+
+# The two towers used by the fused encoder. ``output_layer=22`` matches the
+# reference's get_intermediate_layers(n={len(dino.blocks) - 2}) — note the
+# reference computes the index from the *DINO* tower for both models
+# (dino_siglip.py:85-86), i.e. block 22 of 24 and of 27 respectively.
+SIGLIP_SO400M_384 = ViTConfig(
+    embed_dim=1152,
+    depth=27,
+    num_heads=16,
+    mlp_hidden_dim=4304,
+    num_prefix_tokens=0,
+    use_layer_scale=False,
+    output_layer=22,
+)
+DINOV2_LARGE_REG4_384 = ViTConfig(
+    embed_dim=1024,
+    depth=24,
+    num_heads=16,
+    mlp_hidden_dim=4096,
+    num_prefix_tokens=5,  # 1 cls + 4 registers
+    use_layer_scale=True,
+    output_layer=22,
+)
+
+
+class ViTBlock(nn.Module):
+  """Pre-norm transformer block with optional LayerScale (DINOv2)."""
+
+  config: ViTConfig
+  dtype: at.dtype = jnp.bfloat16
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jax.Array) -> jax.Array:
+    cfg = self.config
+    head_dim = cfg.embed_dim // cfg.num_heads
+
+    def layer_scale(name, value):
+      if not cfg.use_layer_scale:
+        return value
+      gamma = self.param(
+          name, nn.initializers.constant(1e-5), (cfg.embed_dim,),
+          self.param_dtype,
+      )
+      return value * gamma.astype(value.dtype)
+
+    # Attention.
+    h = nn.LayerNorm(
+        epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="norm1",
+    )(x)
+    qkv = nn.Dense(
+        3 * cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="attn_qkv",
+    )(h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split_heads = lambda t: t.reshape(
+        t.shape[0], t.shape[1], cfg.num_heads, head_dim
+    )
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    logits = jnp.einsum(
+        "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
+    ) * (head_dim**-0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+    out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
+    out = out.reshape(out.shape[0], out.shape[1], cfg.embed_dim)
+    out = nn.Dense(
+        cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="attn_proj",
+    )(out)
+    x = x + layer_scale("ls1", out)
+
+    # MLP.
+    h = nn.LayerNorm(
+        epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="norm2",
+    )(x)
+    h = nn.Dense(
+        cfg.mlp_hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="mlp_fc1",
+    )(h)
+    h = nn.gelu(h, approximate=False)
+    h = nn.Dense(
+        cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="mlp_fc2",
+    )(h)
+    return x + layer_scale("ls2", h)
+
+
+class VisionTransformer(nn.Module):
+  """timm-compatible ViT returning an intermediate layer's patch tokens."""
+
+  config: ViTConfig
+  dtype: at.dtype = jnp.bfloat16
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, pixels: at.ImagePixels) -> at.Image:
+    """[b, 3, H, W] normalized pixels → [b, patches, embed_dim] features."""
+    cfg = self.config
+    batch = pixels.shape[0]
+
+    # Patch embedding: a patch-sized strided conv == one big matmul on MXU.
+    x = nn.Conv(
+        features=cfg.embed_dim,
+        kernel_size=(cfg.patch_size, cfg.patch_size),
+        strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+        name="patch_embed",
+    )(jnp.transpose(pixels, (0, 2, 3, 1)).astype(self.dtype))
+    x = x.reshape(batch, cfg.num_patches, cfg.embed_dim)
+
+    pos_embed = self.param(
+        "pos_embed",
+        nn.initializers.normal(0.02),
+        (1, cfg.num_patches, cfg.embed_dim),
+        self.param_dtype,
+    )
+    x = x + pos_embed.astype(x.dtype)
+
+    if cfg.num_prefix_tokens:
+      prefix = self.param(
+          "prefix_tokens",
+          nn.initializers.zeros_init(),
+          (1, cfg.num_prefix_tokens, cfg.embed_dim),
+          self.param_dtype,
+      )
+      prefix = jnp.broadcast_to(
+          prefix.astype(x.dtype),
+          (batch, cfg.num_prefix_tokens, cfg.embed_dim),
+      )
+      x = jnp.concatenate([prefix, x], axis=1)
+
+    output_layer = (
+        cfg.output_layer if cfg.output_layer is not None else cfg.depth - 1
+    )
+    for i in range(output_layer + 1):
+      x = ViTBlock(
+          cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+          name=f"block{i}",
+      )(x)
+
+    # Intermediate-layer output: un-normed, prefix tokens dropped
+    # (timm get_intermediate_layers(norm=False) semantics).
+    return x[:, cfg.num_prefix_tokens:]
+
+
+def preprocess(
+    images: jax.Array,
+    mean: Sequence[float],
+    std: Sequence[float],
+    size: int = 384,
+) -> jax.Array:
+  """[b, 3, h, w] float in [0, 1] → resized + normalized [b, 3, size, size].
+
+  Bicubic resize matching torchvision's default for these models. Runs on
+  device under jit.
+  """
+  b, c, _, _ = images.shape
+  resized = jax.image.resize(
+      images, (b, c, size, size), method="bicubic"
+  )
+  mean = jnp.asarray(mean, images.dtype)[None, :, None, None]
+  std = jnp.asarray(std, images.dtype)[None, :, None, None]
+  return (resized - mean) / std
+
+
+def load_image(path: str, size: int | None = None) -> np.ndarray:
+  """Decodes an image file to [1, 3, h, w] float32 in [0, 1] (host-side).
+
+  When ``size`` is given the image is bicubic-resized on the host so that
+  batched pixels share a static shape; the on-device :func:`preprocess`
+  resize is then a no-op.
+  """
+  from PIL import Image  # pytype: disable=import-error
+
+  with open(path, "rb") as f:
+    img = Image.open(f).convert("RGB")
+  if size is not None:
+    img = img.resize((size, size), Image.BICUBIC)
+  arr = np.asarray(img, dtype=np.float32) / 255.0
+  return np.transpose(arr, (2, 0, 1))[None]
+
+
+class DinoSigLIPEncoder(nn.Module):
+  """The fused DINOv2 ‖ SigLIP encoder: pixels → [b, 729, 2176].
+
+  Feature order matches the reference: DINO features first, SigLIP second
+  (``dino_siglip.py:153``). Both towers consume the same raw pixels; each
+  applies its own normalization on device.
+  """
+
+  dino_config: ViTConfig = DINOV2_LARGE_REG4_384
+  siglip_config: ViTConfig = SIGLIP_SO400M_384
+  dtype: at.dtype = jnp.bfloat16
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, pixels: at.ImagePixels) -> at.Image:
+    """[b, 3, h, w] raw pixels in [0, 1] → fused features."""
+    size = self.dino_config.image_size
+    dino_in = preprocess(pixels, DINO_MEAN, DINO_STD, size)
+    siglip_in = preprocess(pixels, SIGLIP_MEAN, SIGLIP_STD, size)
+    dino_out = VisionTransformer(
+        self.dino_config, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="dino",
+    )(dino_in)
+    siglip_out = VisionTransformer(
+        self.siglip_config, dtype=self.dtype, param_dtype=self.param_dtype,
+        name="siglip",
+    )(siglip_in)
+    return jnp.concatenate([dino_out, siglip_out], axis=-1)
+
+  @property
+  def feature_width(self) -> int:
+    return self.dino_config.embed_dim + self.siglip_config.embed_dim
+
+  def preprocess_path(self, img_path: str) -> jax.Array:
+    """Host-side decode only; resize/normalize happen on device."""
+    return jnp.asarray(load_image(img_path))

@@ -1,0 +1,125 @@
+"""Parameter partitioning rules for tensor/data/sequence parallelism.
+
+The reference only anticipates sharding through its scan ``ShardingSpec``
+and user-supplied checkpoint sharding trees (``jax/utils.py:39-67``); here
+the layouts are first-class. Rules map parameter-tree paths to
+``PartitionSpec``s over the canonical mesh axes:
+
+  * ``data``      — batch (DP),
+  * ``sequence``  — time (SP, long-context prefill / training),
+  * ``model``     — hidden features (TP).
+
+TP layout (Megatron-style column→row pairs so each block needs a single
+all-reduce, inserted automatically by XLA from the shardings):
+
+  * MLP: ``ffw_up.w   (2, d, D)`` → shard D (column);
+         ``ffw_down   (D, d)``    → shard D (row).
+  * Recurrent: ``linear_x/linear_y (d, lru)`` → shard lru (column);
+         ``conv_1d / rg_lru`` gates are diagonal/blockwise in lru → shard
+         the lru-width dims; ``linear_out (lru, d)`` → shard lru (row).
+  * Attention: ``proj_q (d, d)`` → shard heads (column); KV projections are
+    single-head (small) → replicate; ``proj_final (d, d)`` → shard input
+    (row).
+  * Embedder: shard the vocabulary dimension.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from cadence_gemma_tpu import array_typing as at
+
+BATCH_AXIS = "data"
+SEQUENCE_AXIS = "sequence"
+MODEL_AXIS = "model"
+
+
+def _spec_for(path: tuple[str, ...], value: Any, model_axis: str) -> P:
+  """PartitionSpec for one parameter, by its tree path."""
+  name = path[-1]
+  parent = path[-2] if len(path) >= 2 else ""
+  grandparent = path[-3] if len(path) >= 3 else ""
+  m = model_axis
+
+  # Embedder: shard the vocab dim of [vocab, width].
+  if name == "input_embedding":
+    return P(m, None)
+
+  # Norm scales and 1-D params: replicate.
+  if value.ndim <= 1:
+    # RG-LRU a_param is [lru_width] — shard with the lru features.
+    if name == "a_param":
+      return P(m)
+    if name == "b" and parent in ("conv_1d",):
+      return P(m)
+    return P()
+
+  # MLP block.
+  if parent == "ffw_up" and grandparent == "mlp_block":
+    return P(None, None, m) if value.ndim == 3 else P(*([None] * value.ndim))
+  if parent == "ffw_down" and name == "kernel":
+    return P(m, None)
+  if parent == "ffw_up":  # vl_connector's up-projection (1, vis, D)
+    return P(None, None, m) if value.ndim == 3 else P()
+
+  # ffw_up bias (2, 1, 1, D): shard last.
+  if name == "b" and value.ndim == 4:
+    return P(None, None, None, m)
+
+  # Recurrent block projections.
+  if parent in ("linear_x", "linear_y") and name == "kernel":
+    return P(None, m)  # column: output is lru-width
+  if parent == "linear_out" and name == "kernel":
+    return P(m, None)  # row: input is lru-width
+  if parent == "conv_1d" and name == "w":
+    return P(None, m)  # depthwise over lru-width
+  if parent in ("input_gate", "a_gate"):
+    # Block-diagonal [heads, head_dim, head_dim]: shard heads.
+    return P(m, None, None) if value.ndim == 3 else P(m, None)
+
+  # Attention projections.
+  if parent == "proj_q" and name == "kernel":
+    return P(None, m)
+  if parent == "proj_final" and name == "kernel":
+    return P(m, None)
+  if parent in ("proj_k", "proj_v"):
+    return P(*([None] * value.ndim))  # single KV head: replicate
+
+  return P(*([None] * value.ndim))
+
+
+def griffin_param_specs(
+    params: at.Params, model_axis: str = MODEL_AXIS
+) -> Any:
+  """PartitionSpec tree matching ``params`` for TP over ``model_axis``."""
+
+  def spec(path, value):
+    keys = tuple(
+        p.key if hasattr(p, "key") else str(p) for p in path
+    )
+    return _spec_for(keys, value, model_axis)
+
+  return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def griffin_param_shardings(
+    mesh: jax.sharding.Mesh, params: at.Params, model_axis: str = MODEL_AXIS
+) -> Any:
+  """NamedSharding tree for ``params`` on ``mesh``."""
+  specs = griffin_param_specs(params, model_axis)
+  return jax.tree_util.tree_map(
+      lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+      is_leaf=lambda x: isinstance(x, P),
+  )
+
+
+def data_sharding(
+    mesh: jax.sharding.Mesh,
+    batch_axis: str = BATCH_AXIS,
+    sequence_axis: str | None = None,
+) -> jax.sharding.NamedSharding:
+  """Sharding for [batch, time] token arrays."""
+  return jax.sharding.NamedSharding(mesh, P(batch_axis, sequence_axis))

@@ -1,0 +1,161 @@
+"""Two-stage multimodal SFT loop (frozen-connector → full fine-tune).
+
+Counterpart of reference ``train_loop`` (``training/train_jax.py:566-792``):
+stage 1 trains only the vision-language connector with the LM frozen, stage
+2 fine-tunes everything; periodic validation; optional metric-logging hook
+(the reference hard-wires mlflow, ``train_jax.py:615,765``).
+
+The vision encoder here is a jitted JAX module invoked inside the data →
+device pipeline, not a host torch model per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cadence_gemma_tpu.checkpoint import io as checkpoint_io
+from cadence_gemma_tpu.training import trainer
+
+
+@chex.dataclass(frozen=True)
+class TrainingConfig:
+  """Hyper-parameters for one SFT stage (reference train_jax.py:46-57)."""
+
+  learning_rate: float = 1e-5
+  num_epochs: int = 1
+  eval_every_n: int = 200
+  batch_size: int = 1
+  max_steps: int | None = None
+  weight_decay: float = 0.1
+  freeze_llm: bool = False
+  checkpoint_every_n: int | None = 1000
+  checkpoint_dir: str | None = None
+
+
+def train_loop(
+    model,
+    params: Any,
+    train_data: Iterable,
+    config: TrainingConfig,
+    validation_data: Iterable | None = None,
+    encode_image: Callable[[Any], jax.Array] | None = None,
+    log_metrics: Callable[[dict[str, float], int], None] | None = None,
+    pad_id: int = 0,
+):
+  """Runs one SFT stage; returns the updated params.
+
+  Args:
+    model: The Griffin model.
+    params: Parameter tree (mutated functionally; donated per step).
+    train_data: Iterable of ``TrainingInput`` batches.
+    config: Stage hyper-parameters (``freeze_llm`` selects the frozen step).
+    validation_data: Optional iterable re-iterated at each eval point.
+    encode_image: Optional ``pixels|paths -> [b, n, vision_width]`` feature
+      fn (e.g. a jitted DinoSigLIPEncoder); when None, batches must already
+      carry feature tensors or be text-only.
+    log_metrics: Optional callback ``(metrics_dict, step)``.
+    pad_id: Tokenizer pad id.
+  """
+  optimizer = trainer.make_optimizer(
+      config.learning_rate, weight_decay=config.weight_decay
+  )
+  if config.freeze_llm:
+    opt_state = optimizer.init(params["vl_connector"])
+    step_fn = trainer.frozen_train_step
+  else:
+    opt_state = optimizer.init(params)
+    step_fn = trainer.train_step
+
+  step = 0
+  t_start = time.perf_counter()
+  for _ in range(config.num_epochs):
+    for batch in train_data:
+      img = _features_for(batch, encode_image)
+      loss, params, opt_state = step_fn(
+          model, params, optimizer, opt_state, pad_id,
+          jnp.asarray(batch.input_tokens), jnp.asarray(batch.target_mask),
+          img,
+      )
+      step += 1
+
+      if step % config.eval_every_n == 0:
+        metrics = {
+            "train_loss": float(loss),
+            "steps_per_sec": step / (time.perf_counter() - t_start),
+        }
+        if validation_data is not None:
+          metrics["val_loss"] = _validate(
+              model, params, validation_data, encode_image, pad_id
+          )
+        if log_metrics is not None:
+          log_metrics(metrics, step)
+        else:
+          print(f"step {step}: {metrics}")
+
+      if (
+          config.checkpoint_every_n
+          and config.checkpoint_dir
+          and step % config.checkpoint_every_n == 0
+      ):
+        checkpoint_io.save_parameters(
+            f"{config.checkpoint_dir}/step_{step}", params
+        )
+
+      if config.max_steps is not None and step >= config.max_steps:
+        return params
+  return params
+
+
+def _features_for(batch, encode_image):
+  if encode_image is None:
+    return None
+  if getattr(batch, "pixels", None) is not None:
+    return encode_image(jnp.asarray(batch.pixels))
+  if getattr(batch, "image_paths", None):
+    return encode_image(batch.image_paths)
+  return None
+
+
+def _validate(model, params, validation_data, encode_image, pad_id) -> float:
+  losses = []
+  for batch in validation_data:
+    img = _features_for(batch, encode_image)
+    losses.append(
+        float(
+            trainer.validation_step(
+                model, params, pad_id,
+                jnp.asarray(batch.input_tokens),
+                jnp.asarray(batch.target_mask),
+                img,
+            )
+        )
+    )
+  return float(np.mean(losses)) if losses else float("nan")
+
+
+def two_stage_sft(
+    model,
+    params: Any,
+    train_data_factory: Callable[[], Iterable],
+    stage1: TrainingConfig,
+    stage2: TrainingConfig,
+    **kwargs,
+):
+  """Reference two-stage schedule: frozen connector, then full fine-tune
+  (train_jax.py:769-781)."""
+  params = train_loop(
+      model, params, train_data_factory(),
+      dataclasses.replace(stage1, freeze_llm=True), **kwargs,
+  )
+  return train_loop(
+      model, params, train_data_factory(),
+      dataclasses.replace(stage2, freeze_llm=False), **kwargs,
+  )

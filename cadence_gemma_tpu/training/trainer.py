@@ -1,0 +1,263 @@
+"""SFT training: loss, train/validation steps, optimizer, sharded variants.
+
+TPU-native counterpart of the reference JAX training loop
+(``/root/reference/training/train_jax.py:351-563``) with the same semantics:
+
+  * masked next-token NLL; when an image is spliced, the one-hot targets are
+    prefixed with ``vision_tokens`` zero rows so visual-position logits never
+    receive loss (``train_jax.py:389-409``);
+  * ``train_step`` — jitted, donated params/opt state, full fine-tune;
+  * ``frozen_train_step`` — stage-1 SFT updating only ``vl_connector``
+    (``train_jax.py:480-529``);
+  * ``validation_step`` — loss only;
+  * AdamW with the Griffin weight-decay mask (no decay on RG-LRU params,
+    embedder, biases or norm scales, ``train_jax.py:551-563``).
+
+Additions over the reference: :func:`make_sharded_train_step` jits the step
+over a ``jax.sharding.Mesh`` with DP batch sharding + TP parameter layouts
+(the reference's JAX loop is single-device with a "Make dynamic for DDP"
+TODO, ``train_jax.py:618,630``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu.parallel import partitioning
+
+Params = Any
+
+
+def get_positions(tokens: jax.Array, pad_id: int) -> jax.Array:
+  """0-indexed positions over non-pad tokens; pads before the start get -1.
+
+  Mirrors reference ``train_jax.py:485-493``.
+  """
+  pad_mask = tokens != pad_id
+  positions = jnp.cumsum(pad_mask, axis=-1)
+  return positions - (positions >= 1)
+
+
+def forward_and_loss_fn(
+    params: Params,
+    *,
+    model,
+    input_tokens: jax.Array,
+    input_mask: jax.Array,
+    positions: jax.Array,
+    image: jax.Array | None = None,
+) -> jax.Array:
+  """Masked next-token NLL, with zero loss on spliced visual positions."""
+  logits, _ = model.apply(
+      {"params": params},
+      input_tokens,
+      positions,
+      None,
+      return_logits=True,
+      return_cache=False,
+      image=image,
+  )
+  # The last step has no target; the first token is never predicted.
+  logits = logits[:, :-1]
+  targets = input_tokens[:, 1:]
+  target_mask = input_mask[:, 1:]
+
+  one_hot = jax.nn.one_hot(targets, logits.shape[-1])
+  one_hot = one_hot * target_mask.astype(one_hot.dtype)[..., None]
+  norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
+
+  if image is not None:
+    # Visual tokens sit between BOS and the text: pad the targets to line up
+    # and contribute no loss.
+    n_img = logits.shape[1] - one_hot.shape[1]
+    zeros = jnp.zeros(
+        (logits.shape[0], n_img, logits.shape[-1]), dtype=one_hot.dtype
+    )
+    one_hot = jnp.concatenate([zeros, one_hot], axis=1)
+
+  return -jnp.sum(jax.nn.log_softmax(logits) * one_hot) * norm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=["model", "optimizer"],
+    donate_argnames=["params", "opt_state"],
+)
+def train_step(
+    model,
+    params: Params,
+    optimizer: optax.GradientTransformation,
+    opt_state: optax.OptState,
+    pad_id: int,
+    input_tokens: jax.Array,
+    input_mask: jax.Array,
+    img_embed: jax.Array | None = None,
+) -> tuple[jax.Array, Params, optax.OptState]:
+  """One full fine-tuning step; returns (loss, params, opt_state)."""
+  positions = get_positions(input_tokens, pad_id)
+  loss, grads = jax.value_and_grad(forward_and_loss_fn)(
+      params,
+      model=model,
+      input_tokens=input_tokens,
+      input_mask=input_mask,
+      positions=positions,
+      image=img_embed,
+  )
+  updates, opt_state = optimizer.update(grads, opt_state, params)
+  params = optax.apply_updates(params, updates)
+  return loss, params, opt_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=["model", "optimizer"],
+    donate_argnames=["params", "opt_state"],
+)
+def frozen_train_step(
+    model,
+    params: Params,
+    optimizer: optax.GradientTransformation,
+    opt_state: optax.OptState,
+    pad_id: int,
+    input_tokens: jax.Array,
+    input_mask: jax.Array,
+    img_embed: jax.Array,
+) -> tuple[jax.Array, Params, optax.OptState]:
+  """Stage-1 step: only the VL connector trains, the LM stays frozen."""
+  positions = get_positions(input_tokens, pad_id)
+  loss, grads = jax.value_and_grad(forward_and_loss_fn)(
+      params,
+      model=model,
+      input_tokens=input_tokens,
+      input_mask=input_mask,
+      positions=positions,
+      image=img_embed,
+  )
+  updates, opt_state = optimizer.update(
+      grads["vl_connector"], opt_state, params["vl_connector"]
+  )
+  params["vl_connector"] = optax.apply_updates(
+      params["vl_connector"], updates
+  )
+  return loss, params, opt_state
+
+
+@functools.partial(jax.jit, static_argnames=["model"])
+def validation_step(
+    model,
+    params: Params,
+    pad_id: int,
+    input_tokens: jax.Array,
+    input_mask: jax.Array,
+    img_embed: jax.Array | None = None,
+) -> jax.Array:
+  return forward_and_loss_fn(
+      params,
+      model=model,
+      input_tokens=input_tokens,
+      input_mask=input_mask,
+      positions=get_positions(input_tokens, pad_id),
+      image=img_embed,
+  )
+
+
+def griffin_weight_decay_mask(params_like: optax.Params) -> Any:
+  """True where AdamW weight decay applies (reference semantics)."""
+
+  def enable(path, _) -> bool:
+    keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+    if "rg_lru" in keys or "embedder" in keys:
+      return False
+    if keys[-1] in ("b", "scale", "bias"):
+      return False
+    return True
+
+  return jax.tree_util.tree_map_with_path(enable, params_like)
+
+
+def make_optimizer(
+    learning_rate: float | optax.Schedule,
+    weight_decay: float = 0.1,
+    b2: float = 0.96,
+    grad_clip_norm: float | None = 1.0,
+    use_decay_mask: bool = True,
+) -> optax.GradientTransformation:
+  """AdamW with the Griffin decay mask and optional gradient clipping."""
+  adamw = optax.adamw(
+      learning_rate=learning_rate,
+      b2=b2,
+      weight_decay=weight_decay,
+      mask=griffin_weight_decay_mask if use_decay_mask else None,
+  )
+  if grad_clip_norm is None:
+    return adamw
+  return optax.chain(optax.clip_by_global_norm(grad_clip_norm), adamw)
+
+
+def make_sharded_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: jax.sharding.Mesh,
+    pad_id: int,
+    batch_axis: str = partitioning.BATCH_AXIS,
+    model_axis: str | None = partitioning.MODEL_AXIS,
+    example_params: at.Params | None = None,
+):
+  """Builds a pjit-ted train step over ``mesh``.
+
+  Parameters get TP layouts (when ``model_axis`` names a mesh axis and
+  ``example_params`` is given), the batch is sharded over ``batch_axis``,
+  and XLA inserts the DP gradient all-reduces and TP collectives from the
+  shardings — the TPU-native replacement for the reference's
+  NCCL DDP loop (``train.py:63-71,624``).
+
+  Returns ``(step_fn, shard_params_fn)``.
+  """
+  if model_axis is not None and model_axis in mesh.axis_names:
+    if example_params is None:
+      raise ValueError("example_params needed to build TP layouts.")
+    param_shardings = partitioning.griffin_param_shardings(
+        mesh, example_params, model_axis
+    )
+  else:
+    replicated = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()
+    )
+    param_shardings = None if example_params is None else (
+        jax.tree_util.tree_map(lambda _: replicated, example_params)
+    )
+
+  data_shard = partitioning.data_sharding(mesh, batch_axis)
+
+  def step(params, opt_state, input_tokens, input_mask, img_embed=None):
+    positions = get_positions(input_tokens, pad_id)
+    loss, grads = jax.value_and_grad(forward_and_loss_fn)(
+        params,
+        model=model,
+        input_tokens=input_tokens,
+        input_mask=input_mask,
+        positions=positions,
+        image=img_embed,
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return loss, params, opt_state
+
+  step_fn = jax.jit(
+      step,
+      in_shardings=(param_shardings, None, data_shard, data_shard, None),
+      donate_argnums=(0, 1),
+  )
+
+  def shard_params(params):
+    if param_shardings is None:
+      return params
+    return jax.device_put(params, param_shardings)
+
+  return step_fn, shard_params

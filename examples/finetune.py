@@ -1,0 +1,97 @@
+"""Multimodal SFT CLI (counterpart of reference training/train_jax.py main).
+
+Example:
+  python examples/finetune.py \
+      --checkpoint_path=/ckpts/2b-it --tokenizer_path=/ckpts/tok.model \
+      --vision_checkpoint=/ckpts/dino_siglip \
+      --train_json=llava_instruct_150k.json --image_root=/data/coco \
+      --output_dir=/ckpts/cadence-2b
+"""
+
+import jax
+from absl import app
+from absl import flags
+
+import cadence_gemma_tpu as cg
+from cadence_gemma_tpu.models import vit as vit_lib
+from cadence_gemma_tpu.training import data as data_lib
+from cadence_gemma_tpu.training import train_loop
+
+_CHECKPOINT = flags.DEFINE_string("checkpoint_path", None, "LM checkpoint.")
+_VISION_CKPT = flags.DEFINE_string("vision_checkpoint", None,
+                                   "DinoSigLIPEncoder checkpoint.")
+_TOKENIZER = flags.DEFINE_string("tokenizer_path", None, "SentencePiece.")
+_TRAIN_JSON = flags.DEFINE_string("train_json", None, "LLaVA-style JSON.")
+_VAL_JSON = flags.DEFINE_string("val_json", None, "Validation JSON.")
+_IMAGE_ROOT = flags.DEFINE_string("image_root", "", "Image directory.")
+_OUTPUT = flags.DEFINE_string("output_dir", None, "Where to save params.")
+_BATCH = flags.DEFINE_integer("batch_size", 1, "Batch size.")
+_SEQ_LEN = flags.DEFINE_integer("max_seq_len", 1024, "Sequence length.")
+_LR1 = flags.DEFINE_float("stage1_lr", 1e-4, "Frozen-stage learning rate.")
+_LR2 = flags.DEFINE_float("stage2_lr", 1e-5, "Full-stage learning rate.")
+_STEPS1 = flags.DEFINE_integer("stage1_steps", 1000, "Frozen-stage steps.")
+_STEPS2 = flags.DEFINE_integer("stage2_steps", 4000, "Full-stage steps.")
+_PRESET = flags.DEFINE_enum_class(
+    "preset", cg.Preset.RECURRENT_GEMMA_2B_V1, cg.Preset, "Preset.")
+
+
+def main(argv):
+  del argv
+  params = cg.load_parameters(_CHECKPOINT.value, "single_device")
+  params = params.get("params", params)
+  config = cg.GriffinConfig.from_flax_params_or_variables(
+      params, preset=_PRESET.value
+  )
+  model = cg.Griffin(config)
+  vocab = cg.load_sentencepiece(_TOKENIZER.value)
+
+  encoder = vit_lib.DinoSigLIPEncoder()
+  vision_params = cg.load_parameters(_VISION_CKPT.value, "single_device")
+  vision_params = vision_params.get("params", vision_params)
+  encode = jax.jit(
+      lambda px: encoder.apply({"params": vision_params}, px)
+  )
+
+  def make_data():
+    return data_lib.DatasetBuilder(
+        vocab=vocab,
+        json_path=_TRAIN_JSON.value,
+        image_root=_IMAGE_ROOT.value,
+        max_seq_len=_SEQ_LEN.value,
+        batch_size=_BATCH.value,
+        load_pixels=True,
+    )
+
+  val = None
+  if _VAL_JSON.value:
+    val = data_lib.DatasetBuilder(
+        vocab=vocab,
+        json_path=_VAL_JSON.value,
+        image_root=_IMAGE_ROOT.value,
+        max_seq_len=_SEQ_LEN.value,
+        batch_size=_BATCH.value,
+        load_pixels=True,
+    )
+
+  stage1 = train_loop.TrainingConfig(
+      learning_rate=_LR1.value, max_steps=_STEPS1.value,
+      batch_size=_BATCH.value, checkpoint_dir=_OUTPUT.value,
+  )
+  stage2 = train_loop.TrainingConfig(
+      learning_rate=_LR2.value, max_steps=_STEPS2.value,
+      batch_size=_BATCH.value, checkpoint_dir=_OUTPUT.value,
+  )
+  params = train_loop.two_stage_sft(
+      model, params, make_data, stage1, stage2,
+      validation_data=val, encode_image=encode,
+      pad_id=vocab.pad_id(),
+  )
+  cg.save_parameters(f"{_OUTPUT.value}/final", params)
+
+
+if __name__ == "__main__":
+  flags.mark_flags_as_required(
+      ["checkpoint_path", "tokenizer_path", "train_json", "output_dir",
+       "vision_checkpoint"]
+  )
+  app.run(main)

@@ -1,0 +1,172 @@
+"""Sampler behavioral tests with a duck-typed vocabulary.
+
+Mirrors the reference's MockVocab-driven suite
+(``jax/sampler_test.py:28-256``): sampling runs, echo/return_logits output
+shapes, and the prefill-vs-decode logits equivalence invariant. Adds
+multimodal sampling and prompt-length-bucketing invariance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.inference import modal_sampler as modal_lib
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.tokenizers import SimpleVocab
+
+WORDS = ["input", "string", "hello", "world", "the", "quick", "brown", "fox"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+  vocab = SimpleVocab(WORDS)
+  config = common.GriffinConfig(
+      vocab_size=vocab.GetPieceSize(),
+      width=16,
+      mlp_expanded_width=32,
+      num_heads=2,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+      ),
+      embeddings_scale_by_sqrt_dim=True,
+      attention_window_size=8,
+      logits_soft_cap=30.0,
+      lru_width=16,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+      vision_tokens=4,
+      vision_width=12,
+      vl_expanded_width=20,
+  )
+  model = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  tokens = jnp.zeros((1, 5), jnp.int32)
+  pos = jnp.arange(5)[None]
+  params = model.init(jax.random.PRNGKey(7), tokens, pos)["params"]
+  return model, vocab, params
+
+
+class TestSampling:
+
+  def test_batched_sampling_runs(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    out = s(["hello world", "the quick brown fox"], total_generation_steps=6)
+    assert len(out.text) == 2
+    assert all(t.shape == (6,) for t in out.tokens)
+    assert out.logits == []
+
+  def test_zero_steps(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    out = s(["hello world"], total_generation_steps=0)
+    assert out.tokens[0].shape == (0,)
+
+  @pytest.mark.parametrize("echo", [False, True])
+  @pytest.mark.parametrize("return_logits", [False, True])
+  def test_output_shapes(self, setup, echo, return_logits):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    steps = 4
+    prompt = "the quick brown fox"
+    prompt_len = 1 + 4  # BOS + 4 words
+    out = s([prompt], total_generation_steps=steps,
+            echo=echo, return_logits=return_logits)
+    expected = steps + (prompt_len if echo else 0)
+    assert out.tokens[0].shape == (expected,)
+    if return_logits:
+      assert out.logits[0].shape == (expected, vocab.GetPieceSize())
+
+  def test_prefill_vs_decode_equivalence(self, setup):
+    """Teacher-forced logits == per-step sampled logits (cache invariant)."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    prompt = "the quick brown fox"
+    teacher = s([prompt], total_generation_steps=0,
+                echo=True, return_logits=True).logits[0]
+    sampled = s([prompt], total_generation_steps=3,
+                echo=True, return_logits=True).logits[0]
+    np.testing.assert_allclose(
+        teacher[1:], sampled[1:teacher.shape[0]], atol=1e-4
+    )
+
+  def test_bucketing_invariance(self, setup):
+    """Left-padding to a bucet must not change the sampled tokens."""
+    model, vocab, params = setup
+    s_bucket = sampler_lib.Sampler(model, vocab, params,
+                                   bucket_prompt_lengths=True)
+    s_exact = sampler_lib.Sampler(model, vocab, params,
+                                  bucket_prompt_lengths=False)
+    for prompt in ["hello", "the quick brown fox hello world"]:
+      out_b = s_bucket([prompt], total_generation_steps=5)
+      out_e = s_exact([prompt], total_generation_steps=5)
+      np.testing.assert_array_equal(out_b.tokens[0], out_e.tokens[0])
+
+  def test_nondeterministic_needs_rng(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            deterministic_sampling=False)
+    with pytest.raises(ValueError):
+      s(["hello"], total_generation_steps=2)
+    out = s(["hello"], total_generation_steps=2, rng=jax.random.PRNGKey(0))
+    assert out.tokens[0].shape == (2,)
+
+  def test_eos_early_stop(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    out = s(["hello world"], total_generation_steps=8,
+            end_sampling_at_eos_token=True)
+    toks = np.asarray(out.tokens[0])
+    eos_positions = np.where(toks == vocab.eos_id())[0]
+    if eos_positions.size:  # everything after first EOS stays pad
+      after = toks[eos_positions[0] + 1:]
+      assert (after == vocab.pad_id()).all()
+
+
+class TestModalSampler:
+
+  def test_img_embed_sampling(self, setup):
+    model, vocab, params = setup
+    s = modal_lib.ModalSampler(model, vocab, params)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    out = s(["hello world"], total_generation_steps=4, img_embed=img)
+    assert out.tokens[0].shape == (4,)
+
+  def test_text_only_degrades_cleanly(self, setup):
+    model, vocab, params = setup
+    s = modal_lib.ModalSampler(model, vocab, params)
+    out = s(["hello world"], total_generation_steps=3, img_path="")
+    assert out.tokens[0].shape == (3,)
+
+  def test_image_changes_output_logits(self, setup):
+    model, vocab, params = setup
+    s = modal_lib.ModalSampler(model, vocab, params)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12)) * 10
+    out_img = s(["hello world"], total_generation_steps=2,
+                return_logits=True, img_embed=img)
+    out_txt = s(["hello world"], total_generation_steps=2,
+                return_logits=True)
+    assert not np.allclose(out_img.logits[0], out_txt.logits[0], atol=1e-3)
+
+  def test_multimodal_matches_full_forward(self, setup):
+    """First sampled logit == last-position logit of a full mm forward."""
+    model, vocab, params = setup
+    s = modal_lib.ModalSampler(model, vocab, params,
+                               bucket_prompt_lengths=False)
+    img = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 12))
+    prompt = "the quick brown fox"
+    ids = s.tokenize(prompt)[None]
+    pos = jnp.arange(ids.shape[1])[None]
+    full_logits, _ = model.apply(
+        {"params": params}, ids, pos, image=img
+    )
+    out = s([prompt], total_generation_steps=1, return_logits=True,
+            img_embed=img)
+    np.testing.assert_allclose(
+        out.logits[0][0], full_logits[0, -1], atol=1e-4
+    )
