@@ -107,11 +107,12 @@ def _rand_tokens(seed):
 
 def _bench_sampler(s, make_prefill_args, label, sync_overhead):
   """Times prefill (TTFT) and the decode while-loop for a sampler."""
-  input_lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
 
   def prefill(seed, sync=True):
     args = tuple(jax.device_put(a) for a in make_prefill_args(seed))
     extra = tuple(jax.device_put(e) for e in make_extra(seed))
+    # Fresh every call: the jitted prefill donates its token/length inputs.
+    input_lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
     # Pre-stage inputs so staging isn't part of the timed region.
     for a in args + extra:
       _sync(a)
@@ -182,7 +183,18 @@ def bench_ours():
     return (img,)
 
   make_args.extra = make_extra
-  return _bench_sampler(s, make_args, "ours (multimodal prefill)", measure_sync_overhead())
+  overhead = measure_sync_overhead()
+  tps, ttft_mm = _bench_sampler(
+      s, make_args, "ours (multimodal prefill)", overhead
+  )
+
+  def make_args_text(seed):
+    return (_rand_tokens(seed),)
+
+  _, ttft_text = _bench_sampler(
+      s, make_args_text, "ours (text prefill)", overhead
+  )
+  return tps, ttft_mm, ttft_text
 
 
 def bench_reference():
@@ -245,7 +257,7 @@ def bench_reference():
 
 
 def main():
-  ours_tps, ours_ttft_ms = bench_ours()
+  ours_tps, ours_ttft_ms, ours_text_ttft_ms = bench_ours()
   try:
     ref_tps, ref_ttft_ms = bench_reference()
   except Exception as e:  # Reference may not run in this environment.
@@ -258,14 +270,21 @@ def main():
       "unit": "tokens/sec/chip",
       "vs_baseline": round(ours_tps / ref_tps, 3) if ref_tps else 1.0,
       "ttft_ms": round(ours_ttft_ms, 2),
+      "ttft_text_ms": round(ours_text_ttft_ms, 2),
       "reference_decode_tps": round(ref_tps, 2) if ref_tps else None,
       "reference_text_ttft_ms": (
           round(ref_ttft_ms, 2) if ref_ttft_ms else None
       ),
+      "ttft_text_vs_reference": (
+          round(ref_ttft_ms / ours_text_ttft_ms, 3)
+          if ref_ttft_ms and ours_text_ttft_ms
+          else None
+      ),
       "notes": (
-          "TTFT includes on-device image prefill (729 visual tokens); the "
-          "reference multimodal path cannot run here (needs timm CUDA "
-          "ViTs), its TTFT is text-only prefill of the same prompt."
+          "ttft_ms includes on-device image prefill (729 visual tokens); "
+          "the reference multimodal path cannot run here (needs timm CUDA "
+          "ViTs); reference_text_ttft_ms is its text-only prefill of the "
+          "same prompt, directly comparable to ttft_text_ms."
       ),
   }
   print(json.dumps(result))
