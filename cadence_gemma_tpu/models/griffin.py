@@ -46,6 +46,7 @@ class Griffin(nn.Module):
   config: common.GriffinConfig
   scan_sharding_spec: scan.ShardingSpec | None = None
   gradient_checkpointing: bool = True
+  quantized: bool = False
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.bfloat16
 
@@ -54,6 +55,7 @@ class Griffin(nn.Module):
         vocab_size=self.config.vocab_size,
         embed_dim=self.config.width,
         scale_by_sqrt_dim=self.config.embeddings_scale_by_sqrt_dim,
+        quantized=self.quantized,
         dtype=self.dtype,
         param_dtype=self.param_dtype,
     )
@@ -73,6 +75,7 @@ class Griffin(nn.Module):
             temporal_block_type=block_type,
             scan_type=self.config.scan_type,
             final_w_init_variance_scale=2.0 / self.config.num_layers,
+            quantized=self.quantized,
             scan_sharding_spec=self.scan_sharding_spec,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -87,6 +90,7 @@ class Griffin(nn.Module):
         expanded_width=self.config.vl_expanded_width,
         vision_width=self.config.vision_width,
         final_w_init_variance_scale=1.0,
+        quantized=self.quantized,
         name="vl_connector",
         dtype=self.dtype,
         param_dtype=self.param_dtype,

@@ -29,7 +29,83 @@ import jax.numpy as jnp
 
 from cadence_gemma_tpu import array_typing as at
 from cadence_gemma_tpu import common
+from cadence_gemma_tpu.ops import quantization
 from cadence_gemma_tpu.ops import scan
+
+
+class QuantizableDense(nn.Module):
+  """``nn.Dense`` that can serve int8 weight-only quantized kernels.
+
+  With ``quantized=False`` this is parameter-compatible with ``nn.Dense``
+  (a ``kernel`` [in, out] and optional ``bias``). With ``quantized=True``
+  it declares ``kernel_q`` (int8) + ``kernel_scale`` (f32 per-output) as
+  produced by :func:`cadence_gemma_tpu.ops.quantization.quantize_params`;
+  the dequantizing multiply fuses into the matmul so int8 is what streams
+  from HBM — the point of the exercise for bandwidth-bound decode.
+  """
+
+  features: int
+  use_bias: bool = True
+  kernel_init: nn.initializers.Initializer = (
+      nn.initializers.lecun_normal()
+  )
+  quantized: bool = False
+  dtype: at.dtype | None = None
+  param_dtype: at.dtype = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: jax.Array) -> jax.Array:
+    in_features = x.shape[-1]
+    if self.quantized:
+      q = self.param(
+          "kernel_q",
+          nn.initializers.zeros_init(),
+          (in_features, self.features),
+          jnp.int8,
+      )
+      scale = self.param(
+          "kernel_scale",
+          nn.initializers.ones_init(),
+          (self.features,),
+          jnp.float32,
+      )
+      kernel = None
+    else:
+      kernel = self.param(
+          "kernel",
+          self.kernel_init,
+          (in_features, self.features),
+          self.param_dtype,
+      )
+    bias = (
+        self.param(
+            "bias",
+            nn.initializers.zeros_init(),
+            (self.features,),
+            self.param_dtype,
+        )
+        if self.use_bias
+        else None
+    )
+    if self.quantized:
+      # Contract against int8 weights (the int8->compute-dtype convert fuses
+      # into the dot's operand read) and apply the per-output-channel scale
+      # AFTER the contraction — it commutes, and this way only int8 weight
+      # bytes ever cross HBM.
+      compute_dtype = self.dtype or x.dtype
+      x = x.astype(compute_dtype)
+      y = x @ q.astype(compute_dtype)
+      y = y * scale.astype(compute_dtype)
+      if bias is not None:
+        y = y + bias.astype(y.dtype)
+      return y
+    args = (x, kernel) if bias is None else (x, kernel, bias)
+    promoted = nn.dtypes.promote_dtype(*args, dtype=self.dtype)
+    x, kernel = promoted[0], promoted[1]
+    y = x @ kernel
+    if bias is not None:
+      y = y + promoted[2]
+    return y
 
 
 class RMSNorm(nn.Module):
@@ -59,6 +135,7 @@ class BlockDiagonalLinear(nn.Module):
   width: int
   num_blocks: int
   w_init_variance_scale: float = 1.0
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -67,22 +144,45 @@ class BlockDiagonalLinear(nn.Module):
   def __call__(self, x: at.ExpandedActivations) -> at.ExpandedActivations:
     assert self.width % self.num_blocks == 0
     block_width = self.width // self.num_blocks
-    w = self.param(
-        "w",
-        nn.initializers.variance_scaling(
-            scale=self.w_init_variance_scale,
-            mode="fan_in",
-            distribution="normal",
-        ),
-        (self.num_blocks, block_width, block_width),
-        self.param_dtype,
-    )
+    if self.quantized:
+      q = self.param(
+          "w_q",
+          nn.initializers.zeros_init(),
+          (self.num_blocks, block_width, block_width),
+          jnp.int8,
+      )
+      scale = self.param(
+          "w_scale",
+          nn.initializers.ones_init(),
+          (self.num_blocks, block_width),
+          jnp.float32,
+      )
+      w = None
+    else:
+      w = self.param(
+          "w",
+          nn.initializers.variance_scaling(
+              scale=self.w_init_variance_scale,
+              mode="fan_in",
+              distribution="normal",
+          ),
+          (self.num_blocks, block_width, block_width),
+          self.param_dtype,
+      )
     b = self.param(
         "b",
         nn.initializers.zeros_init(),
         (self.num_blocks, block_width),
         self.param_dtype,
     )
+    if self.quantized:
+      compute_dtype = self.dtype or x.dtype
+      x = einops.rearrange(
+          x.astype(compute_dtype), "... (h i) -> ... h i", h=self.num_blocks
+      )
+      y = jnp.einsum("... h i, h i j -> ... h j", x, q.astype(compute_dtype))
+      y = y * scale.astype(compute_dtype) + b.astype(compute_dtype)
+      return einops.rearrange(y, "... h j -> ... (h j)", h=self.num_blocks)
     x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
     x = einops.rearrange(x, "... (h i) -> ... h i", h=self.num_blocks)
     y = jnp.einsum("... h i, h i j -> ... h j", x, w) + b
@@ -150,6 +250,7 @@ class RGLRU(nn.Module):
   num_heads: int
   scan_type: common.ScanType = common.ScanType.AUTO
   w_init_variance_scale: float = 1.0
+  quantized: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -165,6 +266,7 @@ class RGLRU(nn.Module):
         width=self.width,
         num_blocks=self.num_heads,
         w_init_variance_scale=self.w_init_variance_scale,
+        quantized=self.quantized,
         name="input_gate",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -173,6 +275,7 @@ class RGLRU(nn.Module):
         width=self.width,
         num_blocks=self.num_heads,
         w_init_variance_scale=self.w_init_variance_scale,
+        quantized=self.quantized,
         name="a_gate",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -319,12 +422,32 @@ class Einsum(nn.Module):
   b_shape: Sequence[int]
   eqn: str
   w_init_variance_scale: float = 1.0
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
   @nn.compact
   @at.typed
   def __call__(self, x: jax.Array) -> jax.Array:
+    if self.quantized:
+      # 3-D (c, d, D) weights contracting axis 1 (ffw_up layout).
+      assert len(self.w_shape) == 3, self.w_shape
+      q = self.param(
+          "w_q", nn.initializers.zeros_init(), tuple(self.w_shape), jnp.int8
+      )
+      scale_shape = (self.w_shape[0], self.w_shape[2])
+      scale = self.param(
+          "w_scale", nn.initializers.ones_init(), scale_shape, jnp.float32
+      )
+      b = self.param(
+          "b", nn.initializers.zeros_init(), tuple(self.b_shape),
+          self.param_dtype,
+      )
+      compute_dtype = self.dtype or x.dtype
+      y = jnp.einsum(self.eqn, x.astype(compute_dtype), q.astype(compute_dtype))
+      # Output layout is c...tD; scale broadcasts as (c, 1, 1, D).
+      scale = scale[:, None, None, :].astype(compute_dtype)
+      return y * scale + b.astype(compute_dtype)
     w = self.param(
         "w",
         nn.initializers.variance_scaling(

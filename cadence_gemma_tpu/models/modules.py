@@ -225,6 +225,7 @@ class LocalAttentionBlock(nn.Module):
   num_heads: int
   window_size: int
   final_w_init_variance_scale: float = 1.0
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -241,10 +242,11 @@ class LocalAttentionBlock(nn.Module):
         mode="fan_in",
         distribution="normal",
     )
-    dense = lambda feats, name, init, bias: nn.Dense(
+    dense = lambda feats, name, init, bias: layers.QuantizableDense(
         features=feats,
         use_bias=bias,
         kernel_init=init,
+        quantized=self.quantized,
         name=name,
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -323,6 +325,7 @@ class RecurrentBlock(nn.Module):
   scan_type: common.ScanType = common.ScanType.AUTO
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
+  quantized: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -337,23 +340,26 @@ class RecurrentBlock(nn.Module):
         mode="fan_in",
         distribution="normal",
     )
-    self.linear_y = nn.Dense(
+    self.linear_y = layers.QuantizableDense(
         features=lru_width,
         kernel_init=proj_init,
+        quantized=self.quantized,
         name="linear_y",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
     )
-    self.linear_x = nn.Dense(
+    self.linear_x = layers.QuantizableDense(
         features=lru_width,
         kernel_init=proj_init,
+        quantized=self.quantized,
         name="linear_x",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
     )
-    self.linear_out = nn.Dense(
+    self.linear_out = layers.QuantizableDense(
         features=self.width,
         kernel_init=out_init,
+        quantized=self.quantized,
         name="linear_out",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -369,6 +375,7 @@ class RecurrentBlock(nn.Module):
         width=lru_width,
         num_heads=self.num_heads,
         scan_type=self.scan_type,
+        quantized=self.quantized,
         name="rg_lru",
         scan_sharding_spec=self.scan_sharding_spec,
         dtype=self.dtype,
@@ -428,6 +435,7 @@ class MLPBlock(nn.Module):
   width: int
   expanded_width: int
   final_w_init_variance_scale: float = 1.0
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -436,11 +444,12 @@ class MLPBlock(nn.Module):
         w_shape=(2, self.width, self.expanded_width),
         b_shape=(2, 1, 1, self.expanded_width),
         eqn="...td,cdD->c...tD",
+        quantized=self.quantized,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
     )
-    self.ffw_down = nn.Dense(
+    self.ffw_down = layers.QuantizableDense(
         features=self.width,
         use_bias=True,
         kernel_init=nn.initializers.variance_scaling(
@@ -448,6 +457,7 @@ class MLPBlock(nn.Module):
             mode="fan_in",
             distribution="normal",
         ),
+        quantized=self.quantized,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -472,6 +482,7 @@ class VisionLanguageConnector(nn.Module):
   expanded_width: int
   vision_width: int = common.DEFAULT_VISION_WIDTH
   final_w_init_variance_scale: float = 1.0
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -480,11 +491,12 @@ class VisionLanguageConnector(nn.Module):
         w_shape=(1, self.vision_width, self.expanded_width),
         b_shape=(1, 1, 1, self.expanded_width),
         eqn="...td,rdD->r...tD",
+        quantized=self.quantized,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
     )
-    self.ffw_down = nn.Dense(
+    self.ffw_down = layers.QuantizableDense(
         features=self.width,
         use_bias=True,
         kernel_init=nn.initializers.variance_scaling(
@@ -492,6 +504,7 @@ class VisionLanguageConnector(nn.Module):
             mode="fan_in",
             distribution="normal",
         ),
+        quantized=self.quantized,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -514,6 +527,7 @@ class ResidualBlock(nn.Module):
   scan_type: common.ScanType = common.ScanType.AUTO
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
+  quantized: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -530,6 +544,7 @@ class ResidualBlock(nn.Module):
           conv1d_temporal_width=self.conv1d_temporal_width,
           scan_type=self.scan_type,
           final_w_init_variance_scale=self.final_w_init_variance_scale,
+          quantized=self.quantized,
           name="recurrent_block",
           scan_sharding_spec=self.scan_sharding_spec,
           dtype=self.dtype,
@@ -541,6 +556,7 @@ class ResidualBlock(nn.Module):
           num_heads=self.num_heads,
           window_size=self.attention_window_size,
           final_w_init_variance_scale=self.final_w_init_variance_scale,
+          quantized=self.quantized,
           name="attention_block",
           dtype=self.dtype,
           param_dtype=self.param_dtype,
@@ -552,6 +568,7 @@ class ResidualBlock(nn.Module):
         width=self.width,
         expanded_width=self.mlp_expanded_width,
         final_w_init_variance_scale=self.final_w_init_variance_scale,
+        quantized=self.quantized,
         name="mlp_block",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -617,27 +634,48 @@ class Embedder(nn.Module):
   vocab_size: int
   embed_dim: int
   scale_by_sqrt_dim: bool
+  quantized: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
   def setup(self):
-    self.input_embedding_table = self.param(
-        "input_embedding",
-        nn.initializers.variance_scaling(
-            scale=1.0,
-            mode="fan_in",
-            distribution="normal",
-            in_axis=1,
-            out_axis=0,
-        ),
-        (self.vocab_size, self.embed_dim),
-        self.param_dtype,
-    )
+    if self.quantized:
+      self._embedding_q = self.param(
+          "input_embedding_q",
+          nn.initializers.zeros_init(),
+          (self.vocab_size, self.embed_dim),
+          jnp.int8,
+      )
+      self._embedding_scale = self.param(
+          "input_embedding_scale",
+          nn.initializers.ones_init(),
+          (self.vocab_size,),
+          jnp.float32,
+      )
+      self.input_embedding_table = None
+    else:
+      self.input_embedding_table = self.param(
+          "input_embedding",
+          nn.initializers.variance_scaling(
+              scale=1.0,
+              mode="fan_in",
+              distribution="normal",
+              in_axis=1,
+              out_axis=0,
+          ),
+          (self.vocab_size, self.embed_dim),
+          self.param_dtype,
+      )
 
   @at.typed
   def encode(self, x: at.Tokens) -> at.Activations:
-    emb = self.input_embedding_table[(x,)]
-    [emb] = nn.dtypes.promote_dtype(emb, dtype=self.dtype)
+    if self.quantized:
+      compute_dtype = self.dtype or jnp.bfloat16
+      emb = self._embedding_q[(x,)].astype(compute_dtype)
+      emb = emb * self._embedding_scale[(x,)][..., None].astype(compute_dtype)
+    else:
+      emb = self.input_embedding_table[(x,)]
+      [emb] = nn.dtypes.promote_dtype(emb, dtype=self.dtype)
     if self.scale_by_sqrt_dim:
       # The sqrt is rounded through bfloat16 to match how the reference
       # models were trained (reference modules.py:971-973).
@@ -646,6 +684,14 @@ class Embedder(nn.Module):
 
   @at.typed
   def decode(self, x: at.Activations) -> at.TokenLogits:
+    if self.quantized:
+      # Per-vocab-row scales commute with the contraction over width: only
+      # the int8 table streams from HBM for the logits matmul.
+      compute_dtype = self.dtype or jnp.bfloat16
+      logits = x.astype(compute_dtype) @ self._embedding_q.T.astype(
+          compute_dtype
+      )
+      return logits * self._embedding_scale.astype(compute_dtype)
     x, table = nn.dtypes.promote_dtype(
         x, self.input_embedding_table, dtype=self.dtype
     )

@@ -1,0 +1,123 @@
+"""int8 weight-only quantization tests: tree compat, accuracy, decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.ops import quantization
+from cadence_gemma_tpu.tokenizers import SimpleVocab
+
+
+def _config():
+  return common.GriffinConfig(
+      vocab_size=64, width=32, mlp_expanded_width=96, num_heads=2,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+      ),
+      embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+      logits_soft_cap=30.0, lru_width=32,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+      vision_tokens=4, vision_width=12, vl_expanded_width=20,
+  )
+
+
+@pytest.fixture(scope="module")
+def setup():
+  config = _config()
+  model = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  qmodel = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False, quantized=True,
+  )
+  tokens = jnp.zeros((2, 6), jnp.int32)
+  pos = jnp.tile(jnp.arange(6)[None], (2, 1))
+  params = model.init(jax.random.PRNGKey(1), tokens, pos)["params"]
+  qparams = quantization.quantize_params(params)
+  return config, model, qmodel, params, qparams
+
+
+class TestQuantizeTensor:
+
+  def test_round_trip_error_bounded(self):
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
+    q, scale = quantization.quantize_tensor(w, (0,))
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    back = quantization.dequantize_tensor(q, scale, (0,), jnp.float32)
+    max_err = np.abs(np.asarray(w - back)).max()
+    # Per-channel symmetric int8: error <= scale/2 per channel.
+    assert max_err <= float(scale.max()) * 0.51
+
+  def test_scale_commutes_with_matmul(self):
+    w = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+    q, scale = quantization.quantize_tensor(w, (0,))
+    pre = x @ quantization.dequantize_tensor(q, scale, (0,), jnp.float32)
+    post = (x @ q.astype(jnp.float32)) * scale
+    np.testing.assert_allclose(pre, post, rtol=1e-5)
+
+
+class TestQuantizedModel:
+
+  def test_param_tree_matches_quantized_model(self, setup):
+    _, _, qmodel, _, qparams = setup
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    expected = qmodel.init(
+        jax.random.PRNGKey(0), tokens, jnp.arange(4)[None]
+    )["params"]
+    expected_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(expected)
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(qparams)
+    }
+    assert expected_paths == got_paths
+
+  def test_logits_close_to_full_precision(self, setup):
+    _, model, qmodel, params, qparams = setup
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, 64)
+    pos = jnp.tile(jnp.arange(6)[None], (2, 1))
+    logits, _ = model.apply({"params": params}, tokens, pos)
+    qlogits, _ = qmodel.apply({"params": qparams}, tokens, pos)
+    rel = np.abs(np.asarray(logits - qlogits)).max() / (
+        np.abs(np.asarray(logits)).max() + 1e-9
+    )
+    assert rel < 0.05, rel
+
+  def test_greedy_decode_matches(self, setup):
+    _, model, qmodel, params, qparams = setup
+    vocab = SimpleVocab([f"w{i}" for i in range(60)])
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    sq = sampler_lib.Sampler(qmodel, vocab, qparams,
+                             bucket_prompt_lengths=False)
+    a = s(["w1 w2 w3"], total_generation_steps=8).text[0]
+    b = sq(["w1 w2 w3"], total_generation_steps=8).text[0]
+    assert a == b
+
+  def test_multimodal_quantized(self, setup):
+    config, _, qmodel, _, qparams = setup
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4)[None]
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    logits, _ = qmodel.apply({"params": qparams}, tokens, pos, image=img)
+    assert logits.shape == (1, 4 + 4, 64)
+    assert np.isfinite(np.asarray(logits)).all()
+
+  def test_bytes_halved_vs_bf16(self, setup):
+    _, _, _, params, qparams = setup
+    bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), params
+    )
+    bf16_bytes = quantization.quantized_bytes(bf16)
+    q_bytes = quantization.quantized_bytes(qparams)
+    assert q_bytes < 0.7 * bf16_bytes
