@@ -118,11 +118,11 @@ class DatasetBuilder:
         paths.append(self._image_path(rec))
       pixels = None
       if self.load_pixels and all(paths):
-        from cadence_gemma_tpu.models import vit as vit_lib  # noqa: PLC0415
+        # Native C++ loader (threaded JPEG decode + PIL-exact bicubic);
+        # transparently falls back to PIL when unavailable.
+        from cadence_gemma_tpu.utils import image_cpp  # noqa: PLC0415
 
-        pixels = np.concatenate(
-            [vit_lib.load_image(p, size=384) for p in paths], axis=0
-        )
+        pixels = image_cpp.load_jpeg_batch(paths, size=384)
       yield TrainingInput(
           input_tokens=np.stack(tokens),
           target_mask=np.stack(masks),
