@@ -1,0 +1,223 @@
+"""Extended benchmarks: vision encoder, batched decode, long-window prefill.
+
+Covers BASELINE.json configs #2 (encoder+projector only) and #4 (batched
+multimodal prefill+decode stressing the window cache). Random weights —
+these measure compute paths, not model quality. Prints one JSON line per
+measurement.
+
+Run on the TPU: python benchmarks/multimodal_bench.py
+"""
+
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(tree):
+  for leaf in jax.tree_util.tree_leaves(tree):
+    if hasattr(leaf, "dtype"):
+      np.asarray(jax.device_get(jnp.sum(leaf)))
+      return
+
+
+def _bench(fn, make_args, reps=5):
+  fn(*make_args(0))  # compile
+  times = []
+  for i in range(reps):
+    args = make_args(i + 1)
+    for a in jax.tree_util.tree_leaves(args):
+      _sync(a)
+    t0 = time.perf_counter()
+    _sync(fn(*args))
+    times.append(time.perf_counter() - t0)
+  return statistics.median(times)
+
+
+def bench_vision_encoder():
+  """Config #2: image pixels → fused features → projected visual tokens."""
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.models import modules, vit
+
+  encoder = vit.DinoSigLIPEncoder()
+  pixels = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 384, 384))
+  shapes = jax.eval_shape(
+      lambda: encoder.init(jax.random.PRNGKey(1), pixels)
+  )
+  params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes
+  )["params"]
+
+  connector = modules.VisionLanguageConnector(
+      width=2560, expanded_width=common.DEFAULT_VL_EXPANDED_WIDTH
+  )
+  cshapes = jax.eval_shape(
+      lambda: connector.init(
+          jax.random.PRNGKey(2), jnp.zeros((1, 729, 2176), jnp.bfloat16)
+      )
+  )
+  cparams = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), cshapes
+  )["params"]
+
+  @jax.jit
+  def encode_and_project(px):
+    feats = encoder.apply({"params": params}, px)
+    return connector.apply({"params": cparams}, feats)
+
+  def make_args(seed):
+    return (jax.random.uniform(jax.random.PRNGKey(seed), (1, 3, 384, 384)),)
+
+  dt = _bench(encode_and_project, make_args)
+  out = encode_and_project(*make_args(99))
+  print(json.dumps({
+      "metric": "vision_encode_project_ms",
+      "value": round(dt * 1e3, 2),
+      "unit": "ms/image",
+      "output_shape": list(out.shape),
+      "notes": "pixels->DinoSigLIP(block22)->VL projection, one jit program "
+               "on device; the reference runs this on host PyTorch.",
+  }))
+
+
+def bench_batched_decode(batch=8, prompt_len=128, steps=128):
+  """Config #4: batched multimodal prefill + decode."""
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.models import griffin
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((batch, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (batch, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  s = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+
+  def prefill(seed):
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed), (batch, prompt_len), 3, 1000, jnp.int32
+    )
+    img = jax.random.normal(
+        jax.random.PRNGKey(1000 + seed),
+        (batch, config.vision_tokens, config.vision_width),
+        jnp.bfloat16,
+    )
+    lengths = jnp.full((batch,), prompt_len, jnp.int32)
+    state = s.prompt_processing_fn(
+        s.params, tokens, None, lengths, steps, False, False, img
+    )
+    return state
+
+  ttft = _bench(lambda seed: prefill(seed), lambda i: (i,))
+
+  def decode(seed):
+    state = prefill(seed)
+    _sync(state.positions)
+    t0 = time.perf_counter()
+    out = s.sample_fn(s.params, state, False)
+    _sync(out.step)
+    return time.perf_counter() - t0
+
+  decode(500)  # compile
+  dts = [decode(600 + i) for i in range(3)]
+  dt = statistics.median(dts)
+  tps = batch * (steps - 1) / dt
+  print(json.dumps({
+      "metric": "batched_decode_tokens_per_sec_per_chip",
+      "value": round(tps, 1),
+      "unit": f"tokens/sec/chip (batch={batch})",
+      "batched_mm_prefill_ms": round(ttft * 1e3, 2),
+      "decode_steps": steps,
+  }))
+
+
+def bench_long_window_prefill(prompt_len=4096):
+  """Long prompt exceeding the attention window (ring-cache stress)."""
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.models import griffin
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  shapes = jax.eval_shape(
+      lambda: model.init(
+          jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None]
+      )
+  )
+  params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes
+  )
+
+  @jax.jit
+  def forward(tokens):
+    pos = jnp.tile(jnp.arange(tokens.shape[1])[None], (tokens.shape[0], 1))
+    _, cache = model.apply(
+        params, tokens, pos, return_logits=False, return_cache=True
+    )
+    return cache
+
+  def make_args(seed):
+    return (
+        jax.random.randint(
+            jax.random.PRNGKey(seed), (1, prompt_len), 3, 1000, jnp.int32
+        ),
+    )
+
+  dt = _bench(forward, make_args, reps=3)
+  print(json.dumps({
+      "metric": "long_prefill_ms",
+      "value": round(dt * 1e3, 2),
+      "unit": f"ms ({prompt_len} tokens, window "
+              f"{config.attention_window_size})",
+      "tokens_per_sec": round(prompt_len / dt, 0),
+  }))
+
+
+if __name__ == "__main__":
+  which = sys.argv[1] if len(sys.argv) > 1 else "all"
+  if which in ("all", "vision"):
+    bench_vision_encoder()
+  if which in ("all", "batched"):
+    bench_batched_decode()
+  if which in ("all", "long"):
+    bench_long_window_prefill()

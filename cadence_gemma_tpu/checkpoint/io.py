@@ -70,3 +70,33 @@ def load_parameters(
       sharding_tree,
   )
   return checkpointer.restore(checkpoint_path, restore_args=restore_args)
+
+
+def save_train_state(
+    checkpoint_path: str,
+    params: at.Params,
+    opt_state: Any,
+    step: int,
+) -> None:
+  """Saves a resumable training state (params + optimizer state + step).
+
+  The reference only checkpoints final parameters (train_jax.py:784 /
+  torch.save of state_dict every 100 steps) — interrupted runs restart
+  from scratch there; here they resume exactly.
+  """
+  checkpointer = ocp.PyTreeCheckpointer()
+  checkpointer.save(
+      checkpoint_path,
+      {
+          "params": params,
+          "opt_state": opt_state,
+          "step": jax.numpy.asarray(step),
+      },
+  )
+
+
+def load_train_state(checkpoint_path: str) -> tuple[at.Params, Any, int]:
+  """Restores (params, opt_state, step) saved by :func:`save_train_state`."""
+  checkpointer = ocp.PyTreeCheckpointer()
+  state = checkpointer.restore(checkpoint_path)
+  return state["params"], state["opt_state"], int(state["step"])

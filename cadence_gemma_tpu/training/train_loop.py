@@ -38,6 +38,7 @@ class TrainingConfig:
   freeze_llm: bool = False
   checkpoint_every_n: int | None = 1000
   checkpoint_dir: str | None = None
+  resume_from: str | None = None  # a save_train_state checkpoint
 
 
 def train_loop(
@@ -75,9 +76,16 @@ def train_loop(
     step_fn = trainer.train_step
 
   step = 0
+  if config.resume_from:
+    params, opt_state, step = checkpoint_io.load_train_state(
+        config.resume_from
+    )
+
   t_start = time.perf_counter()
   for _ in range(config.num_epochs):
-    for batch in train_data:
+    for skip, batch in enumerate(train_data):
+      if config.resume_from and skip < step:
+        continue  # fast-forward the data stream to the resume point
       img = _features_for(batch, encode_image)
       loss, params, opt_state = step_fn(
           model, params, optimizer, opt_state, pad_id,
@@ -105,8 +113,8 @@ def train_loop(
           and config.checkpoint_dir
           and step % config.checkpoint_every_n == 0
       ):
-        checkpoint_io.save_parameters(
-            f"{config.checkpoint_dir}/step_{step}", params
+        checkpoint_io.save_train_state(
+            f"{config.checkpoint_dir}/step_{step}", params, opt_state, step
         )
 
       if config.max_steps is not None and step >= config.max_steps:
