@@ -9,9 +9,12 @@ Run on the TPU: python benchmarks/multimodal_bench.py
 """
 
 import json
+import pathlib
 import statistics
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -165,10 +165,13 @@ class Sampler(Generic[Cache]):
       return_logits: bool,
       return_cache: bool,
       img_embed: at.Image | None = None,
+      last_logits_only: bool = False,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     kwargs = {}
     if img_embed is not None:
       kwargs["image"] = img_embed
+    if last_logits_only:
+      kwargs["last_logits_only"] = True
     return self.model.apply(
         {"params": params},
         tokens=tokens,
@@ -314,28 +317,24 @@ class Sampler(Generic[Cache]):
         logits = logits[:, -1:]
       prev_logits = logits[:, :0]
     else:
-      # Bulk prefill without materializing prompt logits...
-      prev_logits, cache = self.apply_model(
+      # Single-pass prefill: one forward builds the cache and the last
+      # position's logits (one weights read; the reference splits this into
+      # a bulk pass plus a one-token pass, reading all weights twice).
+      want_prompt_logits = return_logits and echo
+      all_logits, cache = self.apply_model(
           params=params,
-          tokens=tokens[:, :-1],
-          segment_pos=positions[:, :-1],
+          tokens=tokens,
+          segment_pos=positions,
           cache=None,
-          return_logits=return_logits and echo,
+          return_logits=True,
           return_cache=True,
           img_embed=img_embed,
+          last_logits_only=not want_prompt_logits,
       )
-      # ...then one step for the last token's logits.
-      last_positions = positions[:, -1:]
-      if img_embed is not None and not self.reference_position_quirk:
-        last_positions = last_positions + self._vision_tokens
-      logits, cache = self.apply_model(
-          params=params,
-          tokens=tokens[:, -1:],
-          segment_pos=last_positions,
-          cache=cache,
-          return_logits=True,
-          return_cache=total_generation_steps > 1,
-      )
+      if want_prompt_logits:
+        prev_logits, logits = all_logits[:, :-1], all_logits[:, -1:]
+      else:
+        prev_logits, logits = all_logits[:, :0], all_logits
 
     tokens_buffer = jnp.full(
         (batch_size, total_generation_steps),

@@ -122,6 +122,7 @@ class Griffin(nn.Module):
       return_logits: bool = True,
       return_cache: bool = True,
       image: at.Image | None = None,
+      last_logits_only: bool = False,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     """Runs the model over ``tokens`` (optionally with spliced image tokens).
 
@@ -134,6 +135,11 @@ class Griffin(nn.Module):
         loss-only forward pass).
       image: Optional pre-fused vision features [b, vision_tokens,
         vision_width]; projected by the VL connector and spliced after BOS.
+      last_logits_only: Return logits only for the final position — the
+        prefill fast path: one forward pass builds the cache AND the
+        first-token logits (one weights read instead of the reference's
+        bulk-prefill + last-token split), without materializing the
+        [b, t, vocab] logits tensor.
 
     Returns:
       ``(logits | None, cache | None)``; logits include positions for the
@@ -163,6 +169,8 @@ class Griffin(nn.Module):
     if not return_logits:
       return None, new_cache
 
+    if last_logits_only:
+      x = x[:, -1:]
     x = self.final_norm(x)
     logits = self.embedder.decode(x)
     cap = self.config.logits_soft_cap
