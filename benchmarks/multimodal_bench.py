@@ -216,6 +216,66 @@ def bench_long_window_prefill(prompt_len=4096):
   }))
 
 
+def bench_sft_step(batch=1, seq_len=512):
+  """Config #5: frozen-connector multimodal SFT step (2B LM frozen).
+
+  The full 2B fine-tune (params + grads + Adam moments ≈ 22 GB) does not
+  fit one 16 GB chip — the sharded train step covers that on a mesh; this
+  measures the stage-1 step that does fit.
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.training import trainer
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config)  # remat on
+  tokens0 = jnp.ones((batch, 8), jnp.int32)
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+  )
+  params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes
+  )["params"]
+  optimizer = trainer.make_optimizer(1e-4)
+  opt_state = optimizer.init(params["vl_connector"])
+
+  def make_batch(seed):
+    k = jax.random.PRNGKey(seed)
+    tokens = jax.random.randint(k, (batch, seq_len), 3, 1000, jnp.int32)
+    mask = jnp.ones((batch, seq_len), jnp.bool_)
+    img = jax.random.normal(
+        jax.random.fold_in(k, 1),
+        (batch, config.vision_tokens, config.vision_width),
+        jnp.bfloat16,
+    )
+    return tokens, mask, img
+
+  def step(seed, p, o):
+    tokens, mask, img = make_batch(seed)
+    loss, p, o = trainer.frozen_train_step(
+        model, p, optimizer, o, 0, tokens, mask, img
+    )
+    return loss, p, o
+
+  loss, params, opt_state = step(0, params, opt_state)  # compile
+  _sync(loss)
+  times = []
+  for i in range(3):
+    t0 = time.perf_counter()
+    loss, params, opt_state = step(i + 1, params, opt_state)
+    _sync(loss)
+    times.append(time.perf_counter() - t0)
+  dt = statistics.median(times)
+  print(json.dumps({
+      "metric": "sft_frozen_step_ms",
+      "value": round(dt * 1e3, 2),
+      "unit": f"ms/step (batch={batch}, seq={seq_len}+729 visual)",
+      "tokens_per_sec": round(batch * (seq_len + 729) / dt, 0),
+  }))
+
+
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"
   if which in ("all", "vision"):
@@ -224,3 +284,5 @@ if __name__ == "__main__":
     bench_batched_decode()
   if which in ("all", "long"):
     bench_long_window_prefill()
+  if which in ("all", "sft"):
+    bench_sft_step()

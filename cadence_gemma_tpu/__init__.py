@@ -18,7 +18,9 @@ from cadence_gemma_tpu.common import Preset
 from cadence_gemma_tpu.common import ScanType
 from cadence_gemma_tpu.common import TemporalBlockType
 from cadence_gemma_tpu.checkpoint.io import load_parameters
+from cadence_gemma_tpu.checkpoint.io import load_train_state
 from cadence_gemma_tpu.checkpoint.io import save_parameters
+from cadence_gemma_tpu.checkpoint.io import save_train_state
 from cadence_gemma_tpu.inference.modal_sampler import ModalSampler
 from cadence_gemma_tpu.inference.sampler import Sampler
 from cadence_gemma_tpu.inference.sampler import SamplerOutput
@@ -41,7 +43,10 @@ from cadence_gemma_tpu.models.modules import RecurrentBlockCache
 from cadence_gemma_tpu.models.modules import ResidualBlock
 from cadence_gemma_tpu.models.modules import ResidualBlockCache
 from cadence_gemma_tpu.models.modules import VisionLanguageConnector
+from cadence_gemma_tpu.models.vit import DinoSigLIPEncoder
+from cadence_gemma_tpu.models.vit import VisionTransformer
 from cadence_gemma_tpu.ops.pallas_lru import lru_pallas_scan
+from cadence_gemma_tpu.ops.quantization import quantize_params
 from cadence_gemma_tpu.ops.scan import linear_scan
 from cadence_gemma_tpu.parallel.sharding import make_mesh
 from cadence_gemma_tpu.parallel.sharding import multi_shard_correction

@@ -162,6 +162,34 @@ class TestShardedScan:
     np.testing.assert_allclose(h_last, h_ref, atol=1e-5)
 
 
+class TestPmapRegime:
+  """ShardingSpec without a mesh: axis names live under pmap."""
+
+  def test_pmap_sharded_scan_matches(self):
+    n_dev = min(4, len(jax.devices()))
+    b, t, d = 2, 16 * n_dev, 8
+    x, a, h0 = _inputs(b, t, d)
+    y_ref, h_ref = scan.lru_linear_scan(x, a, h0)
+
+    spec = sharding.ShardingSpec(mesh=None, sequence_axis_name="seq")
+
+    def shard_fn(x_s, a_s, h0_s):
+      return scan.linear_scan(
+          x_s, a_s, h0_s,
+          scan_type=common.ScanType.LINEAR_NATIVE,
+          sharding_spec=spec,
+      )
+
+    # Split time across devices: [n_dev, b, t/n_dev, d].
+    xs = jnp.stack(jnp.split(x, n_dev, axis=1))
+    was = jnp.stack(jnp.split(a, n_dev, axis=1))
+    h0s = jnp.broadcast_to(h0, (n_dev, *h0.shape))
+    y_sh, h_sh = jax.pmap(shard_fn, axis_name="seq")(xs, was, h0s)
+    y_cat = jnp.concatenate(list(y_sh), axis=1)
+    np.testing.assert_allclose(y_cat, y_ref, atol=1e-5)
+    np.testing.assert_allclose(h_sh[-1], h_ref, atol=1e-5)
+
+
 class TestComplexScan:
 
   def test_complex_linear_scan(self):
