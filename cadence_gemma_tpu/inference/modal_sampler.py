@@ -68,10 +68,44 @@ class ModalSampler(sampler_lib.Sampler):
       self._encode_fn = jax.jit(
           lambda p, px: vision_encoder.apply({"params": p}, px)
       )
+      # Fully fused prefill: raw pixels -> preprocessing -> ViT towers ->
+      # VL projection -> Griffin prefill, one XLA program (the north-star
+      # path; the reference crosses host/torch/jax per image,
+      # modal_sampler.py:452-454).
+      self._fused_prefill_fn = jax.jit(
+          self._fused_prefill, static_argnums=[5, 6, 7]
+      )
     elif vision_encoder is not None:
       self._encode_fn = lambda p, px: vision_encoder.apply({"params": p}, px)
+      self._fused_prefill_fn = self._fused_prefill
     else:
       self._encode_fn = None
+      self._fused_prefill_fn = None
+
+  def _fused_prefill(
+      self,
+      vision_params,
+      pixels,
+      tokens,
+      rng,
+      input_lengths,
+      total_generation_steps,
+      return_logits,
+      echo,
+  ):
+    features = self.vision_encoder.apply(
+        {"params": vision_params}, pixels
+    ).astype(jnp.bfloat16)
+    return self._prompt_processing_fn(
+        self.params,
+        tokens,
+        rng,
+        input_lengths,
+        total_generation_steps,
+        return_logits,
+        echo,
+        features,
+    )
 
   def encode_image(self, img_path: str) -> at.Image:
     """Decodes + preprocesses + encodes an image file to fused features."""
@@ -108,11 +142,49 @@ class ModalSampler(sampler_lib.Sampler):
           "Pass at most one of img_path, pixels, or img_embed."
       )
     if img_path:
-      img_embed = self.encode_image(img_path)
-    elif pixels is not None:
-      img_embed = self._encode_fn(self.vision_params, pixels).astype(
-          jnp.bfloat16
+      if self.vision_encoder is None:
+        raise ValueError(
+            "ModalSampler needs a vision_encoder to take image paths; pass "
+            "img_embed directly otherwise."
+        )
+      pixels = self.vision_encoder.preprocess_path(img_path)
+
+    if pixels is not None:
+      # Fused path: decode is the only host step; everything from raw
+      # pixels to the first sampled token is one device program.
+      if total_generation_steps < 0:
+        raise ValueError("total_generation_steps must be at least 0.")
+      all_ids = [self.tokenize(s) for s in input_strings]
+      input_lengths = jnp.asarray([len(ids) for ids in all_ids])
+      padded_tokens = self._get_padded_tokens(all_ids)
+      pad_lengths = padded_tokens.shape[1] - input_lengths
+      state = self._fused_prefill_fn(
+          self.vision_params,
+          pixels,
+          padded_tokens,
+          rng,
+          input_lengths,
+          total_generation_steps,
+          return_logits,
+          echo,
       )
+      if total_generation_steps > 1:
+        state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
+      tokens = [
+          seq[int(l):] if echo else seq
+          for seq, l in zip(state.tokens_buffer, pad_lengths)
+      ]
+      logits = (
+          [seq[int(l):] if echo else seq
+           for seq, l in zip(state.logits_buffer, pad_lengths)]
+          if return_logits else []
+      )
+      return SamplerOutput(
+          text=[self.vocab.DecodeIds(seq.tolist()) for seq in tokens],
+          tokens=tokens,
+          logits=logits,
+      )
+
     return super().__call__(
         input_strings=input_strings,
         total_generation_steps=total_generation_steps,

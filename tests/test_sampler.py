@@ -153,6 +153,33 @@ class TestModalSampler:
                 return_logits=True)
     assert not np.allclose(out_img.logits[0], out_txt.logits[0], atol=1e-3)
 
+  def test_fused_pixel_prefill_matches_feature_path(self, setup):
+    """pixels→encoder→prefill in one program == precomputed-features path."""
+    import jax as _jax
+    from cadence_gemma_tpu.models import vit as vit_lib
+
+    model, vocab, params = setup
+    tiny = vit_lib.ViTConfig(
+        embed_dim=6, depth=2, num_heads=2, mlp_hidden_dim=12,
+        patch_size=4, image_size=8, output_layer=1,
+    )
+    enc = vit_lib.DinoSigLIPEncoder(
+        dino_config=tiny, siglip_config=tiny,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    pixels = _jax.random.uniform(_jax.random.PRNGKey(0), (1, 3, 8, 8))
+    vparams = enc.init(_jax.random.PRNGKey(1), pixels)["params"]
+    s = modal_lib.ModalSampler(
+        model, vocab, params, vision_encoder=enc, vision_params=vparams,
+        bucket_prompt_lengths=False,
+    )
+    out_fused = s(["hello world"], total_generation_steps=4, pixels=pixels)
+    feats = enc.apply({"params": vparams}, pixels).astype(jnp.bfloat16)
+    out_feats = s(["hello world"], total_generation_steps=4, img_embed=feats)
+    np.testing.assert_array_equal(
+        np.asarray(out_fused.tokens[0]), np.asarray(out_feats.tokens[0])
+    )
+
   def test_multimodal_matches_full_forward(self, setup):
     """First sampled logit == last-position logit of a full mm forward."""
     model, vocab, params = setup
