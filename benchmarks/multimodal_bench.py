@@ -276,8 +276,97 @@ def bench_sft_step(batch=1, seq_len=512):
   }))
 
 
+def bench_fused_image_ttft(prompt_len=128, reps=6):
+  """North-star: raw pixels + prompt → first sampled token, one program."""
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import modal_sampler as modal_lib
+  from cadence_gemma_tpu.models import griffin, vit
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  lm_shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+  )
+  lm_params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), lm_shapes
+  )["params"]
+
+  encoder = vit.DinoSigLIPEncoder()
+  px0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 384, 384))
+  v_shapes = jax.eval_shape(
+      lambda: encoder.init(jax.random.PRNGKey(2), px0)
+  )
+  v_params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), v_shapes
+  )["params"]
+
+  s = modal_lib.ModalSampler(
+      model, Vocab(), lm_params,
+      vision_encoder=encoder, vision_params=v_params,
+      bucket_prompt_lengths=False,
+  )
+  prompt = " ".join(["word"] * (prompt_len - 1))
+  ids = [s.tokenize(prompt)]
+  lengths = jnp.asarray([len(i) for i in ids])
+  padded = s._get_padded_tokens(ids)
+
+  def prefill(seed):
+    px = jax.random.uniform(jax.random.PRNGKey(100 + seed), (1, 3, 384, 384))
+    return s._fused_prefill_fn(
+        s.vision_params, px, padded, None, lengths, 8, False, False
+    )
+
+  _sync(prefill(0).tokens_buffer)  # compile
+  states = [prefill(i + 1) for i in range(0)]  # pre-warm nothing
+  pixels = [
+      jax.random.uniform(jax.random.PRNGKey(200 + i), (1, 3, 384, 384))
+      for i in range(reps)
+  ]
+  for p in pixels:
+    _sync(p)
+  t0 = time.perf_counter()
+  states = [
+      s._fused_prefill_fn(
+          s.vision_params, p, padded, None, lengths, 8, False, False
+      )
+      for p in pixels
+  ]
+  _sync(states[-1].tokens_buffer)
+  dt = (time.perf_counter() - t0) / reps
+  print(json.dumps({
+      "metric": "fused_image_ttft_ms",
+      "value": round(dt * 1e3, 2),
+      "unit": f"ms (pixels + {prompt_len}-token prompt -> first token, "
+              "one XLA program)",
+      "notes": "preprocess + DinoSigLIP towers + VL projection + 2B "
+               "Griffin prefill + first-token sample, fully on device. The "
+               "reference runs the vision half on host PyTorch per image.",
+  }))
+
+
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"
+  if which in ("all", "fused"):
+    bench_fused_image_ttft()
   if which in ("all", "vision"):
     bench_vision_encoder()
   if which in ("all", "batched"):
