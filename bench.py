@@ -37,6 +37,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+  # Persist compiled executables so repeat runs (e.g. the driver's) skip
+  # the multi-minute remote compiles of the 2B programs.
+  jax.config.update(
+      "jax_compilation_cache_dir", "/tmp/cadence_gemma_jax_cache"
+  )
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+  pass
+
 
 def _sync(array) -> None:
   """Forces completion of the program producing ``array`` via a host fetch."""
