@@ -103,6 +103,11 @@ class Griffin(nn.Module):
       image: at.Image,
   ) -> tuple[at.Activations, at.SegmentPos]:
     """Projects image features and inserts them after the BOS token."""
+    if image.shape[-1] != self.config.vision_width:
+      raise ValueError(
+          f"image feature width {image.shape[-1]} != config.vision_width "
+          f"{self.config.vision_width}; check the vision encoder pairing."
+      )
     visual = self.vl_connector(image.astype(x.dtype))
     n = visual.shape[1]
     x = jnp.concatenate([x[:, :1], visual, x[:, 1:]], axis=1)

@@ -1,0 +1,109 @@
+"""Odds and ends: GSM8K parsing, profiling utils, logging, quirk flag."""
+
+import json
+import os
+import sys
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from benchmarks import gsm8k_eval  # noqa: E402
+from cadence_gemma_tpu.utils import logging as logging_lib  # noqa: E402
+from cadence_gemma_tpu.utils import profiling  # noqa: E402
+
+
+class TestGsm8kParsing:
+
+  @pytest.mark.parametrize(
+      "text,expected",
+      [
+          ("some steps... The answer is 42", "42"),
+          ("x = 1,234.5 so the answer is 1,234.5", "1234.5"),
+          ("negative: -7 is it", "-7"),
+          ("no numbers here", None),
+      ],
+  )
+  def test_extract_answer(self, text, expected):
+    assert gsm8k_eval.extract_answer(text) == expected
+
+  def test_gold_answer(self):
+    assert gsm8k_eval.gold_answer("Work...\n#### 1,234") == "1234"
+    assert gsm8k_eval.gold_answer("#### -5") == "-5"
+
+  def test_evaluate_with_mock_sampler(self):
+    class MockSampler:
+      def __call__(self, prompts, total_generation_steps):
+        class Out:
+          text = ["thinking... The answer is 4"] * len(prompts)
+        return Out()
+
+    problems = [
+        {"question": "2+2?", "answer": "2+2=4\n#### 4"},
+        {"question": "1+1?", "answer": "#### 2"},
+    ]
+    acc = gsm8k_eval.evaluate(MockSampler(), problems, steps=4, batch_size=2)
+    assert acc == 0.5
+
+
+class TestProfiling:
+
+  def test_phase_timer(self):
+    timer = profiling.PhaseTimer()
+    out = timer.time_fn("phase_a", lambda: jnp.ones((4, 4)) * 2)
+    assert float(out[0, 0]) == 2.0
+    summary = timer.summary()
+    assert summary["phase_a"]["n"] == 1
+    assert "phase_a" in timer.report()
+
+  def test_sync_handles_trees(self):
+    profiling.sync({"a": jnp.ones(3), "b": [jnp.zeros(2)], "c": "str"})
+
+
+class TestLogging:
+
+  def test_stdout_and_jsonl(self, capsys):
+    log = logging_lib.stdout_logger("t")
+    log({"loss": 1.0}, 3)
+    assert "step 3" in capsys.readouterr().err
+    with tempfile.TemporaryDirectory() as d:
+      path = os.path.join(d, "m.jsonl")
+      jl = logging_lib.jsonl_logger(path)
+      jl({"loss": 0.5}, 1)
+      jl({"loss": 0.4}, 2)
+      rows = [json.loads(l) for l in open(path)]
+      assert rows[1] == {"step": 2, "loss": 0.4}
+
+  def test_unknown_backend(self):
+    with pytest.raises(ValueError):
+      logging_lib.make_logger("nope")
+
+
+class TestVisionWidthGuard:
+
+  def test_wrong_vision_width_raises(self):
+    import jax
+    from cadence_gemma_tpu import common
+    from cadence_gemma_tpu.models import griffin
+
+    config = common.GriffinConfig(
+        vocab_size=16, width=16, mlp_expanded_width=32, num_heads=2,
+        block_types=(common.TemporalBlockType.RECURRENT,),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=4,
+        logits_soft_cap=0.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+        vision_tokens=2, vision_width=8, vl_expanded_width=12,
+    )
+    model = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False,
+    )
+    tokens = jnp.zeros((1, 3), jnp.int32)
+    pos = jnp.arange(3)[None]
+    params = model.init(jax.random.PRNGKey(0), tokens, pos)
+    bad_img = jnp.zeros((1, 2, 10))  # width 10 != 8
+    with pytest.raises(ValueError, match="vision_width"):
+      model.apply(params, tokens, pos, image=bad_img)
