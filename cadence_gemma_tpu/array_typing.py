@@ -69,10 +69,12 @@ AttentionMask = jt.Bool[jt.Array, "*b t s"]
 QuerySegmentIds = jt.Integer[jt.Array, "*b t"]
 KeySegmentIds = jt.Integer[jt.Array, "*b t"]
 
-# Recurrent state.
-RNNState = jt.Shaped[jt.Array, "*b d"]
-Conv1DState = jt.Shaped[jt.Array, "*b tw d"]
-RNNDiagonal = jt.Shaped[jt.Array, "d"]
+# Recurrent state. The state width ("sd") binds independently of the
+# activation width ("d"): Griffin configs may use lru_width != width
+# (e.g. the 7B presets: width 4096, lru_width 5632).
+RNNState = jt.Shaped[jt.Array, "*b sd"]
+Conv1DState = jt.Shaped[jt.Array, "*b tw sd"]
+RNNDiagonal = jt.Shaped[jt.Array, "sd"]
 
 # Vision.
 Image = jt.Shaped[jt.Array, "*b p i"]
