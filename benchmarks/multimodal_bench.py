@@ -87,11 +87,12 @@ def bench_vision_encoder():
   }))
 
 
-def bench_batched_decode(batch=8, prompt_len=128, steps=128):
+def bench_batched_decode(batch=8, prompt_len=128, steps=128, int8=False):
   """Config #4: batched multimodal prefill + decode."""
   from cadence_gemma_tpu import common
   from cadence_gemma_tpu.inference import sampler as sampler_lib
   from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.ops import quantization
 
   class Vocab:
     def pad_id(self):
@@ -130,6 +131,11 @@ def bench_batched_decode(batch=8, prompt_len=128, steps=128):
     ]
 
   params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  if int8:
+    params = jax.jit(quantization.quantize_params)(params)
+    model = griffin.Griffin(
+        config, gradient_checkpointing=False, quantized=True
+    )
   s = sampler_lib.Sampler(
       model, Vocab(), params, bucket_prompt_lengths=False
   )
@@ -164,7 +170,8 @@ def bench_batched_decode(batch=8, prompt_len=128, steps=128):
   dt = statistics.median(dts)
   tps = batch * (steps - 1) / dt
   print(json.dumps({
-      "metric": "batched_decode_tokens_per_sec_per_chip",
+      "metric": "batched_decode_tokens_per_sec_per_chip"
+                + ("_int8" if int8 else ""),
       "value": round(tps, 1),
       "unit": f"tokens/sec/chip (batch={batch})",
       "batched_mm_prefill_ms": round(ttft * 1e3, 2),
@@ -371,6 +378,8 @@ if __name__ == "__main__":
     bench_vision_encoder()
   if which in ("all", "batched"):
     bench_batched_decode()
+  if which in ("all", "batched_int8"):
+    bench_batched_decode(int8=True)
   if which in ("all", "long"):
     bench_long_window_prefill()
   if which in ("all", "sft"):
