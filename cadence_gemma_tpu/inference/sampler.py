@@ -98,6 +98,7 @@ class Sampler(Generic[Cache]):
       is_it_model: bool = False,
       bucket_prompt_lengths: bool = True,
       reference_position_quirk: bool = False,
+      prefill_chunk_size: int | None = None,
   ):
     """See the class docstring.
 
@@ -112,6 +113,12 @@ class Sampler(Generic[Cache]):
         the number of compiled prefill programs.
       reference_position_quirk: Reproduce the reference's multimodal decode
         positions (which ignore the spliced visual tokens).
+      prefill_chunk_size: Process prompts longer than this in fixed-size
+        chunks through the O(1) cache, bounding activation memory for very
+        long prompts (the window cache already bounds KV memory). Chunk
+        results are exact — the reference's cache update only supports
+        chunk sizes of 1 or the full window (``modules.py:220``); ours is
+        general. None = single-shot prefill.
     """
     self.model = model
     self.vocab = vocab
@@ -120,6 +127,7 @@ class Sampler(Generic[Cache]):
     self.jit_compile = jit_compile
     self.bucket_prompt_lengths = bucket_prompt_lengths
     self.reference_position_quirk = reference_position_quirk
+    self.prefill_chunk_size = prefill_chunk_size
     self._is_it_model = is_it_model
     self._compiled_prompt_processing_fn = jax.jit(
         self._prompt_processing_fn,
@@ -128,6 +136,9 @@ class Sampler(Generic[Cache]):
     )
     self._compiled_sample_fn = jax.jit(
         self._sample_fn, donate_argnums=[1], static_argnums=[2]
+    )
+    self._compiled_chunk_fn = jax.jit(
+        self._prefill_chunk_step, donate_argnums=[3]
     )
 
   @property
@@ -272,6 +283,24 @@ class Sampler(Generic[Cache]):
 
     return jax.lax.while_loop(cond, body, state)
 
+  def _prefill_chunk_step(
+      self,
+      params: at.Params,
+      tokens: at.Tokens,
+      segment_pos: at.SegmentPos,
+      cache: Cache,
+  ) -> Cache:
+    """One chunk of a long prompt through the O(1) cache (no logits)."""
+    _, cache = self.apply_model(
+        params=params,
+        tokens=tokens,
+        segment_pos=segment_pos,
+        cache=cache,
+        return_logits=False,
+        return_cache=True,
+    )
+    return cache
+
   def _prompt_processing_fn(
       self,
       params: at.Params,
@@ -282,21 +311,35 @@ class Sampler(Generic[Cache]):
       return_logits: bool,
       echo: bool,
       img_embed: at.Image | None = None,
+      initial_cache: Cache | None = None,
+      start_positions: at.NumTokens | None = None,
   ) -> SamplingState:
-    """Prefill: builds the cache, samples the first token, allocates buffers."""
+    """Prefill: builds the cache, samples the first token, allocates buffers.
+
+    ``initial_cache``/``start_positions`` continue a chunked prefill: the
+    cache already holds earlier chunks and this call's positions start at
+    ``start_positions`` instead of 0.
+    """
     batch_size, prompt_length = tokens.shape
 
-    # Left-aligned positions ending at input_length - 1; padding gets -1.
-    positions = jnp.repeat(jnp.arange(prompt_length)[None], batch_size, axis=0)
-    positions = positions - prompt_length + input_lengths[:, None]
-    positions = jnp.maximum(positions, -1)
+    if start_positions is not None:
+      positions = (
+          jnp.arange(prompt_length)[None] + start_positions[:, None]
+      )
+    else:
+      # Left-aligned positions ending at input_length - 1; padding gets -1.
+      positions = jnp.repeat(
+          jnp.arange(prompt_length)[None], batch_size, axis=0
+      )
+      positions = positions - prompt_length + input_lengths[:, None]
+      positions = jnp.maximum(positions, -1)
 
     if total_generation_steps == 0:
       prev_logits, cache = self.apply_model(
           params=params,
           tokens=tokens,
           segment_pos=positions,
-          cache=None,
+          cache=initial_cache,
           return_logits=return_logits and echo,
           return_cache=False,
           img_embed=img_embed,
@@ -307,7 +350,7 @@ class Sampler(Generic[Cache]):
           params=params,
           tokens=tokens,
           segment_pos=positions,
-          cache=None,
+          cache=initial_cache,
           return_logits=return_logits,
           return_cache=True,
           img_embed=img_embed,
@@ -325,7 +368,7 @@ class Sampler(Generic[Cache]):
           params=params,
           tokens=tokens,
           segment_pos=positions,
-          cache=None,
+          cache=initial_cache,
           return_logits=True,
           return_cache=True,
           img_embed=img_embed,
@@ -428,16 +471,55 @@ class Sampler(Generic[Cache]):
     padded_tokens = self._get_padded_tokens(all_input_ids)
     pad_lengths = padded_tokens.shape[1] - input_lengths
 
-    state = self.prompt_processing_fn(
-        self.params,
-        padded_tokens,
-        rng,
-        input_lengths,
-        total_generation_steps,
-        return_logits,
-        echo,
-        img_embed,
+    chunk = self.prefill_chunk_size
+    use_chunks = (
+        chunk is not None
+        and padded_tokens.shape[1] > chunk
+        and padded_tokens.shape[1] % chunk == 0
+        # Chunking needs unpadded prompts (the cache-mode attention mask
+        # can't distinguish pads), no image splice, and no prompt echo.
+        and int(input_lengths.min()) == padded_tokens.shape[1]
+        and img_embed is None
+        and not echo
     )
+    if use_chunks:
+      batch = padded_tokens.shape[0]
+      cache = self.model.init_cache(batch, self.dtype)
+      num_chunks = padded_tokens.shape[1] // chunk
+      all_positions = jnp.tile(
+          jnp.arange(padded_tokens.shape[1])[None], (batch, 1)
+      )
+      for i in range(num_chunks - 1):
+        cache = self._compiled_chunk_fn(
+            self.params,
+            padded_tokens[:, i * chunk : (i + 1) * chunk],
+            all_positions[:, i * chunk : (i + 1) * chunk],
+            cache,
+        )
+      start = jnp.full((batch,), (num_chunks - 1) * chunk, jnp.int32)
+      state = self.prompt_processing_fn(
+          self.params,
+          padded_tokens[:, -chunk:],
+          rng,
+          input_lengths,
+          total_generation_steps,
+          return_logits,
+          echo,
+          img_embed,
+          cache,
+          start,
+      )
+    else:
+      state = self.prompt_processing_fn(
+          self.params,
+          padded_tokens,
+          rng,
+          input_lengths,
+          total_generation_steps,
+          return_logits,
+          echo,
+          img_embed,
+      )
     if total_generation_steps > 1:
       state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
 

@@ -107,6 +107,50 @@ class TestSampling:
       out_e = s_exact([prompt], total_generation_steps=5)
       np.testing.assert_array_equal(out_b.tokens[0], out_e.tokens[0])
 
+  def test_chunked_prefill_matches_single_shot(self, setup):
+    """Long prompts prefilled in chunks produce identical generations."""
+    model, vocab, params = setup
+    words = " ".join(["hello", "world", "the", "quick", "brown"] * 4)
+    # BOS + 20 words = 21 tokens; pad the prompt to 24 via three-word
+    # prefix so length 24 divides chunk 8... simpler: 23 tokens -> use a
+    # 24-token prompt (chunk 8, 3 chunks).
+    prompt = " ".join(["the"] * 23)  # BOS + 23 = 24 tokens
+    single = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    )
+    chunked = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False,
+        prefill_chunk_size=8,
+    )
+    out_single = single([prompt], total_generation_steps=6,
+                        return_logits=True)
+    out_chunked = chunked([prompt], total_generation_steps=6,
+                          return_logits=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_single.tokens[0]), np.asarray(out_chunked.tokens[0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_single.logits[0]),
+        np.asarray(out_chunked.logits[0]),
+        atol=1e-4,
+    )
+    del words
+
+  def test_chunked_falls_back_on_ragged_batch(self, setup):
+    model, vocab, params = setup
+    chunked = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False,
+        prefill_chunk_size=8,
+    )
+    single = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    )
+    prompts = [" ".join(["the"] * 23), "hello world"]
+    a = chunked(prompts, total_generation_steps=4)
+    b = single(prompts, total_generation_steps=4)
+    for x, y in zip(a.tokens, b.tokens):
+      np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
   def test_nondeterministic_needs_rng(self, setup):
     model, vocab, params = setup
     s = sampler_lib.Sampler(model, vocab, params,
