@@ -6,6 +6,15 @@ the [b, t, s] logits + mask + probs tensors; this kernel streams KV blocks
 through VMEM with an online softmax, touching only the ``O(t * W)`` tile
 band inside the window — nothing outside it is even read.
 
+Structure: the KV loop is the innermost *grid* dimension (Mosaic pipelines
+grid steps, overlapping each KV tile's DMA with the previous tile's
+compute), and its index map offsets into the window band — grid step
+``(b, n, i, j)`` visits key block ``max(i*BQ - W, 0)/BK + j``, so
+out-of-window tiles are never fetched. The online-softmax carries (running
+max / normalizer / accumulator) live in VMEM scratch across the KV steps.
+Matmuls run on bf16 inputs with fp32 accumulation (converting tiles to fp32
+per step was the dominant cost of an earlier fori_loop version).
+
 Scope (matching how the model uses attention):
   * forward/prefill only (``cache is None``): queries and keys cover the
     same positions. Decode (t == 1 against the ring cache) stays on the
@@ -16,10 +25,6 @@ Scope (matching how the model uses attention):
   * gradients: a ``jax.custom_vjp`` whose backward recomputes the reference
     einsum attention and differentiates it — prefill training steps remat
     anyway, and this keeps one hand-written kernel instead of three.
-
-Numerics match the einsum path: fp32 logits with the same large negative
-mask fill and fp32 softmax accumulation, outputs cast back to the input
-dtype.
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ import jax.numpy as jnp
 
 _MIN_LOGITS_VALUE = -2.3819763e38  # Same fill as models/modules.py.
 
-# Tile sizes: q rows per grid step, k columns per inner iteration.
+# Tile sizes: q rows per grid step, k columns per KV grid step.
 _BLOCK_Q = 128
 _BLOCK_K = 128
 
@@ -42,47 +47,57 @@ def _round_up(v: int, m: int) -> int:
   return ((v + m - 1) // m) * m
 
 
+def _first_kv_block(q_block, window: int):
+  return jnp.maximum(q_block * _BLOCK_Q - window, 0) // _BLOCK_K
+
+
 def _attn_kernel(
-    seg_q_ref,   # [1, bq]       int32 segment ids for this q block
-    seg_k_ref,   # [1, t_pad]    int32 segment ids for all keys
-    q_ref,       # [bq, h]       queries (one head, one batch)
-    k_ref,       # [t_pad, h]    all keys (single KV head)
-    v_ref,       # [t_pad, h]    all values
-    o_ref,       # [bq, h]       output
+    seg_q_ref,   # [1, 1, 1, bq]   segment ids for this q block
+    seg_k_ref,   # [1, 1, 1, bk]   segment ids for this kv block
+    q_ref,       # [1, 1, bq, h]
+    k_ref,       # [1, bk, h]
+    v_ref,       # [1, bk, h]
+    o_ref,       # [1, 1, bq, h]
+    m_scr,       # [bq, 1] f32 running max
+    l_scr,       # [bq, 1] f32 running normalizer
+    acc_scr,     # [bq, h] f32 accumulator
     *,
     seq_len: int,
     window: int,
     scale: float,
+    num_kv_steps: int,
     out_dtype,
 ):
-  """One (batch, head, q-block) step: online softmax over in-window k blocks."""
   q_block = pl.program_id(2)
+  kv_step = pl.program_id(3)
   q_start = q_block * _BLOCK_Q
-  head_dim = q_ref.shape[-1]
+  kb = _first_kv_block(q_block, window) + kv_step
+  k_start = kb * _BLOCK_K
 
-  q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, h]
-  seg_q = seg_q_ref[0, :]  # [bq]
+  @pl.when(kv_step == 0)
+  def _init():
+    m_scr[...] = jnp.full_like(m_scr, _MIN_LOGITS_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
 
-  # Key-block range covering [q_start - window, q_start + bq).
-  first_kb = jnp.maximum(q_start - window, 0) // _BLOCK_K
-  last_kb = (q_start + _BLOCK_Q - 1) // _BLOCK_K  # inclusive
-
-  q_pos = q_start + jax.lax.broadcasted_iota(
-      jnp.int32, (_BLOCK_Q, _BLOCK_K), 0
-  )
-
-  def body(kb, carry):
-    m_prev, l_prev, acc_prev = carry  # [bq,1], [bq,1], [bq,h]
-    k_start = kb * _BLOCK_K
-    k = k_ref[0, pl.ds(k_start, _BLOCK_K), :].astype(jnp.float32)
-    v = v_ref[0, pl.ds(k_start, _BLOCK_K), :].astype(jnp.float32)
-    seg_k = seg_k_ref[0, pl.ds(k_start, _BLOCK_K)]
+  # Skip tiles strictly after the causal frontier (the index map clamps the
+  # window start, which can push trailing steps past the diagonal).
+  @pl.when(k_start <= q_start + _BLOCK_Q - 1)
+  def _compute():
+    q = q_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+    seg_q = seg_q_ref[0, 0, 0]
+    seg_k = seg_k_ref[0, 0, 0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [bq, bk]
+    ) * scale
 
+    q_pos = q_start + jax.lax.broadcasted_iota(
+        jnp.int32, (_BLOCK_Q, _BLOCK_K), 0
+    )
     k_pos = k_start + jax.lax.broadcasted_iota(
         jnp.int32, (_BLOCK_Q, _BLOCK_K), 1
     )
@@ -94,30 +109,28 @@ def _attn_kernel(
     )
     logits = jnp.where(mask, logits, _MIN_LOGITS_VALUE)
 
-    m_cur = jnp.max(logits, axis=1, keepdims=True)  # [bq,1]
+    m_prev = m_scr[...]
+    m_cur = jnp.max(logits, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     # Guard fully-masked rows (softmax over -inf): keep the scale finite.
     m_safe = jnp.where(m_new <= _MIN_LOGITS_VALUE / 2, 0.0, m_new)
     p = jnp.exp(logits - m_safe)
     p = jnp.where(mask, p, 0.0)
     correction = jnp.where(
-        m_prev <= _MIN_LOGITS_VALUE / 2, 0.0,
-        jnp.exp(m_prev - m_safe),
-    )  # [bq,1]
-    l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
-    acc_new = acc_prev * correction + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        m_prev <= _MIN_LOGITS_VALUE / 2, 0.0, jnp.exp(m_prev - m_safe)
+    )
+    m_scr[...] = m_new
+    l_scr[...] = l_scr[...] * correction + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * correction + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return m_new, l_new, acc_new
 
-  m0 = jnp.full((_BLOCK_Q, 1), _MIN_LOGITS_VALUE, jnp.float32)
-  l0 = jnp.zeros((_BLOCK_Q, 1), jnp.float32)
-  acc0 = jnp.zeros((_BLOCK_Q, head_dim), jnp.float32)
-  m, l, acc = jax.lax.fori_loop(first_kb, last_kb + 1, body, (m0, l0, acc0))
-
-  l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows output zeros
-  o_ref[0, 0] = (acc / l).astype(out_dtype)
+  @pl.when(kv_step == num_kv_steps - 1)
+  def _finalize():
+    l = l_scr[...]
+    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows output zeros
+    o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
 
 
 def _flash_window_forward(
@@ -143,13 +156,22 @@ def _flash_window_forward(
     segment_ids = jnp.pad(segment_ids, ((0, 0), (0, pad_t)),
                           constant_values=-1)
 
-  # [b, n, t, h] so (batch, head) are grid dims; KV drop the head axis.
-  qh = jnp.transpose(q, (0, 2, 1, 3))
+  qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
+  hd = qh.shape[-1]
+  nkb = t_pad // _BLOCK_K
   kh = k[:, :, 0, :]
   vh = v[:, :, 0, :]
-  hd = qh.shape[-1]
+  seg_q = segment_ids.reshape(batch, t_pad // _BLOCK_Q, 1, _BLOCK_Q)
+  seg_k = segment_ids.reshape(batch, nkb, 1, _BLOCK_K)
 
-  grid = (batch, num_heads, t_pad // _BLOCK_Q)
+  # KV steps per q block: the window band plus the diagonal block.
+  num_kv_steps = min(window // _BLOCK_K + _BLOCK_Q // _BLOCK_K + 1, nkb)
+
+  def kv_index(b, n, i, j):
+    kb = _first_kv_block(i, window) + j
+    return (b, jnp.minimum(kb, nkb - 1))
+
+  grid = (batch, num_heads, t_pad // _BLOCK_Q, num_kv_steps)
 
   out = pl.pallas_call(
       functools.partial(
@@ -157,32 +179,46 @@ def _flash_window_forward(
           seq_len=seq_len,
           window=window,
           scale=scale,
+          num_kv_steps=num_kv_steps,
           out_dtype=out_dtype,
       ),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, _BLOCK_Q), lambda b, n, i: (b, i),
+          pl.BlockSpec((1, 1, 1, _BLOCK_Q),
+                       lambda b, n, i, j: (b, i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, t_pad), lambda b, n, i: (b, 0),
+          pl.BlockSpec((1, 1, 1, _BLOCK_K),
+                       lambda b, n, i, j: (*kv_index(b, n, i, j), 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 1, _BLOCK_Q, hd), lambda b, n, i: (b, n, i, 0),
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, i, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, t_pad, hd), lambda b, n, i: (b, 0, 0),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (kv_index(b, n, i, j)[0],
+                                           kv_index(b, n, i, j)[1], 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, t_pad, hd), lambda b, n, i: (b, 0, 0),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (kv_index(b, n, i, j)[0],
+                                           kv_index(b, n, i, j)[1], 0),
                        memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec(
-          (1, 1, _BLOCK_Q, hd), lambda b, n, i: (b, n, i, 0),
+          (1, 1, _BLOCK_Q, hd), lambda b, n, i, j: (b, n, i, 0),
           memory_space=pltpu.VMEM,
       ),
       out_shape=jax.ShapeDtypeStruct(
           (batch, num_heads, t_pad, hd), out_dtype
       ),
+      scratch_shapes=[
+          pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
+          pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
+          pltpu.VMEM((_BLOCK_Q, hd), jnp.float32),
+      ],
       compiler_params=pltpu.CompilerParams(
-          dimension_semantics=("parallel", "parallel", "arbitrary"),
+          dimension_semantics=("parallel", "parallel", "arbitrary",
+                               "arbitrary"),
       ),
-  )(segment_ids, segment_ids, qh, kh, vh)
+  )(seg_q, seg_k, qh, kh, vh)
 
   out = jnp.transpose(out, (0, 2, 1, 3))
   return out[:, :seq_len, :, :head_dim]
