@@ -314,9 +314,8 @@ class LocalAttentionBlock(nn.Module):
       if _should_use_flash_attention(
           t, self.window_size, self.use_flash_attention
       ):
-        segment_ids = jnp.cumsum(segment_pos == 0, axis=-1).astype(jnp.int32)
         encoded = pallas_attention.flash_window_attention(
-            queries, keys, values, segment_ids, self.window_size
+            queries, keys, values, segment_pos, self.window_size
         )
         encoded = einops.rearrange(encoded, "... n h -> ... (n h)")
         return self.proj_final(encoded), new_cache

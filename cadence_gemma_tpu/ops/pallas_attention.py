@@ -2,29 +2,37 @@
 
 The Griffin attention blocks attend over a causal window of ``W`` past
 positions with a single shared KV head (MQA). The einsum path materializes
-the [b, t, s] logits + mask + probs tensors; this kernel streams KV blocks
+the [b, t, s] logits + mask + probs tensors; this kernel streams KV tiles
 through VMEM with an online softmax, touching only the ``O(t * W)`` tile
-band inside the window — nothing outside it is even read.
+band inside the window — nothing outside it is even fetched (the KV loop is
+the innermost grid dimension and its index map offsets into the band).
 
-Structure: the KV loop is the innermost *grid* dimension (Mosaic pipelines
-grid steps, overlapping each KV tile's DMA with the previous tile's
-compute), and its index map offsets into the window band — grid step
-``(b, n, i, j)`` visits key block ``max(i*BQ - W, 0)/BK + j``, so
-out-of-window tiles are never fetched. The online-softmax carries (running
-max / normalizer / accumulator) live in VMEM scratch across the KV steps.
-Matmuls run on bf16 inputs with fp32 accumulation (converting tiles to fp32
-per step was the dominant cost of an earlier fori_loop version).
+Masking design (the hot spot — naive masking cost >10x the matmuls):
+  * The document constraint folds into a single per-query *lower bound*:
+    with contiguous positions inside a document, key ``kp`` is visible to
+    query ``qp`` iff ``max(qp - W, doc_start(qp)) <= kp <= qp`` where
+    ``doc_start(qp) = qp - segment_pos[qp]``. No key-side segment data is
+    needed at all.
+  * The lower bound is precomputed on the host side of the program and
+    delivered as a [bq, 1] *column* block — loading a row vector and
+    transposing it to a column inside the kernel (lane→sublane) is what
+    made earlier versions 10x slower.
+  * Everything else is iota-generated, so the whole mask is two compares
+    and an AND per tile.
 
 Scope (matching how the model uses attention):
   * forward/prefill only (``cache is None``): queries and keys cover the
     same positions. Decode (t == 1 against the ring cache) stays on the
     einsum path — it is a [1, W] row, too small for a kernel to help.
-  * document masking: tokens attend only within their segment; segment ids
-    are cumulative counts of ``segment_pos == 0`` starts, as in the einsum
-    path (``models/modules.py::compute_forward_pass_mask``).
+  * Left-padded rows (``segment_pos < 0``) get an empty mask and emit
+    zeros; their outputs are ignored by every caller (logit slicing, RG-LRU
+    resets, window masks of later layers).
   * gradients: a ``jax.custom_vjp`` whose backward recomputes the reference
     einsum attention and differentiates it — prefill training steps remat
     anyway, and this keeps one hand-written kernel instead of three.
+
+Matmuls run on bf16 inputs with fp32 accumulation (converting tiles to fp32
+per step was another major cost of a first version).
 """
 
 from __future__ import annotations
@@ -52,8 +60,7 @@ def _first_kv_block(q_block, window: int):
 
 
 def _attn_kernel(
-    seg_q_ref,   # [1, 1, 1, bq]   segment ids for this q block
-    seg_k_ref,   # [1, 1, 1, bk]   segment ids for this kv block
+    lower_ref,   # [1, 1, bq, 1]   per-query first visible key position
     q_ref,       # [1, 1, bq, h]
     k_ref,       # [1, bk, h]
     v_ref,       # [1, bk, h]
@@ -62,7 +69,6 @@ def _attn_kernel(
     l_scr,       # [bq, 1] f32 running normalizer
     acc_scr,     # [bq, h] f32 accumulator
     *,
-    seq_len: int,
     window: int,
     scale: float,
     num_kv_steps: int,
@@ -87,26 +93,21 @@ def _attn_kernel(
     q = q_ref[0, 0]
     k = k_ref[0]
     v = v_ref[0]
-    seg_q = seg_q_ref[0, 0, 0]
-    seg_k = seg_k_ref[0, 0, 0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 
-    q_pos = q_start + jax.lax.broadcasted_iota(
-        jnp.int32, (_BLOCK_Q, _BLOCK_K), 0
+    # Mask: lower[q] <= kp <= qp, all from columns/iota (no transposes).
+    qp_col = q_start + jax.lax.broadcasted_iota(
+        jnp.int32, (_BLOCK_Q, 1), 0
     )
-    k_pos = k_start + jax.lax.broadcasted_iota(
+    kp_row = k_start + jax.lax.broadcasted_iota(
         jnp.int32, (_BLOCK_Q, _BLOCK_K), 1
     )
-    mask = (
-        (q_pos >= k_pos)
-        & (q_pos <= k_pos + window)
-        & (k_pos < seq_len)
-        & (seg_q[:, None] == seg_k[None, :])
-    )
+    lower_col = lower_ref[0, 0]
+    mask = (kp_row >= lower_col) & (kp_row <= qp_col)
     logits = jnp.where(mask, logits, _MIN_LOGITS_VALUE)
 
     m_prev = m_scr[...]
@@ -137,7 +138,7 @@ def _flash_window_forward(
     q: jax.Array,       # [b, t, n, h]
     k: jax.Array,       # [b, t, 1, h]
     v: jax.Array,       # [b, t, 1, h]
-    segment_ids: jax.Array,  # [b, t] int32
+    segment_pos: jax.Array,  # [b, t] within-document positions
     window: int,
 ) -> jax.Array:
   batch, seq_len, num_heads, head_dim = q.shape
@@ -151,18 +152,24 @@ def _flash_window_forward(
     q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, h_pad)))
     k = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, h_pad)))
     v = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, h_pad)))
+
+  # Per-query first visible key: max(doc start, window start). Padded /
+  # left-pad rows (segment_pos < 0 or beyond seq_len) get an empty range.
+  positions = jnp.arange(t_pad, dtype=jnp.int32)[None]
   if pad_t:
-    # Padded keys get segment id -1 (matches no real segment).
-    segment_ids = jnp.pad(segment_ids, ((0, 0), (0, pad_t)),
+    segment_pos = jnp.pad(segment_pos, ((0, 0), (0, pad_t)),
                           constant_values=-1)
+  doc_start = positions - segment_pos.astype(jnp.int32)
+  lower = jnp.maximum(positions - window, doc_start)
+  lower = jnp.where(segment_pos < 0, t_pad + 1, lower)  # pads see nothing
+  lower = jnp.broadcast_to(lower, (batch, t_pad))
 
   qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
   hd = qh.shape[-1]
   nkb = t_pad // _BLOCK_K
   kh = k[:, :, 0, :]
   vh = v[:, :, 0, :]
-  seg_q = segment_ids.reshape(batch, t_pad // _BLOCK_Q, 1, _BLOCK_Q)
-  seg_k = segment_ids.reshape(batch, nkb, 1, _BLOCK_K)
+  lower_col = lower.reshape(batch, t_pad // _BLOCK_Q, _BLOCK_Q, 1)
 
   # KV steps per q block: the window band plus the diagonal block.
   num_kv_steps = min(window // _BLOCK_K + _BLOCK_Q // _BLOCK_K + 1, nkb)
@@ -176,7 +183,6 @@ def _flash_window_forward(
   out = pl.pallas_call(
       functools.partial(
           _attn_kernel,
-          seq_len=seq_len,
           window=window,
           scale=scale,
           num_kv_steps=num_kv_steps,
@@ -184,11 +190,8 @@ def _flash_window_forward(
       ),
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, 1, 1, _BLOCK_Q),
+          pl.BlockSpec((1, 1, _BLOCK_Q, 1),
                        lambda b, n, i, j: (b, i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 1, 1, _BLOCK_K),
-                       lambda b, n, i, j: (*kv_index(b, n, i, j), 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, 1, _BLOCK_Q, hd),
                        lambda b, n, i, j: (b, n, i, 0),
@@ -218,16 +221,17 @@ def _flash_window_forward(
           dimension_semantics=("parallel", "parallel", "arbitrary",
                                "arbitrary"),
       ),
-  )(seg_q, seg_k, qh, kh, vh)
+  )(lower_col, qh, kh, vh)
 
   out = jnp.transpose(out, (0, 2, 1, 3))
   return out[:, :seq_len, :, :head_dim]
 
 
-def _reference_attention(q, k, v, segment_ids, window):
+def _reference_attention(q, k, v, segment_pos, window):
   """The einsum formulation (identical to models/modules.py) — used for
   the backward pass and as the numerical oracle in tests."""
   head_dim = q.shape[-1]
+  segment_ids = jnp.cumsum(segment_pos == 0, axis=-1)
   positions = jnp.arange(q.shape[1])[None]
   same = segment_ids[:, :, None] == segment_ids[:, None, :]
   causal = positions[..., None] >= positions[..., None, :]
@@ -240,32 +244,35 @@ def _reference_attention(q, k, v, segment_ids, window):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_window_attention(q, k, v, segment_ids, window: int):
+def flash_window_attention(q, k, v, segment_pos, window: int):
   """Windowed MQA attention; see module docstring.
 
   Args:
     q: [b, t, n, h] queries (RoPE already applied).
     k: [b, t, 1, h] keys.
     v: [b, t, 1, h] values.
-    segment_ids: [b, t] document ids; attention never crosses documents.
+    segment_pos: [b, t] within-document positions (0 marks a document
+      start); attention never crosses documents.
     window: The local attention window size.
 
   Returns:
     [b, t, n, h] attention outputs in ``q.dtype``.
   """
-  return _flash_window_forward(q, k, v, segment_ids, window)
+  return _flash_window_forward(q, k, v, segment_pos, window)
 
 
-def _fwd(q, k, v, segment_ids, window):
-  return _flash_window_forward(q, k, v, segment_ids, window), (
-      q, k, v, segment_ids,
+def _fwd(q, k, v, segment_pos, window):
+  return _flash_window_forward(q, k, v, segment_pos, window), (
+      q, k, v, segment_pos,
   )
 
 
 def _bwd(window, residuals, g):
-  q, k, v, segment_ids = residuals
+  q, k, v, segment_pos = residuals
   _, vjp = jax.vjp(
-      lambda q_, k_, v_: _reference_attention(q_, k_, v_, segment_ids, window),
+      lambda q_, k_, v_: _reference_attention(
+          q_, k_, v_, segment_pos, window
+      ),
       q, k, v,
   )
   dq, dk, dv = vjp(g)

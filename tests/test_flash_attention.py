@@ -17,9 +17,12 @@ def _inputs(b, t, n, h, seed=0, dtype=jnp.float32, docs=False):
   v = jax.random.normal(jax.random.fold_in(k, 2), (b, t, 1, h), dtype)
   if docs:
     starts = jax.random.bernoulli(jax.random.fold_in(k, 3), 0.05, (b, t))
-    seg = jnp.cumsum(starts, axis=-1).astype(jnp.int32)
+    starts = starts.at[:, 0].set(True)
+    idx = jnp.arange(t)[None]
+    doc_start = jax.lax.cummax(jnp.where(starts, idx, 0), axis=1)
+    seg = (idx - doc_start).astype(jnp.int32)  # within-doc positions
   else:
-    seg = jnp.ones((b, t), jnp.int32)
+    seg = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (b, 1))
   return q, kk, v, seg
 
 
