@@ -152,11 +152,18 @@ class ModalSampler(sampler_lib.Sampler):
     if pixels is not None:
       # Fused path: decode is the only host step; everything from raw
       # pixels to the first sampled token is one device program.
-      if total_generation_steps < 0:
-        raise ValueError("total_generation_steps must be at least 0.")
+      self._validate_sampling_args(total_generation_steps, rng)
       all_ids = [self.tokenize(s) for s in input_strings]
-      input_lengths = jnp.asarray([len(ids) for ids in all_ids])
-      padded_tokens = self._get_padded_tokens(all_ids)
+      lengths = [len(ids) for ids in all_ids]
+      if len(set(lengths)) != 1:
+        # Same constraint as the feature path: the image splices in after
+        # token 0, which must be the real BOS (no left padding).
+        raise ValueError(
+            "Multimodal sampling requires equal-length prompts per batch "
+            f"(got lengths {lengths})."
+        )
+      padded_tokens = jnp.stack(all_ids, axis=0)
+      input_lengths = jnp.asarray(lengths)
       pad_lengths = padded_tokens.shape[1] - input_lengths
       state = self._fused_prefill_fn(
           self.vision_params,
@@ -168,21 +175,9 @@ class ModalSampler(sampler_lib.Sampler):
           return_logits,
           echo,
       )
-      if total_generation_steps > 1:
-        state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
-      tokens = [
-          seq[int(l):] if echo else seq
-          for seq, l in zip(state.tokens_buffer, pad_lengths)
-      ]
-      logits = (
-          [seq[int(l):] if echo else seq
-           for seq, l in zip(state.logits_buffer, pad_lengths)]
-          if return_logits else []
-      )
-      return SamplerOutput(
-          text=[self.vocab.DecodeIds(seq.tolist()) for seq in tokens],
-          tokens=tokens,
-          logits=logits,
+      return self._finish_sampling(
+          state, pad_lengths, total_generation_steps, echo, return_logits,
+          end_sampling_at_eos_token,
       )
 
     return super().__call__(

@@ -346,12 +346,15 @@ class Sampler(Generic[Cache]):
       )
       logits = None
     elif prompt_length == 1:
+      # return_logits=True regardless of the buffer flag: the first sampled
+      # token needs logits (the reference crashes here when
+      # return_logits=False, sampler.py:294-304).
       logits, cache = self.apply_model(
           params=params,
           tokens=tokens,
           segment_pos=positions,
           cache=initial_cache,
-          return_logits=return_logits,
+          return_logits=True,
           return_cache=True,
           img_embed=img_embed,
       )
@@ -375,6 +378,13 @@ class Sampler(Generic[Cache]):
           last_logits_only=not want_prompt_logits,
       )
       if want_prompt_logits:
+        if img_embed is not None:
+          # Drop visual-position logits so echoed logits align with the
+          # text tokens (the splice inserts vision_tokens rows after BOS).
+          n_img = self._vision_tokens
+          all_logits = jnp.concatenate(
+              [all_logits[:, :1], all_logits[:, 1 + n_img:]], axis=1
+          )
         prev_logits, logits = all_logits[:, :-1], all_logits[:, -1:]
       else:
         prev_logits, logits = all_logits[:, :0], all_logits
@@ -459,16 +469,25 @@ class Sampler(Generic[Cache]):
     Returns:
       A :class:`SamplerOutput`.
     """
-    if not self.deterministic_sampling and rng is None:
-      raise ValueError(
-          "rng must be provided when sampling non-deterministically."
-      )
-    if total_generation_steps < 0:
-      raise ValueError("total_generation_steps must be at least 0.")
+    self._validate_sampling_args(total_generation_steps, rng)
 
     all_input_ids = [self.tokenize(s) for s in input_strings]
-    input_lengths = jnp.asarray([len(ids) for ids in all_input_ids])
-    padded_tokens = self._get_padded_tokens(all_input_ids)
+    lengths = [len(ids) for ids in all_input_ids]
+    if img_embed is not None:
+      # The image splices in after position 0 of the token array, which must
+      # therefore be the real BOS: left padding would put the image after a
+      # PAD token and corrupt the document masks. Multimodal batches must be
+      # equal-length and are never length-bucketed.
+      if len(set(lengths)) != 1:
+        raise ValueError(
+            "Multimodal sampling requires equal-length prompts per batch "
+            f"(got lengths {lengths}); split the batch or pad the prompt "
+            "text itself."
+        )
+      padded_tokens = jnp.stack(all_input_ids, axis=0)
+    else:
+      padded_tokens = self._get_padded_tokens(all_input_ids)
+    input_lengths = jnp.asarray(lengths)
     pad_lengths = padded_tokens.shape[1] - input_lengths
 
     chunk = self.prefill_chunk_size
@@ -482,6 +501,15 @@ class Sampler(Generic[Cache]):
         and img_embed is None
         and not echo
     )
+    if chunk is not None and not use_chunks and padded_tokens.shape[1] > chunk:
+      import warnings
+
+      warnings.warn(
+          "prefill_chunk_size is set but chunking was skipped: it requires "
+          "equal-length unpadded prompts (use bucket_prompt_lengths=False), "
+          "a chunk-divisible prompt length, no image, and echo=False.",
+          stacklevel=2,
+      )
     if use_chunks:
       batch = padded_tokens.shape[0]
       cache = self.model.init_cache(batch, self.dtype)
@@ -520,6 +548,29 @@ class Sampler(Generic[Cache]):
           echo,
           img_embed,
       )
+    return self._finish_sampling(
+        state, pad_lengths, total_generation_steps, echo, return_logits,
+        end_sampling_at_eos_token,
+    )
+
+  def _validate_sampling_args(self, total_generation_steps, rng) -> None:
+    if not self.deterministic_sampling and rng is None:
+      raise ValueError(
+          "rng must be provided when sampling non-deterministically."
+      )
+    if total_generation_steps < 0:
+      raise ValueError("total_generation_steps must be at least 0.")
+
+  def _finish_sampling(
+      self,
+      state: SamplingState,
+      pad_lengths,
+      total_generation_steps: int,
+      echo: bool,
+      return_logits: bool,
+      end_sampling_at_eos_token: bool,
+  ) -> SamplerOutput:
+    """Runs the decode loop and slices the buffers into a SamplerOutput."""
     if total_generation_steps > 1:
       state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
 

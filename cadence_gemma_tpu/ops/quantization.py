@@ -25,17 +25,9 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-# Parameter-leaf names that get quantized, keyed by their contraction axes:
-# scales live on every non-contracted ("output") axis so the dequant is a
-# broadcastable multiply.
-_QUANT_RULES: dict[str, tuple[int, ...]] = {
-    # nn.Dense kernels [in, out]: contract axis 0.
-    "kernel": (0,),
-    # Embedder table [vocab, width]: decode contracts width (axis 1);
-    # per-row (per-token) scales keep the encode gather exact too.
-    "input_embedding": (1,),
-}
-
+# Scales live on every non-contracted ("output") axis so the dequant is a
+# broadcastable multiply; _contract_axes below is the single source of truth
+# for what gets quantized and along which axes.
 # Einsum weights are quantized when the *parent* module matches:
 # ffw_up w (2, d, D) and vl_connector ffw_up w (1, vis, D) contract axis 1.
 _EINSUM_PARENTS = ("ffw_up",)

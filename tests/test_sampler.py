@@ -172,6 +172,57 @@ class TestSampling:
       assert (after == vocab.pad_id()).all()
 
 
+class TestRegressionFixes:
+  """Review findings: padding-vs-splice, 1-token prompts, echo alignment."""
+
+  def test_single_token_prompt_samples(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    out = s([""], total_generation_steps=4)  # prompt = [BOS] only
+    assert out.tokens[0].shape == (4,)
+    assert int(out.tokens[0][0]) != vocab.pad_id()
+
+  def test_multimodal_never_left_padded(self, setup):
+    """Bucketing must not corrupt the image splice (pads before BOS)."""
+    model, vocab, params = setup
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    s_bucket = sampler_lib.Sampler(model, vocab, params,
+                                   bucket_prompt_lengths=True)
+    s_exact = sampler_lib.Sampler(model, vocab, params,
+                                  bucket_prompt_lengths=False)
+    a = s_bucket(["hello world"], total_generation_steps=5, img_embed=img)
+    b = s_exact(["hello world"], total_generation_steps=5, img_embed=img)
+    np.testing.assert_array_equal(np.asarray(a.tokens[0]),
+                                  np.asarray(b.tokens[0]))
+
+  def test_multimodal_ragged_batch_rejected(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    img = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 12))
+    with pytest.raises(ValueError, match="equal-length"):
+      s(["hello", "the quick brown fox"], total_generation_steps=2,
+        img_embed=img)
+
+  def test_multimodal_echo_logits_align_with_tokens(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    out = s(["hello world"], total_generation_steps=3, echo=True,
+            return_logits=True, img_embed=img)
+    assert out.logits[0].shape[0] == out.tokens[0].shape[0]
+
+  def test_chunking_warns_when_skipped(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            prefill_chunk_size=8)
+    # 22-token prompt: not divisible by 8 -> chunking skipped with warning.
+    with pytest.warns(UserWarning, match="chunking was skipped"):
+      s([" ".join(["the"] * 21)], total_generation_steps=2)
+
+
 class TestModalSampler:
 
   def test_img_embed_sampling(self, setup):
