@@ -331,6 +331,7 @@ def main():
       "value": round(best_tps, 2),
       "unit": "tokens/sec/chip",
       "vs_baseline": round(best_tps / ref_tps, 3) if ref_tps else 1.0,
+      "vs_baseline_bf16": round(ours_tps / ref_tps, 3) if ref_tps else 1.0,
       "decode_tps_bf16": round(ours_tps, 2),
       "decode_tps_int8": round(int8_tps, 2),
       "ttft_ms": round(ours_ttft_ms, 2),
@@ -346,8 +347,15 @@ def main():
           else None
       ),
       "notes": (
-          "ttft_ms includes on-device image prefill (729 visual tokens); "
-          "the reference multimodal path cannot run here (needs timm CUDA "
+          "vs_baseline compares our best serving path (int8 weight-only, a "
+          "capability the reference lacks) to the reference at bf16; the "
+          "apples-to-apples bf16 decode figure is vs_baseline_bf16 (~1.0x — "
+          "both are HBM-bandwidth-bound at the same weight bytes/step). "
+          "The reference runs its LINEAR_NATIVE scan because its Pallas "
+          "kernel imports an API removed in jax 0.9 (scan is <2% of decode "
+          "step time, so this does not distort the comparison). ttft_ms "
+          "includes on-device image prefill (729 visual tokens); the "
+          "reference multimodal path cannot run here (needs timm CUDA "
           "ViTs); reference_text_ttft_ms is its text-only prefill of the "
           "same prompt, directly comparable to ttft_text_ms."
       ),

@@ -273,6 +273,17 @@ class Sampler(Generic[Cache]):
       end_sampling_at_eos_token: bool = True,
   ) -> SamplingState:
     """Whole decode loop as one XLA while-loop program."""
+    if end_sampling_at_eos_token:
+      # Check EOS on the token sampled at prefill: a prompt whose greedy
+      # continuation is immediate-EOS must not decode further (the reference
+      # starts `done` all-False and always decodes a second token,
+      # sampler.py:380).
+      first_token = jax.lax.dynamic_index_in_dim(
+          state.tokens_buffer, state.step, axis=1, keepdims=False
+      )
+      state = state.replace(
+          done=state.done | jnp.equal(first_token, self.vocab.eos_id())
+      )
 
     def body(s):
       return self._sample_step(params, s, end_sampling_at_eos_token)

@@ -213,6 +213,26 @@ class TestRegressionFixes:
             return_logits=True, img_embed=img)
     assert out.logits[0].shape[0] == out.tokens[0].shape[0]
 
+  def test_eos_at_prefill_stops_decoding(self, setup):
+    """A prompt whose first sampled token is EOS must not decode further.
+
+    The reference starts ``done`` all-False (sampler.py:380) and always
+    decodes a second token; we check EOS on the prefill-sampled token.
+    """
+    model, vocab, params = setup
+
+    class ForcedEos(sampler_lib.Sampler):
+      def _sample_from_logits(self, rng, logits):
+        tok = jnp.full(logits.shape[:-1], vocab.eos_id(), dtype=jnp.int32)
+        return tok, rng
+
+    s = ForcedEos(model, vocab, params)
+    out = s(["hello world"], total_generation_steps=4,
+            end_sampling_at_eos_token=True)
+    toks = np.asarray(out.tokens[0])
+    assert toks[0] == vocab.eos_id()
+    assert (toks[1:] == vocab.pad_id()).all()
+
   def test_chunking_warns_when_skipped(self, setup):
     model, vocab, params = setup
     s = sampler_lib.Sampler(model, vocab, params,
