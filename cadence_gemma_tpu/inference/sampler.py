@@ -116,9 +116,11 @@ class Sampler(Generic[Cache]):
       prefill_chunk_size: Process prompts longer than this in fixed-size
         chunks through the O(1) cache, bounding activation memory for very
         long prompts (the window cache already bounds KV memory). Chunk
-        results are exact — the reference's cache update only supports
+        results are exact, including ragged (left-padded) batches, echo,
+        and return_logits — the reference's cache update only supports
         chunk sizes of 1 or the full window (``modules.py:220``); ours is
-        general. None = single-shot prefill.
+        general. Multimodal prompts fall back to single-shot (the image
+        splice cannot cross chunks). None = single-shot prefill.
     """
     self.model = model
     self.vocab = vocab
@@ -138,7 +140,7 @@ class Sampler(Generic[Cache]):
         self._sample_fn, donate_argnums=[1], static_argnums=[2]
     )
     self._compiled_chunk_fn = jax.jit(
-        self._prefill_chunk_step, donate_argnums=[3]
+        self._prefill_chunk_step, donate_argnums=[3], static_argnums=[4]
     )
 
   @property
@@ -300,17 +302,22 @@ class Sampler(Generic[Cache]):
       tokens: at.Tokens,
       segment_pos: at.SegmentPos,
       cache: Cache,
-  ) -> Cache:
-    """One chunk of a long prompt through the O(1) cache (no logits)."""
-    _, cache = self.apply_model(
+      return_logits: bool = False,
+  ) -> tuple[at.TokenLogits | None, Cache]:
+    """One chunk of a long prompt through the O(1) cache.
+
+    ``return_logits`` materializes this chunk's per-token logits (needed
+    only for ``echo=True`` with ``return_logits=True``).
+    """
+    logits, cache = self.apply_model(
         params=params,
         tokens=tokens,
         segment_pos=segment_pos,
         cache=cache,
-        return_logits=False,
+        return_logits=return_logits,
         return_cache=True,
     )
-    return cache
+    return logits, cache
 
   def _prompt_processing_fn(
       self,
@@ -334,9 +341,13 @@ class Sampler(Generic[Cache]):
     batch_size, prompt_length = tokens.shape
 
     if start_positions is not None:
+      # Per-row continuation of a chunked prefill; rows whose prompt starts
+      # inside this final chunk carry negative starts, clipped to the same
+      # -1 padding sentinel the single-shot path uses.
       positions = (
           jnp.arange(prompt_length)[None] + start_positions[:, None]
       )
+      positions = jnp.maximum(positions, -1)
     else:
       # Left-aligned positions ending at input_length - 1; padding gets -1.
       positions = jnp.repeat(
@@ -505,37 +516,56 @@ class Sampler(Generic[Cache]):
     use_chunks = (
         chunk is not None
         and padded_tokens.shape[1] > chunk
-        and padded_tokens.shape[1] % chunk == 0
-        # Chunking needs unpadded prompts (the cache-mode attention mask
-        # can't distinguish pads), no image splice, and no prompt echo.
-        and int(input_lengths.min()) == padded_tokens.shape[1]
+        # The image splices in after BOS (token 0 of the whole prompt),
+        # which the per-chunk cache path cannot represent; multimodal
+        # prompts prefill single-shot (they are capped at prompt length
+        # anyway — the 729 visual tokens dominate and are already fused).
         and img_embed is None
-        and not echo
     )
     if chunk is not None and not use_chunks and padded_tokens.shape[1] > chunk:
       import warnings
 
       warnings.warn(
-          "prefill_chunk_size is set but chunking was skipped: it requires "
-          "equal-length unpadded prompts (use bucket_prompt_lengths=False), "
-          "a chunk-divisible prompt length, no image, and echo=False.",
+          "prefill_chunk_size is set but chunking was skipped: the chunked "
+          "path does not support the in-prompt image splice.",
           stacklevel=2,
       )
     if use_chunks:
-      batch = padded_tokens.shape[0]
+      batch, total_len = padded_tokens.shape
+      if total_len % chunk:
+        # Extend the left padding to the next chunk multiple; padded
+        # positions carry the same -1 sentinel as single-shot prefill.
+        extra = chunk - total_len % chunk
+        padded_tokens = jnp.pad(
+            padded_tokens, ((0, 0), (extra, 0)),
+            constant_values=self.vocab.pad_id(),
+        )
+        total_len += extra
+        pad_lengths = total_len - input_lengths
       cache = self.model.init_cache(batch, self.dtype)
-      num_chunks = padded_tokens.shape[1] // chunk
-      all_positions = jnp.tile(
-          jnp.arange(padded_tokens.shape[1])[None], (batch, 1)
+      num_chunks = total_len // chunk
+      # True per-row positions: left-aligned to end at input_length - 1,
+      # pads clipped to -1 (identical to the single-shot path).
+      all_positions = (
+          jnp.tile(jnp.arange(total_len)[None], (batch, 1))
+          - total_len + input_lengths[:, None]
       )
+      all_positions = jnp.maximum(all_positions, -1)
+      want_chunk_logits = echo and return_logits
+      chunk_logits = []
       for i in range(num_chunks - 1):
-        cache = self._compiled_chunk_fn(
+        logits_i, cache = self._compiled_chunk_fn(
             self.params,
             padded_tokens[:, i * chunk : (i + 1) * chunk],
             all_positions[:, i * chunk : (i + 1) * chunk],
             cache,
+            want_chunk_logits,
         )
-      start = jnp.full((batch,), (num_chunks - 1) * chunk, jnp.int32)
+        if want_chunk_logits:
+          chunk_logits.append(logits_i)
+      # The final chunk continues per-row from wherever its prompt stands
+      # (negative for rows whose prompt starts inside this chunk).
+      start = (num_chunks - 1) * chunk - total_len + input_lengths
       state = self.prompt_processing_fn(
           self.params,
           padded_tokens[:, -chunk:],
@@ -546,8 +576,26 @@ class Sampler(Generic[Cache]):
           echo,
           img_embed,
           cache,
-          start,
+          start.astype(jnp.int32),
       )
+      if echo:
+        # The jitted prefill echoed only its own (final) chunk; prepend the
+        # earlier chunks' tokens/logits so the buffers cover the whole
+        # prompt, and shift the step bookkeeping accordingly.
+        earlier = padded_tokens[:, : -chunk]
+        logits_buffer = state.logits_buffer
+        if return_logits:
+          logits_buffer = jnp.concatenate(
+              chunk_logits + [logits_buffer], axis=1
+          )
+        state = state.replace(
+            tokens_buffer=jnp.concatenate(
+                [earlier, state.tokens_buffer], axis=1
+            ),
+            logits_buffer=logits_buffer,
+            step=state.step + earlier.shape[1],
+            total_steps=state.total_steps + earlier.shape[1],
+        )
     else:
       state = self.prompt_processing_fn(
           self.params,

@@ -388,6 +388,16 @@ class Conv1D(nn.Module):
         for look_ahead in range(1, shift + 1):
           mask = mask * not_boundary[:, start + look_ahead : end + look_ahead]
         window = window * mask[..., None]
+      elif cache is not None and output_len > 1 and shift > 0:
+        # Chunked prefill continues a single document per row (boundaries
+        # only at position 0), so "no boundary between source and query"
+        # reduces to "the source is at a non-negative position". This keeps
+        # cached pad garbage out when a left-padded row's document starts
+        # mid-chunk (the forward-path cumsum mask above cannot see into the
+        # cache). Single-token decode is left untouched: its cached tail is
+        # always same-document (or zero-initialized, contributing zero).
+        valid = (segment_pos - shift >= 0).astype(x.dtype)
+        window = window * valid[..., None]
       if window.shape[1] < output_len:
         pad = output_len - window.shape[1]
         window = jnp.pad(window, ((0, 0), (pad, 0), (0, 0)))

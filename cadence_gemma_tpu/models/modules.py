@@ -124,6 +124,7 @@ def compute_cache_mask(
     seq_len: int,
     cache_num_tokens: at.NumTokens,
     window_size: int,
+    q_segment_pos: at.SegmentPos | None = None,
 ) -> at.AttentionMask:
   """Mask for decode steps against the ring cache.
 
@@ -132,8 +133,17 @@ def compute_cache_mask(
   (``< num_tokens``), else ``i + (k-1)*window``, where
   ``k = num_tokens // window`` (reference ``modules.py:153-180``). The new
   queries' positions are appended at the end.
+
+  ``q_segment_pos`` supplies the queries' true positions for multi-token
+  chunks of a ragged (left-padded) batch, where padded rows lag the
+  counter-derived ``arange + num_tokens`` guess; pad queries carry -1 and
+  attend nothing (the reference's chunked path supports neither padding
+  nor general chunk sizes, ``modules.py:201-220``).
   """
-  q_positions = jnp.arange(seq_len)[None] + cache_num_tokens[:, None]
+  if q_segment_pos is not None:
+    q_positions = q_segment_pos
+  else:
+    q_positions = jnp.arange(seq_len)[None] + cache_num_tokens[:, None]
   wraps = cache_num_tokens[:, None] // window_size
   slots = jnp.arange(window_size)[None]
   pos_current = slots + wraps * window_size
@@ -199,14 +209,17 @@ def update_attention_cache(
     return _right_align_in_window(keys, values, segment_pos, window_size)
 
   # General chunked prefill: unroll the ring into time order, append, re-roll.
-  def fold_one(c_keys, c_vals, n_tok, new_k, new_v):
+  def fold_one(c_keys, c_vals, n_tok, new_k, new_v, last_pos):
     # Unrolled cache in time order (oldest first).
     shift = -(n_tok % window_size)
     k_lin = jnp.roll(c_keys, shift, axis=0)
     v_lin = jnp.roll(c_vals, shift, axis=0)
     k_all = jnp.concatenate([k_lin, new_k], axis=0)[-window_size:]
     v_all = jnp.concatenate([v_lin, new_v], axis=0)[-window_size:]
-    new_n = n_tok + new_k.shape[0]
+    # Count only real tokens: a left-padded row's chunk may start with pads
+    # (segment_pos == -1), which must land in not-yet-written (masked) ring
+    # slots rather than advance the counter.
+    new_n = last_pos + 1
     return (
         jnp.roll(k_all, new_n, axis=0),
         jnp.roll(v_all, new_n, axis=0),
@@ -214,7 +227,8 @@ def update_attention_cache(
     )
 
   new_keys, new_values, new_num = jax.vmap(fold_one)(
-      cache.keys, cache.values, cache.num_tokens, keys, values
+      cache.keys, cache.values, cache.num_tokens, keys, values,
+      segment_pos[:, -1],
   )
   return AttentionBlockCache(new_keys, new_values, new_num)
 
@@ -304,7 +318,14 @@ class LocalAttentionBlock(nn.Module):
       )
       keys = jnp.concatenate([cache.keys, keys], axis=-3)
       values = jnp.concatenate([cache.values, values], axis=-3)
-      attn_mask = compute_cache_mask(t, cache.num_tokens, self.window_size)
+      attn_mask = compute_cache_mask(
+          t, cache.num_tokens, self.window_size,
+          # Chunks of a ragged batch need true per-row query positions;
+          # single-token decode keeps the counter-derived positions (they
+          # match the ring-write slots even under the reference position
+          # quirk, where decode segment_pos can lag the counter).
+          q_segment_pos=segment_pos if t > 1 else None,
+      )
     else:
       new_cache = (
           _right_align_in_window(keys, values, segment_pos, self.window_size)

@@ -136,7 +136,13 @@ class TestSampling:
     )
     del words
 
-  def test_chunked_falls_back_on_ragged_batch(self, setup):
+  def test_chunked_ragged_batch_matches_single_shot(self, setup):
+    """Left-padded rows prefill in chunks exactly (incl. logits).
+
+    Covers prompts shorter than one chunk (pure-pad leading chunks), a
+    prompt whose document start falls mid-chunk, and a non-chunk-divisible
+    max length (auto-extended padding).
+    """
     model, vocab, params = setup
     chunked = sampler_lib.Sampler(
         model, vocab, params, bucket_prompt_lengths=False,
@@ -145,7 +151,45 @@ class TestSampling:
     single = sampler_lib.Sampler(
         model, vocab, params, bucket_prompt_lengths=False
     )
-    prompts = [" ".join(["the"] * 23), "hello world"]
+    prompts = [" ".join(["the"] * 22), "hello world", " ".join(["fox"] * 9)]
+    a = chunked(prompts, total_generation_steps=4, return_logits=True)
+    b = single(prompts, total_generation_steps=4, return_logits=True)
+    for x, y in zip(a.tokens, b.tokens):
+      np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a.logits, b.logits):
+      np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+  def test_chunked_echo_matches_single_shot(self, setup):
+    """Echoed prompt tokens and logits are identical under chunking."""
+    model, vocab, params = setup
+    chunked = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False,
+        prefill_chunk_size=8,
+    )
+    single = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    )
+    prompts = [" ".join(["the"] * 23), "hello world quick brown"]
+    a = chunked(prompts, total_generation_steps=4, echo=True,
+                return_logits=True)
+    b = single(prompts, total_generation_steps=4, echo=True,
+               return_logits=True)
+    for x, y in zip(a.tokens, b.tokens):
+      np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a.logits, b.logits):
+      np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+  def test_chunked_bucketed_matches_exact(self, setup):
+    """Chunking composes with prompt-length bucketing."""
+    model, vocab, params = setup
+    chunked = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=True,
+        prefill_chunk_size=8,
+    )
+    single = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    )
+    prompts = [" ".join(["quick"] * 18), "hello"]
     a = chunked(prompts, total_generation_steps=4)
     b = single(prompts, total_generation_steps=4)
     for x, y in zip(a.tokens, b.tokens):
@@ -234,13 +278,14 @@ class TestRegressionFixes:
     assert (toks[1:] == vocab.pad_id()).all()
 
   def test_chunking_warns_when_skipped(self, setup):
+    """Only the image splice still forces the single-shot fallback."""
     model, vocab, params = setup
     s = sampler_lib.Sampler(model, vocab, params,
                             bucket_prompt_lengths=False,
                             prefill_chunk_size=8)
-    # 22-token prompt: not divisible by 8 -> chunking skipped with warning.
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
     with pytest.warns(UserWarning, match="chunking was skipped"):
-      s([" ".join(["the"] * 21)], total_generation_steps=2)
+      s([" ".join(["the"] * 21)], total_generation_steps=2, img_embed=img)
 
 
 class TestModalSampler:
