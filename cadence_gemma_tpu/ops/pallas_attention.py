@@ -27,9 +27,12 @@ Scope (matching how the model uses attention):
   * Left-padded rows (``segment_pos < 0``) get an empty mask and emit
     zeros; their outputs are ignored by every caller (logit slicing, RG-LRU
     resets, window masks of later layers).
-  * gradients: a ``jax.custom_vjp`` whose backward recomputes the reference
-    einsum attention and differentiates it — prefill training steps remat
-    anyway, and this keeps one hand-written kernel instead of three.
+  * gradients: flash backward in two Pallas kernels. The forward also emits
+    the per-row logsumexp; backward recomputes probabilities tile-by-tile
+    from (q, k, lse) — never materializing [t, t] — and accumulates dq over
+    the KV band (same grid as forward) and dk/dv over the transposed Q
+    band (per head, reduced across heads outside since KV is shared in
+    MQA). Training memory is O(t * window), same as inference.
 
 Matmuls run on bf16 inputs with fp32 accumulation (converting tiles to fp32
 per step was another major cost of a first version).
@@ -45,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 import jax.numpy as jnp
 
 _MIN_LOGITS_VALUE = -2.3819763e38  # Same fill as models/modules.py.
+_MASKED_LSE = 1e30  # lse sentinel for fully-masked (padded) query rows.
 
 # Tile sizes: q rows per grid step, k columns per KV grid step.
 _BLOCK_Q = 128
@@ -65,6 +69,7 @@ def _attn_kernel(
     k_ref,       # [1, bk, h]
     v_ref,       # [1, bk, h]
     o_ref,       # [1, 1, bq, h]
+    lse_ref,     # [1, 1, bq, 1]   per-query logsumexp (backward residual)
     m_scr,       # [bq, 1] f32 running max
     l_scr,       # [bq, 1] f32 running normalizer
     acc_scr,     # [bq, h] f32 accumulator
@@ -130,21 +135,18 @@ def _attn_kernel(
   @pl.when(kv_step == num_kv_steps - 1)
   def _finalize():
     l = l_scr[...]
-    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows output zeros
+    m = m_scr[...]
+    m_safe = jnp.where(m <= _MIN_LOGITS_VALUE / 2, 0.0, m)
+    # Fully-masked rows output zeros; their lse is +big so the backward's
+    # recomputed probabilities exp(s - lse) are exactly zero.
+    lse_ref[0, 0] = jnp.where(l == 0.0, _MASKED_LSE, m_safe + jnp.log(l))
+    l = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
 
 
-def _flash_window_forward(
-    q: jax.Array,       # [b, t, n, h]
-    k: jax.Array,       # [b, t, 1, h]
-    v: jax.Array,       # [b, t, 1, h]
-    segment_pos: jax.Array,  # [b, t] within-document positions
-    window: int,
-) -> jax.Array:
-  batch, seq_len, num_heads, head_dim = q.shape
-  out_dtype = q.dtype
-  scale = head_dim**-0.5
-
+def _pad_and_lower(q, k, v, segment_pos, window):
+  """Shared fwd/bwd prep: pad to tile multiples, per-query lower bounds."""
+  batch, seq_len, _, head_dim = q.shape
   t_pad = _round_up(seq_len, max(_BLOCK_Q, _BLOCK_K))
   pad_t = t_pad - seq_len
   h_pad = _round_up(head_dim, 128) - head_dim
@@ -163,6 +165,22 @@ def _flash_window_forward(
   lower = jnp.maximum(positions - window, doc_start)
   lower = jnp.where(segment_pos < 0, t_pad + 1, lower)  # pads see nothing
   lower = jnp.broadcast_to(lower, (batch, t_pad))
+  return q, k, v, lower, t_pad
+
+
+def _flash_window_forward(
+    q: jax.Array,       # [b, t, n, h]
+    k: jax.Array,       # [b, t, 1, h]
+    v: jax.Array,       # [b, t, 1, h]
+    segment_pos: jax.Array,  # [b, t] within-document positions
+    window: int,
+) -> tuple[jax.Array, jax.Array]:
+  """Returns ([b, t, n, h] outputs, [b, n, t_pad, 1] f32 logsumexp)."""
+  batch, seq_len, num_heads, head_dim = q.shape
+  out_dtype = q.dtype
+  scale = head_dim**-0.5
+
+  q, k, v, lower, t_pad = _pad_and_lower(q, k, v, segment_pos, window)
 
   qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
   hd = qh.shape[-1]
@@ -180,7 +198,7 @@ def _flash_window_forward(
 
   grid = (batch, num_heads, t_pad // _BLOCK_Q, num_kv_steps)
 
-  out = pl.pallas_call(
+  out, lse = pl.pallas_call(
       functools.partial(
           _attn_kernel,
           window=window,
@@ -205,13 +223,20 @@ def _flash_window_forward(
                                            kv_index(b, n, i, j)[1], 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec(
-          (1, 1, _BLOCK_Q, hd), lambda b, n, i, j: (b, n, i, 0),
-          memory_space=pltpu.VMEM,
-      ),
-      out_shape=jax.ShapeDtypeStruct(
-          (batch, num_heads, t_pad, hd), out_dtype
-      ),
+      out_specs=[
+          pl.BlockSpec(
+              (1, 1, _BLOCK_Q, hd), lambda b, n, i, j: (b, n, i, 0),
+              memory_space=pltpu.VMEM,
+          ),
+          pl.BlockSpec(
+              (1, 1, _BLOCK_Q, 1), lambda b, n, i, j: (b, n, i, 0),
+              memory_space=pltpu.VMEM,
+          ),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((batch, num_heads, t_pad, hd), out_dtype),
+          jax.ShapeDtypeStruct((batch, num_heads, t_pad, 1), jnp.float32),
+      ],
       scratch_shapes=[
           pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
           pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
@@ -224,7 +249,325 @@ def _flash_window_forward(
   )(lower_col, qh, kh, vh)
 
   out = jnp.transpose(out, (0, 2, 1, 3))
-  return out[:, :seq_len, :, :head_dim]
+  return out[:, :seq_len, :, :head_dim], lse
+
+
+def _dq_kernel(
+    lower_ref,   # [1, 1, bq, 1]
+    lse_ref,     # [1, 1, 1, bq, 1]
+    delta_ref,   # [1, 1, 1, bq, 1]   rowsum(dO * O)
+    q_ref,       # [1, 1, bq, h]
+    do_ref,      # [1, 1, bq, h]
+    k_ref,       # [1, bk, h]
+    v_ref,       # [1, bk, h]
+    dq_ref,      # [1, 1, bq, h]
+    dq_scr,      # [bq, h] f32
+    *,
+    window: int,
+    scale: float,
+    num_kv_steps: int,
+    out_dtype,
+):
+  """dq for one q tile, streaming the same KV band as the forward."""
+  q_block = pl.program_id(2)
+  kv_step = pl.program_id(3)
+  q_start = q_block * _BLOCK_Q
+  kb = _first_kv_block(q_block, window) + kv_step
+  k_start = kb * _BLOCK_K
+
+  @pl.when(kv_step == 0)
+  def _init():
+    dq_scr[...] = jnp.zeros_like(dq_scr)
+
+  @pl.when(k_start <= q_start + _BLOCK_Q - 1)
+  def _compute():
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    qp_col = q_start + jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_Q, 1), 0)
+    kp_row = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (_BLOCK_Q, _BLOCK_K), 1
+    )
+    lower_col = lower_ref[0, 0]
+    mask = (kp_row >= lower_col) & (kp_row <= qp_col)
+
+    p = jnp.exp(s - lse_ref[0, 0, 0])
+    p = jnp.where(mask, p, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0, 0]) * scale
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+  @pl.when(kv_step == num_kv_steps - 1)
+  def _finalize():
+    dq_ref[0, 0] = dq_scr[...].astype(out_dtype)
+
+
+def _dkv_kernel(
+    lower_ref,   # [1, 1, 1, bq]     (row orientation)
+    lse_ref,     # [1, 1, 1, 1, bq]
+    delta_ref,   # [1, 1, 1, 1, bq]
+    q_ref,       # [1, 1, bq, h]
+    do_ref,      # [1, 1, bq, h]
+    k_ref,       # [1, bk, h]
+    v_ref,       # [1, bk, h]
+    dk_ref,      # [1, 1, bk, h]   per-head partial
+    dv_ref,      # [1, 1, bk, h]
+    dk_scr,      # [bk, h] f32
+    dv_scr,      # [bk, h] f32
+    *,
+    window: int,
+    scale: float,
+    num_q_steps: int,
+    num_q_blocks: int,
+    out_dtype,
+):
+  """dk/dv for one kv tile (one head), streaming its visible q tiles.
+
+  Works in the transposed orientation [bk, bq]: keys on sublanes, queries
+  on lanes, so the per-query lower/lse/delta vectors load as cheap row
+  broadcasts (the forward's lane→sublane transpose lesson, in reverse).
+  """
+  kv_block = pl.program_id(2)
+  q_step = pl.program_id(3)
+  k_start = kv_block * _BLOCK_K
+  qb = kv_block * _BLOCK_K // _BLOCK_Q + q_step
+  q_start = qb * _BLOCK_Q
+
+  @pl.when(q_step == 0)
+  def _init():
+    dk_scr[...] = jnp.zeros_like(dk_scr)
+    dv_scr[...] = jnp.zeros_like(dv_scr)
+
+  # Visible iff some (q, k) pair in the tile satisfies k <= q <= k + window.
+  @pl.when((qb <= num_q_blocks - 1)
+           & (q_start + _BLOCK_Q - 1 >= k_start)
+           & (q_start <= k_start + _BLOCK_K - 1 + window))
+  def _compute():
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    # s_T[k, q] — transposed logits.
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    kp_col = k_start + jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_K, 1), 0)
+    qp_row = q_start + jax.lax.broadcasted_iota(
+        jnp.int32, (_BLOCK_K, _BLOCK_Q), 1
+    )
+    lower_row = lower_ref[0, 0]                 # [1, bq]
+    mask = (kp_col >= lower_row) & (kp_col <= qp_row)
+
+    p_t = jnp.exp(s_t - lse_ref[0, 0, 0])       # lse broadcasts [1, bq]
+    p_t = jnp.where(mask, p_t, 0.0)
+
+    dv_scr[...] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_t = p_t * (dp_t - delta_ref[0, 0, 0]) * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+  @pl.when(q_step == num_q_steps - 1)
+  def _finalize():
+    dk_ref[0, 0] = dk_scr[...].astype(out_dtype)
+    dv_ref[0, 0] = dv_scr[...].astype(out_dtype)
+
+
+def _flash_window_backward(
+    q: jax.Array,            # [b, t, n, h]
+    k: jax.Array,            # [b, t, 1, h]
+    v: jax.Array,            # [b, t, 1, h]
+    segment_pos: jax.Array,  # [b, t]
+    o: jax.Array,            # [b, t, n, h] forward outputs
+    lse: jax.Array,          # [b, n, t_pad, 1] f32 from the forward
+    g: jax.Array,            # [b, t, n, h] output cotangent
+    window: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+  batch, seq_len, num_heads, head_dim = q.shape
+  q_dtype, k_dtype, v_dtype = q.dtype, k.dtype, v.dtype
+  scale = head_dim**-0.5
+
+  # delta[b, n, t] = rowsum(dO * O): the softmax-jacobian diagonal term.
+  delta = jnp.einsum(
+      "btnh,btnh->bnt", g.astype(jnp.float32), o.astype(jnp.float32)
+  )
+
+  q, k, v, lower, t_pad = _pad_and_lower(q, k, v, segment_pos, window)
+  pad_t = t_pad - seq_len
+  if pad_t:
+    g = jnp.pad(g, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_t)))
+  h_pad = q.shape[-1] - head_dim
+  if h_pad:
+    g = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (0, h_pad)))
+
+  qh = jnp.transpose(q, (0, 2, 1, 3))   # [b, n, t, h]
+  gh = jnp.transpose(g, (0, 2, 1, 3))
+  hd = qh.shape[-1]
+  kh = k[:, :, 0, :]
+  vh = v[:, :, 0, :]
+  nqb = t_pad // _BLOCK_Q
+  nkb = t_pad // _BLOCK_K
+
+  lower_col = lower.reshape(batch, nqb, _BLOCK_Q, 1)
+  lse_col = lse.reshape(batch, num_heads, nqb, _BLOCK_Q, 1)
+  delta_col = delta.reshape(batch, num_heads, nqb, _BLOCK_Q, 1)
+  lower_row = lower.reshape(batch, nqb, 1, _BLOCK_Q)
+  lse_row = lse.reshape(batch, num_heads, nqb, 1, _BLOCK_Q)
+  delta_row = delta.reshape(batch, num_heads, nqb, 1, _BLOCK_Q)
+
+  num_kv_steps = min(window // _BLOCK_K + _BLOCK_Q // _BLOCK_K + 1, nkb)
+
+  def kv_index(i, j):
+    return jnp.minimum(_first_kv_block(i, window) + j, nkb - 1)
+
+  dq = pl.pallas_call(
+      functools.partial(
+          _dq_kernel,
+          window=window,
+          scale=scale,
+          num_kv_steps=num_kv_steps,
+          out_dtype=q_dtype,
+      ),
+      grid=(batch, num_heads, nqb, num_kv_steps),
+      in_specs=[
+          pl.BlockSpec((1, 1, _BLOCK_Q, 1),
+                       lambda b, n, i, j: (b, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, 1, _BLOCK_Q, 1),
+                       lambda b, n, i, j: (b, n, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, 1, _BLOCK_Q, 1),
+                       lambda b, n, i, j: (b, n, i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, kv_index(i, j), 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, kv_index(i, j), 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec(
+          (1, 1, _BLOCK_Q, hd), lambda b, n, i, j: (b, n, i, 0),
+          memory_space=pltpu.VMEM,
+      ),
+      out_shape=jax.ShapeDtypeStruct(
+          (batch, num_heads, t_pad, hd), q_dtype
+      ),
+      scratch_shapes=[pltpu.VMEM((_BLOCK_Q, hd), jnp.float32)],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary",
+                               "arbitrary"),
+      ),
+  )(lower_col, lse_col, delta_col, qh, gh, kh, vh)
+
+  # Each kv tile is visible to the q tiles covering [k_start, k_end+window].
+  num_q_steps = min(window // _BLOCK_Q + _BLOCK_K // _BLOCK_Q + 1, nqb)
+
+  def q_index(i, j):
+    return jnp.minimum(i * _BLOCK_K // _BLOCK_Q + j, nqb - 1)
+
+  dk_heads, dv_heads = pl.pallas_call(
+      functools.partial(
+          _dkv_kernel,
+          window=window,
+          scale=scale,
+          num_q_steps=num_q_steps,
+          num_q_blocks=nqb,
+          out_dtype=jnp.float32,
+      ),
+      grid=(batch, num_heads, nkb, num_q_steps),
+      in_specs=[
+          pl.BlockSpec((1, 1, 1, _BLOCK_Q),
+                       lambda b, n, i, j: (b, q_index(i, j), 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, 1, 1, _BLOCK_Q),
+                       lambda b, n, i, j: (b, n, q_index(i, j), 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, 1, 1, _BLOCK_Q),
+                       lambda b, n, i, j: (b, n, q_index(i, j), 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, q_index(i, j), 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, q_index(i, j), 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, i, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec(
+              (1, 1, _BLOCK_K, hd), lambda b, n, i, j: (b, n, i, 0),
+              memory_space=pltpu.VMEM,
+          ),
+          pl.BlockSpec(
+              (1, 1, _BLOCK_K, hd), lambda b, n, i, j: (b, n, i, 0),
+              memory_space=pltpu.VMEM,
+          ),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct(
+              (batch, num_heads, t_pad, hd), jnp.float32
+          ),
+          jax.ShapeDtypeStruct(
+              (batch, num_heads, t_pad, hd), jnp.float32
+          ),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((_BLOCK_K, hd), jnp.float32),
+          pltpu.VMEM((_BLOCK_K, hd), jnp.float32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary",
+                               "arbitrary"),
+      ),
+  )(lower_row, lse_row, delta_row, qh, gh, kh, vh)
+
+  # The single KV head is shared across query heads (MQA): reduce.
+  dk = jnp.sum(dk_heads, axis=1)[:, :, None, :]
+  dv = jnp.sum(dv_heads, axis=1)[:, :, None, :]
+
+  dq = jnp.transpose(dq, (0, 2, 1, 3))[:, :seq_len, :, :head_dim]
+  dk = dk[:, :seq_len, :, :head_dim].astype(k_dtype)
+  dv = dv[:, :seq_len, :, :head_dim].astype(v_dtype)
+  return dq, dk, dv
 
 
 def _reference_attention(q, k, v, segment_pos, window):
@@ -258,24 +601,19 @@ def flash_window_attention(q, k, v, segment_pos, window: int):
   Returns:
     [b, t, n, h] attention outputs in ``q.dtype``.
   """
-  return _flash_window_forward(q, k, v, segment_pos, window)
+  return _flash_window_forward(q, k, v, segment_pos, window)[0]
 
 
 def _fwd(q, k, v, segment_pos, window):
-  return _flash_window_forward(q, k, v, segment_pos, window), (
-      q, k, v, segment_pos,
-  )
+  out, lse = _flash_window_forward(q, k, v, segment_pos, window)
+  return out, (q, k, v, segment_pos, out, lse)
 
 
 def _bwd(window, residuals, g):
-  q, k, v, segment_pos = residuals
-  _, vjp = jax.vjp(
-      lambda q_, k_, v_: _reference_attention(
-          q_, k_, v_, segment_pos, window
-      ),
-      q, k, v,
+  q, k, v, segment_pos, o, lse = residuals
+  dq, dk, dv = _flash_window_backward(
+      q, k, v, segment_pos, o, lse, g, window
   )
-  dq, dk, dv = vjp(g)
   return dq, dk, dv, None
 
 

@@ -48,22 +48,82 @@ class TestFlashWindowAttention:
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.04
     )
 
-  def test_gradients_match_reference(self):
-    q, k, v, seg = _inputs(1, 128, 2, 128)
+  @pytest.mark.parametrize(
+      "t,window,docs",
+      [(128, 64, False), (256, 64, True), (300, 128, True)],
+  )
+  def test_gradients_match_reference(self, t, window, docs):
+    """The Pallas backward (dq + dkv kernels) vs autodiff of the einsum."""
+    q, k, v, seg = _inputs(1, t, 2, 128, docs=docs)
 
     def loss_flash(q, k, v):
-      with pltpu.force_tpu_interpret_mode():
-        out = fa.flash_window_attention(q, k, v, seg, 64)
+      out = fa.flash_window_attention(q, k, v, seg, window)
       return jnp.sum(out.astype(jnp.float32) ** 2)
 
     def loss_ref(q, k, v):
-      out = fa._reference_attention(q, k, v, seg, 64)
+      out = fa._reference_attention(q, k, v, seg, window)
       return jnp.sum(out.astype(jnp.float32) ** 2)
 
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # The context must cover grad tracing too: the custom-vjp backward (its
+    # own pallas_calls) is traced outside the forward call.
+    with pltpu.force_tpu_interpret_mode():
+      gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
-      np.testing.assert_allclose(a, b, atol=2e-5)
+      np.testing.assert_allclose(a, b, atol=3e-5)
+
+  def test_gradients_bf16(self):
+    q, k, v, seg = _inputs(1, 256, 2, 128, dtype=jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+      out = fa.flash_window_attention(q, k, v, seg, 64)
+      return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+      # fp32 reference on the same bf16 inputs: the oracle for what the
+      # bf16 kernel should approximate.
+      out = fa._reference_attention(
+          q.astype(jnp.float32), k.astype(jnp.float32),
+          v.astype(jnp.float32), seg, 64,
+      )
+      return jnp.sum(out ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+      gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+      a32 = np.asarray(a, np.float32)
+      b32 = np.asarray(b, np.float32)
+      np.testing.assert_allclose(
+          a32, b32, atol=0.15 * np.abs(b32).max()
+      )
+
+  def test_gradients_with_left_padding(self):
+    """Pad rows (segment_pos == -1) get zero grads; real rows match."""
+    b, t, window = 2, 256, 64
+    q, k, v, _ = _inputs(b, t, 2, 128)
+    pad = jnp.array([[0], [37]])  # row 1 left-padded by 37
+    idx = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (b, 1))
+    seg = jnp.maximum(idx - pad, -1)
+    real = (seg >= 0)[..., None, None]
+
+    def loss_flash(q, k, v):
+      out = fa.flash_window_attention(q, k, v, seg, window)
+      return jnp.sum(jnp.where(real, out.astype(jnp.float32), 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+      out = fa._reference_attention(q, k, v, seg, window)
+      return jnp.sum(jnp.where(real, out.astype(jnp.float32), 0.0) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+      gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+      np.testing.assert_allclose(a, b, atol=3e-5)
+    # Pad-position q grads are exactly zero.
+    np.testing.assert_array_equal(
+        np.asarray(gf[0][1, :37]), np.zeros_like(gf[0][1, :37])
+    )
 
   def test_attention_block_flash_path_matches_einsum(self):
     """The module's flash path == its einsum path on the same params."""
