@@ -309,6 +309,16 @@ def bench_reference():
 
 
 def main():
+  # Kernel numerics on the real hardware first (tiling/layout bugs don't
+  # show in CPU interpret mode; a kernel can be fast and wrong).
+  try:
+    import verify_kernels
+
+    kernel_results = verify_kernels.run()
+  except Exception as e:
+    kernel_results = {
+        "kernel_numerics_ok": False, "kernel_check_error": repr(e)[:200]
+    }
   (
       ours_tps,
       ours_ttft_ms,
@@ -360,6 +370,7 @@ def main():
           "same prompt, directly comparable to ttft_text_ms."
       ),
   }
+  result.update(kernel_results)
   print(json.dumps(result))
 
 

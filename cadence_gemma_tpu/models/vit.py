@@ -48,6 +48,11 @@ class ViTConfig:
   num_prefix_tokens: int = 0   # cls + register tokens
   use_layer_scale: bool = False
   output_layer: int | None = None  # block index whose output is returned
+  # MLP activation variant: SigLIP was trained with tanh-approximated GELU
+  # (big_vision's flax default; HF SiglipConfig hidden_act =
+  # "gelu_pytorch_tanh"), DINOv2 with exact GELU (facebookresearch/dinov2
+  # uses torch nn.GELU). Mixing them up drifts features through 23 blocks.
+  gelu_approximate: bool = False
 
   @property
   def grid(self) -> int:
@@ -70,6 +75,7 @@ SIGLIP_SO400M_384 = ViTConfig(
     num_prefix_tokens=0,
     use_layer_scale=False,
     output_layer=22,
+    gelu_approximate=True,
 )
 DINOV2_LARGE_REG4_384 = ViTConfig(
     embed_dim=1024,
@@ -138,7 +144,7 @@ class ViTBlock(nn.Module):
         cfg.mlp_hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
         name="mlp_fc1",
     )(h)
-    h = nn.gelu(h, approximate=False)
+    h = nn.gelu(h, approximate=cfg.gelu_approximate)
     h = nn.Dense(
         cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
         name="mlp_fc2",
