@@ -370,6 +370,70 @@ def bench_fused_image_ttft(prompt_len=128, reps=6):
   }))
 
 
+def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
+  """Long-context SFT step: 4x-window sequences through the flash kernels.
+
+  With the Pallas flash backward, activation memory is O(t * window): an
+  8k-token frozen-connector step fits and runs; the einsum path would
+  materialize [b, n, t, t] fp32 logits (10 GB/layer at 8k) in the backward
+  and cannot (``use_flash=False`` measures it for contrast if it fits).
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.training import trainer
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, use_flash_attention=use_flash)
+  tokens0 = jnp.ones((batch, 8), jnp.int32)
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+  )
+  params = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes
+  )["params"]
+  optimizer = trainer.make_optimizer(1e-4)
+  opt_state = optimizer.init(params["vl_connector"])
+
+  def make_batch(seed):
+    k = jax.random.PRNGKey(seed)
+    tokens = jax.random.randint(k, (batch, seq_len), 3, 1000, jnp.int32)
+    mask = jnp.ones((batch, seq_len), jnp.bool_)
+    img = jax.random.normal(
+        jax.random.fold_in(k, 1),
+        (batch, config.vision_tokens, config.vision_width),
+        jnp.bfloat16,
+    )
+    return tokens, mask, img
+
+  def step(seed, p, o):
+    tokens, mask, img = make_batch(seed)
+    loss, p, o = trainer.frozen_train_step(
+        model, p, optimizer, o, 0, tokens, mask, img
+    )
+    return loss, p, o
+
+  loss, params, opt_state = step(0, params, opt_state)  # compile
+  _sync(loss)
+  times = []
+  for i in range(3):
+    t0 = time.perf_counter()
+    loss, params, opt_state = step(i + 1, params, opt_state)
+    _sync(loss)
+    times.append(time.perf_counter() - t0)
+  dt = statistics.median(times)
+  total = batch * (seq_len + 729)
+  print(json.dumps({
+      "metric": "longcontext_sft_step_ms",
+      "value": round(dt * 1e3, 2),
+      "unit": f"ms/step (batch={batch}, seq={seq_len}+729 visual)",
+      "tokens_per_sec": round(total / dt, 0),
+      "attention": "flash fwd+bwd Pallas" if use_flash is not False
+                   else "einsum",
+  }))
+
+
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"
   if which in ("all", "fused"):
@@ -384,3 +448,7 @@ if __name__ == "__main__":
     bench_long_window_prefill()
   if which in ("all", "sft"):
     bench_sft_step()
+  if which in ("all", "longsft"):
+    bench_longcontext_sft()
+  if which == "longsft_einsum":
+    bench_longcontext_sft(use_flash=False)

@@ -47,6 +47,7 @@ class Griffin(nn.Module):
   scan_sharding_spec: scan.ShardingSpec | None = None
   gradient_checkpointing: bool = True
   quantized: bool = False
+  use_flash_attention: bool | None = None  # None = auto (t > window on TPU)
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.bfloat16
 
@@ -77,6 +78,7 @@ class Griffin(nn.Module):
             final_w_init_variance_scale=2.0 / self.config.num_layers,
             quantized=self.quantized,
             scan_sharding_spec=self.scan_sharding_spec,
+            use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -128,6 +130,7 @@ class Griffin(nn.Module):
       return_cache: bool = True,
       image: at.Image | None = None,
       last_logits_only: bool = False,
+      return_hidden: bool = False,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     """Runs the model over ``tokens`` (optionally with spliced image tokens).
 
@@ -145,6 +148,12 @@ class Griffin(nn.Module):
         first-token logits (one weights read instead of the reference's
         bulk-prefill + last-token split), without materializing the
         [b, t, vocab] logits tensor.
+      return_hidden: Return the final-normed hidden states [b, t, width]
+        instead of logits (the vocabulary projection is skipped). Used by
+        the trainer's chunked loss, which decodes time-chunks through
+        :meth:`decode_hidden` so the [b, t, vocab] tensor never exists —
+        at 8k tokens and 256k vocab that tensor is 4-8 GB and is what
+        actually bounds long-context training memory (not attention).
 
     Returns:
       ``(logits | None, cache | None)``; logits include positions for the
@@ -177,12 +186,23 @@ class Griffin(nn.Module):
     if last_logits_only:
       x = x[:, -1:]
     x = self.final_norm(x)
-    logits = self.embedder.decode(x)
+    if return_hidden:
+      return x, (new_cache if return_cache else None)
+    logits = self.decode_hidden(x)
+
+    return logits, (new_cache if return_cache else None)
+
+  def decode_hidden(self, hidden: at.Activations) -> at.TokenLogits:
+    """Final-normed hidden states → soft-capped vocabulary logits.
+
+    Public so the trainer can decode time-chunks of a ``return_hidden``
+    forward (``model.apply(vars, h, method="decode_hidden")``).
+    """
+    logits = self.embedder.decode(hidden)
     cap = self.config.logits_soft_cap
     if cap:
       logits = jnp.tanh(logits / cap) * cap
-
-    return logits, (new_cache if return_cache else None)
+    return logits
 
   def init_cache(self, batch_size: int, dtype: at.dtype) -> Cache:
     """Empty per-layer caches (O(1) memory in sequence length)."""

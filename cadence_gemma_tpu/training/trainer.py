@@ -44,6 +44,11 @@ def get_positions(tokens: jax.Array, pad_id: int) -> jax.Array:
   return positions - (positions >= 1)
 
 
+# Sequences longer than this compute the loss in time-chunks of this size;
+# below it, one chunk == the whole sequence (identical math either way).
+_VOCAB_CHUNK = 2048
+
+
 def forward_and_loss_fn(
     params: Params,
     *,
@@ -52,9 +57,19 @@ def forward_and_loss_fn(
     input_mask: jax.Array,
     positions: jax.Array,
     image: jax.Array | None = None,
+    vocab_chunk_size: int | None = None,
 ) -> jax.Array:
-  """Masked next-token NLL, with zero loss on spliced visual positions."""
-  logits, _ = model.apply(
+  """Masked next-token NLL, with zero loss on spliced visual positions.
+
+  The [b, t, vocab] logits tensor is never materialized: the model returns
+  final hidden states and the vocabulary projection + log-softmax + gather
+  run per time-chunk (``lax.map`` + remat), so loss memory is
+  O(b * chunk * vocab) — at 8k tokens and 256k vocab the full tensor is
+  4-8 GB and dominates long-context training memory, beating attention to
+  the OOM (measured; the reference loss materializes it AND a one-hot of
+  the same shape, ``train_jax.py:391-407``).
+  """
+  hidden, _ = model.apply(
       {"params": params},
       input_tokens,
       positions,
@@ -62,26 +77,52 @@ def forward_and_loss_fn(
       return_logits=True,
       return_cache=False,
       image=image,
+      return_hidden=True,
   )
   # The last step has no target; the first token is never predicted.
-  logits = logits[:, :-1]
+  hidden = hidden[:, :-1]
   targets = input_tokens[:, 1:]
   target_mask = input_mask[:, 1:]
-
-  one_hot = jax.nn.one_hot(targets, logits.shape[-1])
-  one_hot = one_hot * target_mask.astype(one_hot.dtype)[..., None]
-  norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
 
   if image is not None:
     # Visual tokens sit between BOS and the text: pad the targets to line up
     # and contribute no loss.
-    n_img = logits.shape[1] - one_hot.shape[1]
-    zeros = jnp.zeros(
-        (logits.shape[0], n_img, logits.shape[-1]), dtype=one_hot.dtype
-    )
-    one_hot = jnp.concatenate([zeros, one_hot], axis=1)
+    n_img = hidden.shape[1] - targets.shape[1]
+    targets = jnp.pad(targets, ((0, 0), (n_img, 0)))
+    target_mask = jnp.pad(target_mask, ((0, 0), (n_img, 0)))
 
-  return -jnp.sum(jax.nn.log_softmax(logits) * one_hot) * norm
+  norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
+
+  batch, t, width = hidden.shape
+  chunk = min(vocab_chunk_size or _VOCAB_CHUNK, t)
+  pad = -t % chunk
+  if pad:
+    hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+    targets = jnp.pad(targets, ((0, 0), (0, pad)))
+    target_mask = jnp.pad(target_mask, ((0, 0), (0, pad)))
+  n_chunks = (t + pad) // chunk
+
+  def chunk_nll(args):
+    h, tgt, m = args
+    logits = model.apply(
+        {"params": params}, h, method="decode_hidden"
+    ).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits)
+    picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return -jnp.sum(picked * m.astype(picked.dtype))
+
+  xs = (
+      hidden.reshape(batch, n_chunks, chunk, width).swapaxes(0, 1),
+      targets.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
+      target_mask.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
+  )
+  if n_chunks == 1:
+    total = chunk_nll(jax.tree_util.tree_map(lambda x: x[0], xs))
+  else:
+    # Sequential over chunks; remat makes the backward recompute each
+    # chunk's logits instead of saving them all.
+    total = jnp.sum(jax.lax.map(jax.checkpoint(chunk_nll), xs))
+  return total * norm
 
 
 @functools.partial(

@@ -77,6 +77,30 @@ class TestLoss:
     expected = -(picked * mask[:, 1:]).sum() / mask[:, 1:].sum()
     np.testing.assert_allclose(loss, expected, rtol=1e-5)
 
+  @pytest.mark.parametrize("with_image", [False, True])
+  def test_chunked_loss_matches_single_chunk(self, setup, with_image):
+    """Time-chunked vocab loss (values AND grads) == whole-sequence loss.
+
+    t=6 (+2 visual) with chunk 3 forces multiple chunks and tail padding.
+    """
+    config, model, params = setup
+    tokens, mask, img = _batch(config)
+    img = img if with_image else None
+    positions = trainer.get_positions(tokens, 0)
+
+    def loss(p, chunk):
+      return trainer.forward_and_loss_fn(
+          p, model=model, input_tokens=tokens, input_mask=mask,
+          positions=positions, image=img, vocab_chunk_size=chunk,
+      )
+
+    v1, g1 = jax.value_and_grad(loss)(params, 1024)
+    v3, g3 = jax.value_and_grad(loss)(params, 3)
+    np.testing.assert_allclose(v1, v3, rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5), g1, g3
+    )
+
   def test_multimodal_loss_finite_and_image_sensitive(self, setup):
     config, model, params = setup
     tokens, mask, img = _batch(config)
