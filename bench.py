@@ -246,7 +246,17 @@ def bench_ours():
   tps_int8, ttft_mm_int8 = _bench_sampler(
       sq, make_args_text, "ours int8 (multimodal prefill)", overhead
   )
-  return tps, ttft_mm, ttft_text, tps_int8, ttft_mm_int8
+
+  # int8 text prefill: a 128-token prefill is dominated by streaming the
+  # weights once (bf16: ~5 GB / 820 GB/s ≈ 6.2 ms of the ~8 ms TTFT), so
+  # int8 weights cut TTFT roughly in half — decode and TTFT quantize alike.
+  def make_args_text_only(seed):
+    return (_rand_tokens(seed),)
+
+  _, ttft_text_int8 = _bench_sampler(
+      sq, make_args_text_only, "ours int8 (text prefill)", overhead
+  )
+  return tps, ttft_mm, ttft_text, tps_int8, ttft_mm_int8, ttft_text_int8
 
 
 def bench_reference():
@@ -325,6 +335,7 @@ def main():
       ours_text_ttft_ms,
       int8_tps,
       int8_ttft_ms,
+      int8_text_ttft_ms,
   ) = bench_ours()
   try:
     ref_tps, ref_ttft_ms = bench_reference()
@@ -347,6 +358,7 @@ def main():
       "ttft_ms": round(ours_ttft_ms, 2),
       "ttft_ms_int8": round(int8_ttft_ms, 2),
       "ttft_text_ms": round(ours_text_ttft_ms, 2),
+      "ttft_text_ms_int8": round(int8_text_ttft_ms, 2),
       "reference_decode_tps": round(ref_tps, 2) if ref_tps else None,
       "reference_text_ttft_ms": (
           round(ref_ttft_ms, 2) if ref_ttft_ms else None
@@ -354,6 +366,11 @@ def main():
       "ttft_text_vs_reference": (
           round(ref_ttft_ms / ours_text_ttft_ms, 3)
           if ref_ttft_ms and ours_text_ttft_ms
+          else None
+      ),
+      "ttft_text_int8_vs_reference": (
+          round(ref_ttft_ms / int8_text_ttft_ms, 3)
+          if ref_ttft_ms and int8_text_ttft_ms
           else None
       ),
       "notes": (

@@ -33,6 +33,7 @@ from cadence_gemma_tpu import common
 from cadence_gemma_tpu.models import layers
 from cadence_gemma_tpu.ops import pallas_attention
 from cadence_gemma_tpu.ops import scan
+from cadence_gemma_tpu.parallel import sp_attention
 
 # Large negative fill for masked logits; fits comfortably in float32 while
 # being far below any real logit (matches the reference constant,
@@ -260,6 +261,7 @@ class LocalAttentionBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   use_flash_attention: bool | None = None
+  sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -332,6 +334,24 @@ class LocalAttentionBlock(nn.Module):
           if return_cache
           else None
       )
+      spec = self.sharding_spec
+      if (
+          spec is not None
+          and sp_attention.can_sequence_shard(spec, t, self.window_size)
+          and _should_use_flash_attention(
+              t // spec.mesh.shape[spec.sequence_axis_name],
+              self.window_size,
+              self.use_flash_attention,
+          )
+      ):
+        # Sequence-parallel prefill/training: halo exchange + local flash
+        # kernel under shard_map (auto-spmd cannot partition a Pallas call
+        # and would replicate it; the einsum path would all-gather full KV).
+        encoded = sp_attention.sequence_sharded_attention(
+            queries, keys, values, segment_pos, self.window_size, spec
+        )
+        encoded = einops.rearrange(encoded, "... n h -> ... (n h)")
+        return self.proj_final(encoded), new_cache
       if _should_use_flash_attention(
           t, self.window_size, self.use_flash_attention
       ):
@@ -578,6 +598,7 @@ class ResidualBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
+  use_flash_attention: bool | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -606,6 +627,8 @@ class ResidualBlock(nn.Module):
           window_size=self.attention_window_size,
           final_w_init_variance_scale=self.final_w_init_variance_scale,
           quantized=self.quantized,
+          use_flash_attention=self.use_flash_attention,
+          sharding_spec=self.scan_sharding_spec,
           name="attention_block",
           dtype=self.dtype,
           param_dtype=self.param_dtype,

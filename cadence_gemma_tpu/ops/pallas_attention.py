@@ -59,8 +59,13 @@ def _round_up(v: int, m: int) -> int:
   return ((v + m - 1) // m) * m
 
 
-def _first_kv_block(q_block, window: int):
-  return jnp.maximum(q_block * _BLOCK_Q - window, 0) // _BLOCK_K
+def _first_kv_block(q_block, window: int, q_offset: int = 0):
+  return jnp.maximum(q_block * _BLOCK_Q + q_offset - window, 0) // _BLOCK_K
+
+
+def _first_q_block(kv_block, q_offset: int = 0):
+  """First q tile whose rows can (causally) see kv tile ``kv_block``."""
+  return jnp.maximum(kv_block * _BLOCK_K - q_offset, 0) // _BLOCK_Q
 
 
 def _attn_kernel(
@@ -78,11 +83,15 @@ def _attn_kernel(
     scale: float,
     num_kv_steps: int,
     out_dtype,
+    q_offset: int = 0,
 ):
   q_block = pl.program_id(2)
   kv_step = pl.program_id(3)
-  q_start = q_block * _BLOCK_Q
-  kb = _first_kv_block(q_block, window) + kv_step
+  # All positions live in the KV-array frame: query i sits at q_offset + i
+  # (q_offset > 0 when the keys carry a leading halo, e.g. the
+  # sequence-parallel shards' previous-window exchange).
+  q_start = q_block * _BLOCK_Q + q_offset
+  kb = _first_kv_block(q_block, window, q_offset) + kv_step
   k_start = kb * _BLOCK_K
 
   @pl.when(kv_step == 0)
@@ -144,8 +153,16 @@ def _attn_kernel(
     o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
 
 
-def _pad_and_lower(q, k, v, segment_pos, window):
-  """Shared fwd/bwd prep: pad to tile multiples, per-query lower bounds."""
+def _pad_and_lower(q, k, v, segment_pos, window, kv_prefix=0):
+  """Shared fwd/bwd prep: pad to tile multiples, per-query lower bounds.
+
+  ``kv_prefix`` leading keys/values precede the queries (the SP halo); all
+  position math runs in the KV-array frame where query ``i`` sits at
+  ``kv_prefix + i``. A query whose document starts within or before the
+  halo keeps its usual ``max(window start, doc start)`` lower bound — for
+  the first shard (no halo neighbor) document starts land at the halo
+  boundary, masking the halo's zero-filled entries automatically.
+  """
   batch, seq_len, _, head_dim = q.shape
   t_pad = _round_up(seq_len, max(_BLOCK_Q, _BLOCK_K))
   pad_t = t_pad - seq_len
@@ -157,34 +174,56 @@ def _pad_and_lower(q, k, v, segment_pos, window):
 
   # Per-query first visible key: max(doc start, window start). Padded /
   # left-pad rows (segment_pos < 0 or beyond seq_len) get an empty range.
-  positions = jnp.arange(t_pad, dtype=jnp.int32)[None]
+  positions = kv_prefix + jnp.arange(t_pad, dtype=jnp.int32)[None]
   if pad_t:
     segment_pos = jnp.pad(segment_pos, ((0, 0), (0, pad_t)),
                           constant_values=-1)
   doc_start = positions - segment_pos.astype(jnp.int32)
   lower = jnp.maximum(positions - window, doc_start)
-  lower = jnp.where(segment_pos < 0, t_pad + 1, lower)  # pads see nothing
+  lower = jnp.where(segment_pos < 0, kv_prefix + t_pad + 1, lower)
   lower = jnp.broadcast_to(lower, (batch, t_pad))
+  return q, k, v, lower, t_pad
+
+
+def _split_qkv_pad(q, k, v, segment_pos, window, kv_prefix):
+  """Separates the KV halo, pads bodies to tiles, re-attaches the halo."""
+  if kv_prefix:
+    assert kv_prefix % max(_BLOCK_Q, _BLOCK_K) == 0, kv_prefix
+    halo_k, k = k[:, :kv_prefix], k[:, kv_prefix:]
+    halo_v, v = v[:, :kv_prefix], v[:, kv_prefix:]
+  q, k, v, lower, t_pad = _pad_and_lower(
+      q, k, v, segment_pos, window, kv_prefix
+  )
+  if kv_prefix:
+    if k.shape[-1] != halo_k.shape[-1]:
+      h_pad = k.shape[-1] - halo_k.shape[-1]
+      halo_k = jnp.pad(halo_k, ((0, 0), (0, 0), (0, 0), (0, h_pad)))
+      halo_v = jnp.pad(halo_v, ((0, 0), (0, 0), (0, 0), (0, h_pad)))
+    k = jnp.concatenate([halo_k, k], axis=1)
+    v = jnp.concatenate([halo_v, v], axis=1)
   return q, k, v, lower, t_pad
 
 
 def _flash_window_forward(
     q: jax.Array,       # [b, t, n, h]
-    k: jax.Array,       # [b, t, 1, h]
-    v: jax.Array,       # [b, t, 1, h]
+    k: jax.Array,       # [b, kv_prefix + t, 1, h]
+    v: jax.Array,       # [b, kv_prefix + t, 1, h]
     segment_pos: jax.Array,  # [b, t] within-document positions
     window: int,
+    kv_prefix: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
   """Returns ([b, t, n, h] outputs, [b, n, t_pad, 1] f32 logsumexp)."""
   batch, seq_len, num_heads, head_dim = q.shape
   out_dtype = q.dtype
   scale = head_dim**-0.5
 
-  q, k, v, lower, t_pad = _pad_and_lower(q, k, v, segment_pos, window)
+  q, k, v, lower, t_pad = _split_qkv_pad(
+      q, k, v, segment_pos, window, kv_prefix
+  )
 
   qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
   hd = qh.shape[-1]
-  nkb = t_pad // _BLOCK_K
+  nkb = (kv_prefix + t_pad) // _BLOCK_K
   kh = k[:, :, 0, :]
   vh = v[:, :, 0, :]
   lower_col = lower.reshape(batch, t_pad // _BLOCK_Q, _BLOCK_Q, 1)
@@ -193,7 +232,7 @@ def _flash_window_forward(
   num_kv_steps = min(window // _BLOCK_K + _BLOCK_Q // _BLOCK_K + 1, nkb)
 
   def kv_index(b, n, i, j):
-    kb = _first_kv_block(i, window) + j
+    kb = _first_kv_block(i, window, kv_prefix) + j
     return (b, jnp.minimum(kb, nkb - 1))
 
   grid = (batch, num_heads, t_pad // _BLOCK_Q, num_kv_steps)
@@ -205,6 +244,7 @@ def _flash_window_forward(
           scale=scale,
           num_kv_steps=num_kv_steps,
           out_dtype=out_dtype,
+          q_offset=kv_prefix,
       ),
       grid=grid,
       in_specs=[
@@ -267,12 +307,13 @@ def _dq_kernel(
     scale: float,
     num_kv_steps: int,
     out_dtype,
+    q_offset: int = 0,
 ):
   """dq for one q tile, streaming the same KV band as the forward."""
   q_block = pl.program_id(2)
   kv_step = pl.program_id(3)
-  q_start = q_block * _BLOCK_Q
-  kb = _first_kv_block(q_block, window) + kv_step
+  q_start = q_block * _BLOCK_Q + q_offset
+  kb = _first_kv_block(q_block, window, q_offset) + kv_step
   k_start = kb * _BLOCK_K
 
   @pl.when(kv_step == 0)
@@ -334,6 +375,7 @@ def _dkv_kernel(
     num_q_steps: int,
     num_q_blocks: int,
     out_dtype,
+    q_offset: int = 0,
 ):
   """dk/dv for one kv tile (one head), streaming its visible q tiles.
 
@@ -344,8 +386,8 @@ def _dkv_kernel(
   kv_block = pl.program_id(2)
   q_step = pl.program_id(3)
   k_start = kv_block * _BLOCK_K
-  qb = kv_block * _BLOCK_K // _BLOCK_Q + q_step
-  q_start = qb * _BLOCK_Q
+  qb = _first_q_block(kv_block, q_offset) + q_step
+  q_start = qb * _BLOCK_Q + q_offset
 
   @pl.when(q_step == 0)
   def _init():
@@ -401,16 +443,18 @@ def _dkv_kernel(
 
 def _flash_window_backward(
     q: jax.Array,            # [b, t, n, h]
-    k: jax.Array,            # [b, t, 1, h]
-    v: jax.Array,            # [b, t, 1, h]
+    k: jax.Array,            # [b, kv_prefix + t, 1, h]
+    v: jax.Array,            # [b, kv_prefix + t, 1, h]
     segment_pos: jax.Array,  # [b, t]
     o: jax.Array,            # [b, t, n, h] forward outputs
     lse: jax.Array,          # [b, n, t_pad, 1] f32 from the forward
     g: jax.Array,            # [b, t, n, h] output cotangent
     window: int,
+    kv_prefix: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
   batch, seq_len, num_heads, head_dim = q.shape
   q_dtype, k_dtype, v_dtype = q.dtype, k.dtype, v.dtype
+  kv_len = k.shape[1]
   scale = head_dim**-0.5
 
   # delta[b, n, t] = rowsum(dO * O): the softmax-jacobian diagonal term.
@@ -418,7 +462,9 @@ def _flash_window_backward(
       "btnh,btnh->bnt", g.astype(jnp.float32), o.astype(jnp.float32)
   )
 
-  q, k, v, lower, t_pad = _pad_and_lower(q, k, v, segment_pos, window)
+  q, k, v, lower, t_pad = _split_qkv_pad(
+      q, k, v, segment_pos, window, kv_prefix
+  )
   pad_t = t_pad - seq_len
   if pad_t:
     g = jnp.pad(g, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
@@ -433,7 +479,7 @@ def _flash_window_backward(
   kh = k[:, :, 0, :]
   vh = v[:, :, 0, :]
   nqb = t_pad // _BLOCK_Q
-  nkb = t_pad // _BLOCK_K
+  nkb = (kv_prefix + t_pad) // _BLOCK_K
 
   lower_col = lower.reshape(batch, nqb, _BLOCK_Q, 1)
   lse_col = lse.reshape(batch, num_heads, nqb, _BLOCK_Q, 1)
@@ -445,7 +491,7 @@ def _flash_window_backward(
   num_kv_steps = min(window // _BLOCK_K + _BLOCK_Q // _BLOCK_K + 1, nkb)
 
   def kv_index(i, j):
-    return jnp.minimum(_first_kv_block(i, window) + j, nkb - 1)
+    return jnp.minimum(_first_kv_block(i, window, kv_prefix) + j, nkb - 1)
 
   dq = pl.pallas_call(
       functools.partial(
@@ -454,6 +500,7 @@ def _flash_window_backward(
           scale=scale,
           num_kv_steps=num_kv_steps,
           out_dtype=q_dtype,
+          q_offset=kv_prefix,
       ),
       grid=(batch, num_heads, nqb, num_kv_steps),
       in_specs=[
@@ -497,7 +544,7 @@ def _flash_window_backward(
   num_q_steps = min(window // _BLOCK_Q + _BLOCK_K // _BLOCK_Q + 1, nqb)
 
   def q_index(i, j):
-    return jnp.minimum(i * _BLOCK_K // _BLOCK_Q + j, nqb - 1)
+    return jnp.minimum(_first_q_block(i, kv_prefix) + j, nqb - 1)
 
   dk_heads, dv_heads = pl.pallas_call(
       functools.partial(
@@ -507,6 +554,7 @@ def _flash_window_backward(
           num_q_steps=num_q_steps,
           num_q_blocks=nqb,
           out_dtype=jnp.float32,
+          q_offset=kv_prefix,
       ),
       grid=(batch, num_heads, nkb, num_q_steps),
       in_specs=[
@@ -544,10 +592,10 @@ def _flash_window_backward(
       ],
       out_shape=[
           jax.ShapeDtypeStruct(
-              (batch, num_heads, t_pad, hd), jnp.float32
+              (batch, num_heads, kv_prefix + t_pad, hd), jnp.float32
           ),
           jax.ShapeDtypeStruct(
-              (batch, num_heads, t_pad, hd), jnp.float32
+              (batch, num_heads, kv_prefix + t_pad, hd), jnp.float32
           ),
       ],
       scratch_shapes=[
@@ -565,8 +613,10 @@ def _flash_window_backward(
   dv = jnp.sum(dv_heads, axis=1)[:, :, None, :]
 
   dq = jnp.transpose(dq, (0, 2, 1, 3))[:, :seq_len, :, :head_dim]
-  dk = dk[:, :seq_len, :, :head_dim].astype(k_dtype)
-  dv = dv[:, :seq_len, :, :head_dim].astype(v_dtype)
+  # The KV cotangent covers the halo too (its grads flow back to the
+  # owning shard through the ppermute's transpose).
+  dk = dk[:, : kv_prefix + seq_len, :, :head_dim].astype(k_dtype)
+  dv = dv[:, : kv_prefix + seq_len, :, :head_dim].astype(v_dtype)
   return dq, dk, dv
 
 
@@ -586,33 +636,39 @@ def _reference_attention(q, k, v, segment_pos, window):
   return jnp.einsum("bnts,bsnh->btnh", probs, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_window_attention(q, k, v, segment_pos, window: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_window_attention(
+    q, k, v, segment_pos, window: int, kv_prefix: int = 0
+):
   """Windowed MQA attention; see module docstring.
 
   Args:
     q: [b, t, n, h] queries (RoPE already applied).
-    k: [b, t, 1, h] keys.
-    v: [b, t, 1, h] values.
+    k: [b, kv_prefix + t, 1, h] keys.
+    v: [b, kv_prefix + t, 1, h] values.
     segment_pos: [b, t] within-document positions (0 marks a document
       start); attention never crosses documents.
     window: The local attention window size.
+    kv_prefix: Leading keys/values that precede the queries in time — the
+      previous sequence-parallel shard's last ``window`` positions
+      (exchanged via ppermute), so each shard attends its full window
+      without gathering the whole sequence. Must be a tile multiple.
 
   Returns:
     [b, t, n, h] attention outputs in ``q.dtype``.
   """
-  return _flash_window_forward(q, k, v, segment_pos, window)[0]
+  return _flash_window_forward(q, k, v, segment_pos, window, kv_prefix)[0]
 
 
-def _fwd(q, k, v, segment_pos, window):
-  out, lse = _flash_window_forward(q, k, v, segment_pos, window)
+def _fwd(q, k, v, segment_pos, window, kv_prefix):
+  out, lse = _flash_window_forward(q, k, v, segment_pos, window, kv_prefix)
   return out, (q, k, v, segment_pos, out, lse)
 
 
-def _bwd(window, residuals, g):
+def _bwd(window, kv_prefix, residuals, g):
   q, k, v, segment_pos, o, lse = residuals
   dq, dk, dv = _flash_window_backward(
-      q, k, v, segment_pos, o, lse, g, window
+      q, k, v, segment_pos, o, lse, g, window, kv_prefix
   )
   return dq, dk, dv, None
 

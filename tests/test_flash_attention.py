@@ -125,6 +125,95 @@ class TestFlashWindowAttention:
         np.asarray(gf[0][1, :37]), np.zeros_like(gf[0][1, :37])
     )
 
+  @pytest.mark.parametrize("docs", [False, True])
+  def test_kv_prefix_matches_full_sequence(self, docs):
+    """Halo mode: queries over [prefix:], keys over the whole sequence.
+
+    Oracle: the full-sequence reference attention's rows [prefix:] — a
+    shard with its previous-window halo must reproduce them exactly, and
+    gradients must flow into the halo keys/values.
+    """
+    prefix, t, window = 128, 256, 128
+    q_full, k_full, v_full, seg_full = _inputs(
+        1, prefix + t, 2, 128, docs=docs
+    )
+    q = q_full[:, prefix:]
+    seg = seg_full[:, prefix:]
+
+    ref = fa._reference_attention(q_full, k_full, v_full, seg_full, window)
+    with pltpu.force_tpu_interpret_mode():
+      out = fa.flash_window_attention(q, k_full, v_full, seg, window,
+                                      kv_prefix=prefix)
+    np.testing.assert_allclose(out, ref[:, prefix:], atol=2e-5)
+
+    def loss_flash(q, k, v):
+      o = fa.flash_window_attention(q, k, v, seg, window, kv_prefix=prefix)
+      return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(qf, k, v):
+      o = fa._reference_attention(qf, k, v, seg_full, window)
+      return jnp.sum(o[:, prefix:].astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+      gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k_full, v_full)
+    gqf, gkr, gvr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q_full, k_full, v_full
+    )
+    np.testing.assert_allclose(gq, gqf[:, prefix:], atol=3e-5)
+    np.testing.assert_allclose(gk, gkr, atol=3e-5)  # incl. halo keys
+    np.testing.assert_allclose(gv, gvr, atol=3e-5)
+    # Gradients actually reach the halo region.
+    assert np.abs(np.asarray(gk[:, :prefix])).max() > 0
+
+  @pytest.mark.parametrize("docs", [False, True])
+  def test_sequence_sharded_matches_single_device(self, docs):
+    """Halo-exchange SP attention on a 4-way sequence mesh == unsharded."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+    from cadence_gemma_tpu.parallel import sp_attention
+
+    mesh = sh.make_mesh((1, 4), ("data", "sequence"), jax.devices()[:4])
+    spec = sh.ShardingSpec(
+        mesh=mesh, batch_axis_name="data", sequence_axis_name="sequence"
+    )
+    t, window = 1024, 128
+    q, k, v, seg = _inputs(1, t, 2, 128, docs=docs)
+    assert sp_attention.can_sequence_shard(spec, t, window)
+
+    ref = fa._reference_attention(q, k, v, seg, window)
+    with pltpu.force_tpu_interpret_mode():
+      out = sp_attention.sequence_sharded_attention(
+          q, k, v, seg, window, spec
+      )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def loss_sp(q, k, v):
+      o = sp_attention.sequence_sharded_attention(q, k, v, seg, window, spec)
+      return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+      o = fa._reference_attention(q, k, v, seg, window)
+      return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+      gs = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gs, gr):
+      np.testing.assert_allclose(a, b, atol=5e-5)
+
+  def test_can_sequence_shard_gates(self):
+    from cadence_gemma_tpu.parallel import sharding as sh
+    from cadence_gemma_tpu.parallel import sp_attention
+
+    mesh = sh.make_mesh((1, 4), ("data", "sequence"), jax.devices()[:4])
+    spec = sh.ShardingSpec(
+        mesh=mesh, batch_axis_name="data", sequence_axis_name="sequence"
+    )
+    assert sp_attention.can_sequence_shard(spec, 1024, 128)
+    assert not sp_attention.can_sequence_shard(None, 1024, 128)
+    assert not sp_attention.can_sequence_shard(spec, 1000, 128)  # indivisible
+    assert not sp_attention.can_sequence_shard(spec, 1024, 512)  # local < w
+    assert not sp_attention.can_sequence_shard(spec, 1024, 96)   # untiled w
+
   def test_attention_block_flash_path_matches_einsum(self):
     """The module's flash path == its einsum path on the same params."""
     b, t, width, window = 1, 256, 8, 64

@@ -67,6 +67,13 @@ def check_lru(dtype, t=512, d=2560, tol=None):
 
 
 def check_flash_attention(t=1024, window=256, heads=2, head_dim=128):
+  """Flash fwd + bwd vs einsum autodiff, at float32 matmul precision.
+
+  Pinned precision isolates *kernel* correctness: at the TPU's default
+  precision, fp32 matmuls run as bf16 MXU passes and the two formulations
+  round differently (~7e-3 rel on gradients, measured) even when both are
+  individually correct; at float32 precision they agree to ~1e-4.
+  """
   from cadence_gemma_tpu.ops import pallas_attention as fa
 
   key = jax.random.PRNGKey(3)
@@ -82,16 +89,17 @@ def check_flash_attention(t=1024, window=256, heads=2, head_dim=128):
       return jnp.sum(fn(q, k, v, seg, window).astype(jnp.float32) ** 2)
     return f
 
-  out_k = _get(jax.jit(
-      lambda q, k, v: fa.flash_window_attention(q, k, v, seg, window)
-  )(q, k, v))
-  out_n = _get(jax.jit(
-      lambda q, k, v: fa._reference_attention(q, k, v, seg, window)
-  )(q, k, v))
-  g_k = jax.jit(jax.grad(loss(fa.flash_window_attention),
-                         argnums=(0, 1, 2)))(q, k, v)
-  g_n = jax.jit(jax.grad(loss(fa._reference_attention),
-                         argnums=(0, 1, 2)))(q, k, v)
+  with jax.default_matmul_precision("float32"):
+    out_k = _get(jax.jit(
+        lambda q, k, v: fa.flash_window_attention(q, k, v, seg, window)
+    )(q, k, v))
+    out_n = _get(jax.jit(
+        lambda q, k, v: fa._reference_attention(q, k, v, seg, window)
+    )(q, k, v))
+    g_k = jax.jit(jax.grad(loss(fa.flash_window_attention),
+                           argnums=(0, 1, 2)))(q, k, v)
+    g_n = jax.jit(jax.grad(loss(fa._reference_attention),
+                           argnums=(0, 1, 2)))(q, k, v)
 
   errs = [np.abs(out_k - out_n).max()]
   for a, b in zip(g_k, g_n):
