@@ -99,6 +99,8 @@ class Sampler(Generic[Cache]):
       bucket_prompt_lengths: bool = True,
       reference_position_quirk: bool = False,
       prefill_chunk_size: int | None = None,
+      mesh: Any | None = None,
+      model_axis: str = "model",
   ):
     """See the class docstring.
 
@@ -121,9 +123,24 @@ class Sampler(Generic[Cache]):
         chunk sizes of 1 or the full window (``modules.py:220``); ours is
         general. Multimodal prompts fall back to single-shot (the image
         splice cannot cross chunks). None = single-shot prefill.
+      mesh: Optional device mesh for multi-chip serving: parameters are
+        placed with Megatron tensor-parallel layouts over ``model_axis``
+        (``parallel/partitioning.py``) and XLA propagates the activation
+        shardings through prefill and the decode while-loop, inserting the
+        per-layer collectives over ICI. The reference serves single-device
+        only (its sampler has no sharding story, ``jax/sampler.py:75``).
+      model_axis: Mesh axis name for the tensor-parallel layouts.
     """
     self.model = model
     self.vocab = vocab
+    if mesh is not None:
+      from cadence_gemma_tpu.parallel import partitioning
+
+      shardings = partitioning.griffin_param_shardings(
+          mesh, params, model_axis
+      )
+      params = jax.device_put(params, shardings)
+    self.mesh = mesh
     self.params = params
     self.deterministic_sampling = deterministic_sampling
     self.jit_compile = jit_compile

@@ -28,3 +28,4 @@ from cadence_gemma_tpu.torch.modules import RecurrentBlockCache
 from cadence_gemma_tpu.torch.modules import ResidualBlock
 from cadence_gemma_tpu.torch.modules import VisionLanguageConnector
 from cadence_gemma_tpu.torch.sampler import Sampler
+from cadence_gemma_tpu.torch import vit

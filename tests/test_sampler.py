@@ -288,6 +288,32 @@ class TestRegressionFixes:
       s([" ".join(["the"] * 21)], total_generation_steps=2, img_embed=img)
 
 
+class TestShardedSampler:
+
+  def test_tensor_parallel_serving_matches_single_device(self, setup):
+    """Params TP-sharded over a 2-way model axis: identical generations."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    model, vocab, params = setup
+    mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    s_tp = sampler_lib.Sampler(model, vocab, params, mesh=mesh)
+    s_one = sampler_lib.Sampler(model, vocab, params)
+    prompts = ["hello world", "the quick brown fox"]
+    a = s_tp(prompts, total_generation_steps=6, return_logits=True)
+    b = s_one(prompts, total_generation_steps=6, return_logits=True)
+    for x, y in zip(a.tokens, b.tokens):
+      np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(a.logits, b.logits):
+      np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+    # The parameters are actually distributed, not replicated.
+    flat = jax.tree_util.tree_leaves(s_tp.params)
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in flat
+        if hasattr(leaf, "sharding")
+    )
+
+
 class TestModalSampler:
 
   def test_img_embed_sampling(self, setup):
