@@ -16,8 +16,10 @@ be written once for both the real and complex paths.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, TypeVar, Union
+import functools
+from typing import Any, Callable, Sequence, TypeVar, Union
 
+import einops
 from flax import struct
 import jax
 import jax.numpy as jnp
@@ -228,15 +230,110 @@ def where(cond: jax.Array, x: RealOrComplex, y: RealOrComplex):
 
 
 def einsum(eqn: str, *args: jax.Array | Complex) -> jax.Array | Complex:
-  """einsum supporting at most two operands when ``Complex`` is involved."""
-  if not any(isinstance(a, Complex) for a in args):
+  """einsum over real-or-complex operands.
+
+  Supported (matching reference ``complex_lib.py:319-346`` capability):
+    * no ``Complex`` operand: plain ``jnp.einsum`` (any arity);
+    * exactly one ``Complex`` operand among any number of real ones:
+      contraction is linear, so it distributes componentwise;
+    * exactly two operands where at least one is ``Complex``: full
+      complex product (rr - ii, ri + ir).
+  """
+  n_complex = sum(isinstance(a, Complex) for a in args)
+  if n_complex == 0:
     return jnp.einsum(eqn, *args)
+  if n_complex == 1 and len(args) != 2:
+    reals = [a.real if isinstance(a, Complex) else a for a in args]
+    imags = [a.imag if isinstance(a, Complex) else a for a in args]
+    return Complex(jnp.einsum(eqn, *reals), jnp.einsum(eqn, *imags))
   if len(args) != 2:
     raise NotImplementedError(
-        "Complex einsum is only supported for two operands."
+        "Complex einsum supports two operands, or one Complex among reals."
     )
   a, b = (to_custom_complex(x) for x in args)
   return Complex(
       jnp.einsum(eqn, a.real, b.real) - jnp.einsum(eqn, a.imag, b.imag),
       jnp.einsum(eqn, a.real, b.imag) + jnp.einsum(eqn, a.imag, b.real),
   )
+
+
+# ---------------------------------------------------------------------------
+# Componentwise lifting of structural functions.
+# ---------------------------------------------------------------------------
+#
+# Shape-manipulation functions (reshape, transpose, pad, ...) and other maps
+# that are *linear over the real/imag decomposition* extend to ``Complex`` by
+# applying them to each component. The reference exposes this via a
+# string-dispatch helper (``_treat_method``, reference ``complex_lib.py:
+# 217-288``); here the same capability is a generic combinator so any such
+# function can be lifted, not only a hard-coded name table.
+
+
+def _has_complex(x: Any) -> bool:
+  return isinstance(x, Complex) or (
+      isinstance(x, (list, tuple)) and any(isinstance(e, Complex) for e in x)
+  )
+
+
+def _component(x: Any, part: str) -> Any:
+  """Extracts one component from Complex values / sequences thereof.
+
+  Sequences with no ``Complex`` entry (e.g. split indices, pad configs)
+  pass through untouched.
+  """
+  if isinstance(x, Complex):
+    return getattr(x, part)
+  if _has_complex(x):
+    return type(x)(getattr(to_custom_complex(e), part) for e in x)
+  return x
+
+
+def _rebuild(real_out: Any, imag_out: Any) -> Any:
+  """Zips componentwise outputs back into Complex (lists stay lists)."""
+  if isinstance(real_out, (list, tuple)):
+    return type(real_out)(
+        _rebuild(r, i) for r, i in zip(real_out, imag_out)
+    )
+  return Complex(real_out, imag_out)
+
+
+def lift(fn: Callable[..., Any]) -> Callable[..., Any]:
+  """Lifts a structural function to accept ``Complex`` operands.
+
+  The lifted function applies ``fn`` separately to the real and imaginary
+  components of every ``Complex`` argument (or sequence containing one);
+  non-complex arguments (axes, shapes, real arrays in mixed sequences are
+  promoted with a zero imaginary part) are forwarded unchanged. Valid only
+  for functions satisfying ``fn(a + bi) == fn(a) + fn(b) i`` — i.e. shape
+  manipulation and other real-linear maps, NOT multiplicative ops.
+
+  With no ``Complex`` anywhere, the call passes straight through, so lifted
+  functions can be used unconditionally on real arrays too.
+  """
+
+  @functools.wraps(fn)
+  def wrapped(*args: Any, **kwargs: Any) -> Any:
+    if not any(_has_complex(a) for a in args):
+      return fn(*args, **kwargs)
+    real_out = fn(*(_component(a, "real") for a in args), **kwargs)
+    imag_out = fn(*(_component(a, "imag") for a in args), **kwargs)
+    return _rebuild(real_out, imag_out)
+
+  return wrapped
+
+
+# The same function table the reference exposes (``complex_lib.py:260-280``).
+broadcast_to = lift(jnp.broadcast_to)
+expand_dims = lift(jnp.expand_dims)
+flip = lift(jnp.flip)
+reshape = lift(jnp.reshape)
+split = lift(jnp.split)
+squeeze = lift(jnp.squeeze)
+stack = lift(jnp.stack)
+tile = lift(jnp.tile)
+transpose = lift(jnp.transpose)
+add = lift(jax.lax.add)  # addition is componentwise, so lift() is exact
+pad = lift(jax.lax.pad)
+slice_in_dim = lift(jax.lax.slice_in_dim)
+rearrange = lift(einops.rearrange)
+repeat = lift(einops.repeat)

@@ -133,3 +133,112 @@ class TestContainer:
     got = f(x)
     want = xc * xc + 1.0
     np.testing.assert_allclose(got.real, want.real, atol=1e-5)
+
+
+class TestLiftedStructuralOps:
+  """The componentwise function table (reference ``complex_lib.py:217-288``).
+
+  Every lifted op must match the same jnp op on a native complex64 array,
+  and pass straight through on real inputs.
+  """
+
+  @pytest.mark.parametrize(
+      "ours, native",
+      [
+          (lambda x: complex_lib.reshape(x, (4, 3)),
+           lambda x: jnp.reshape(x, (4, 3))),
+          (lambda x: complex_lib.transpose(x),
+           lambda x: jnp.transpose(x)),
+          (lambda x: complex_lib.flip(x, axis=1),
+           lambda x: jnp.flip(x, axis=1)),
+          (lambda x: complex_lib.expand_dims(x, 0),
+           lambda x: jnp.expand_dims(x, 0)),
+          (lambda x: complex_lib.tile(x, (2, 1)),
+           lambda x: jnp.tile(x, (2, 1))),
+          (lambda x: complex_lib.broadcast_to(x, (5, 3, 4)),
+           lambda x: jnp.broadcast_to(x, (5, 3, 4))),
+          (lambda x: complex_lib.squeeze(
+              complex_lib.expand_dims(x, 0), axis=0),
+           lambda x: x),
+          (lambda x: complex_lib.slice_in_dim(x, 1, 3, axis=1),
+           lambda x: jax.lax.slice_in_dim(x, 1, 3, axis=1)),
+          (lambda x: complex_lib.rearrange(x, "a b -> b a"),
+           lambda x: jnp.transpose(x)),
+          (lambda x: complex_lib.repeat(x, "a b -> a b r", r=2),
+           lambda x: jnp.tile(x[..., None], (1, 1, 2))),
+      ],
+      ids=["reshape", "transpose", "flip", "expand_dims", "tile",
+           "broadcast_to", "squeeze", "slice_in_dim", "rearrange",
+           "repeat"],
+  )
+  def test_unary_matches_native(self, ours, native):
+    x, xc = _pair()
+    got, want = ours(x), native(xc)
+    np.testing.assert_allclose(got.real, want.real, atol=1e-6)
+    np.testing.assert_allclose(got.imag, want.imag, atol=1e-6)
+
+  def test_stack_and_split(self):
+    x, xc = _pair(0)
+    y, yc = _pair(1)
+    s = complex_lib.stack([x, y], axis=0)
+    want = jnp.stack([xc, yc], axis=0)
+    np.testing.assert_allclose(s.real, want.real, atol=1e-6)
+    np.testing.assert_allclose(s.imag, want.imag, atol=1e-6)
+    parts = complex_lib.split(s, 2, axis=0)
+    assert len(parts) == 2
+    for p, w in zip(parts, jnp.split(want, 2, axis=0)):
+      assert isinstance(p, complex_lib.Complex)
+      np.testing.assert_allclose(p.real, w.real, atol=1e-6)
+      np.testing.assert_allclose(p.imag, w.imag, atol=1e-6)
+
+  def test_split_with_index_list(self):
+    # Integer index lists must not be mistaken for component sequences.
+    x, xc = _pair(0, (3, 8))
+    parts = complex_lib.split(x, [2, 5], axis=1)
+    for p, w in zip(parts, jnp.split(xc, [2, 5], axis=1)):
+      np.testing.assert_allclose(p.real, w.real, atol=1e-6)
+      np.testing.assert_allclose(p.imag, w.imag, atol=1e-6)
+
+  def test_pad_and_add(self):
+    x, xc = _pair()
+    got = complex_lib.pad(x, jnp.float32(0), [(1, 1, 0), (0, 0, 0)])
+    want = jnp.pad(xc, [(1, 1), (0, 0)])
+    np.testing.assert_allclose(got.real, want.real, atol=1e-6)
+    np.testing.assert_allclose(got.imag, want.imag, atol=1e-6)
+    y, yc = _pair(1)
+    s = complex_lib.add(x, y)
+    np.testing.assert_allclose(s.real, (xc + yc).real, atol=1e-6)
+
+  def test_stack_mixed_real_entries(self):
+    x, xc = _pair(0)
+    r = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+    s = complex_lib.stack([x, r], axis=0)
+    want = jnp.stack([xc, r.astype(jnp.complex64)], axis=0)
+    np.testing.assert_allclose(s.real, want.real, atol=1e-6)
+    np.testing.assert_allclose(s.imag, want.imag, atol=1e-6)
+
+  def test_real_passthrough(self):
+    r = jnp.arange(12.0).reshape(3, 4)
+    out = complex_lib.reshape(r, (4, 3))
+    assert isinstance(out, jax.Array)
+    np.testing.assert_allclose(out, r.reshape(4, 3))
+    parts = complex_lib.split(r, 2, axis=1)
+    assert all(isinstance(p, jax.Array) for p in parts)
+
+  def test_lift_custom_function(self):
+    x, xc = _pair()
+    roll2 = complex_lib.lift(lambda v: jnp.roll(v, 2, axis=1))
+    got, want = roll2(x), jnp.roll(xc, 2, axis=1)
+    np.testing.assert_allclose(got.real, want.real, atol=1e-6)
+    np.testing.assert_allclose(got.imag, want.imag, atol=1e-6)
+
+  def test_einsum_one_complex_three_operands(self):
+    x, xc = _pair(0, (2, 3))
+    a = jax.random.normal(jax.random.PRNGKey(3), (3, 4))
+    b = jax.random.normal(jax.random.PRNGKey(4), (4, 5))
+    got = complex_lib.einsum("ij,jk,kl->il", x, a, b)
+    want = jnp.einsum(
+        "ij,jk,kl->il", xc, a.astype(jnp.complex64), b.astype(jnp.complex64)
+    )
+    np.testing.assert_allclose(got.real, want.real, atol=1e-4)
+    np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
