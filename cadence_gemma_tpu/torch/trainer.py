@@ -1,0 +1,223 @@
+"""Eager PyTorch SFT training for the torch twin.
+
+Counterpart of the reference torch training loop
+(``/root/reference/training/train.py:159-298``) with the exact loss
+semantics of this framework's JAX trainer
+(:mod:`cadence_gemma_tpu.training.trainer`):
+
+  * masked next-token NLL in fp32; when pre-fused image features are
+    spliced, the shifted targets are left-padded with ``vision_tokens``
+    zero-mask rows so visual-position logits receive no loss;
+  * AdamW with the Griffin weight-decay mask (no decay on RG-LRU
+    parameters, the embedder, biases, or norm scales) and global-norm
+    gradient clipping;
+  * a full fine-tune step with optional gradient accumulation (the
+    reference accumulates 4 microbatches via HF Accelerate,
+    ``train.py:37``) and a stage-1 frozen step that updates only the
+    vision-language connector (``train_jax.py:480-529`` semantics).
+
+Deliberate deviations (documented in docs/PARITY.md §2.5): no
+DDP/NCCL/Accelerate — multi-device training is the JAX sharded step
+(``training.trainer.make_sharded_train_step``); this module exists so the
+torch twin is trainable standalone and so cross-framework gradient parity
+can be asserted (tests/test_torch_training.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import torch
+import torch.nn.functional as F
+
+_NO_DECAY_LEAVES = ("b", "bias", "scale", "a_param")
+
+
+def get_positions(tokens: torch.Tensor, pad_id: int) -> torch.Tensor:
+  """0-indexed positions over non-pad tokens (JAX trainer semantics)."""
+  positions = torch.cumsum(tokens != pad_id, dim=-1)
+  return positions - (positions >= 1).to(positions.dtype)
+
+
+def forward_and_loss_fn(
+    model,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    pad_id: int,
+    image: Optional[torch.Tensor] = None,
+) -> torch.Tensor:
+  """Masked next-token NLL; zero loss on spliced visual positions.
+
+  Mirrors ``training.trainer.forward_and_loss_fn`` (which itself mirrors
+  reference ``train_jax.py:351-409``) so the two frameworks' losses and
+  gradients agree bit-for-bit up to dtype rounding.
+  """
+  positions = get_positions(input_tokens, pad_id)
+  logits, _ = model(
+      input_tokens,
+      positions,
+      None,
+      return_logits=True,
+      return_cache=False,
+      image=image,
+  )
+  logits = logits[:, :-1].float()
+  targets = input_tokens[:, 1:]
+  target_mask = input_mask[:, 1:]
+
+  if image is not None:
+    n_img = logits.shape[1] - targets.shape[1]
+    targets = F.pad(targets, (n_img, 0))
+    target_mask = F.pad(target_mask, (n_img, 0))
+
+  logp = F.log_softmax(logits, dim=-1)
+  picked = torch.gather(logp, -1, targets.long().unsqueeze(-1)).squeeze(-1)
+  norm = target_mask.sum().float() + 1e-8
+  return -(picked * target_mask.float()).sum() / norm
+
+
+def weight_decay_param_groups(
+    model: torch.nn.Module, weight_decay: float
+) -> list[dict]:
+  """AdamW param groups realizing the Griffin decay mask.
+
+  Same predicate as ``training.trainer.griffin_weight_decay_mask``: no
+  decay anywhere under ``rg_lru`` or ``embedder``, nor on leaves named
+  ``b``/``bias``/``scale`` (``a_param`` sits under ``rg_lru`` in the JAX
+  tree; the torch twin names it explicitly).
+  """
+  decay, no_decay = [], []
+  for name, param in model.named_parameters():
+    if not param.requires_grad:
+      continue
+    parts = name.split(".")
+    exempt = (
+        "rg_lru" in parts
+        or "embedder" in parts
+        or parts[-1] in _NO_DECAY_LEAVES
+    )
+    (no_decay if exempt else decay).append(param)
+  return [
+      {"params": decay, "weight_decay": weight_decay},
+      {"params": no_decay, "weight_decay": 0.0},
+  ]
+
+
+def make_optimizer(
+    model: torch.nn.Module,
+    learning_rate: float,
+    weight_decay: float = 0.1,
+    b2: float = 0.96,
+) -> torch.optim.Optimizer:
+  """AdamW matching ``training.trainer.make_optimizer`` hyperparameters."""
+  return torch.optim.AdamW(
+      weight_decay_param_groups(model, weight_decay),
+      lr=learning_rate,
+      betas=(0.9, b2),
+  )
+
+
+def set_trainable(model: torch.nn.Module, frozen_llm: bool) -> None:
+  """Stage-1 freeze: only ``vl_connector`` trains when ``frozen_llm``."""
+  for name, param in model.named_parameters():
+    param.requires_grad = (not frozen_llm) or name.startswith("vl_connector")
+
+
+def train_step(
+    model: torch.nn.Module,
+    optimizer: torch.optim.Optimizer,
+    pad_id: int,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    img_embed: Optional[torch.Tensor] = None,
+    grad_clip_norm: Optional[float] = 1.0,
+    accumulation_steps: int = 1,
+    accumulation_index: int = 0,
+) -> torch.Tensor:
+  """One (micro)step; steps the optimizer on the last microbatch.
+
+  With ``accumulation_steps == 1`` this is a plain full step. For
+  accumulation, call with ``accumulation_index = 0..steps-1``; gradients
+  average across microbatches and the update fires once.
+  """
+  if accumulation_index == 0:
+    optimizer.zero_grad(set_to_none=True)
+  loss = forward_and_loss_fn(
+      model, input_tokens, input_mask, pad_id, image=img_embed
+  )
+  (loss / accumulation_steps).backward()
+  if accumulation_index == accumulation_steps - 1:
+    if grad_clip_norm is not None:
+      torch.nn.utils.clip_grad_norm_(
+          (p for p in model.parameters() if p.requires_grad),
+          grad_clip_norm,
+      )
+    optimizer.step()
+  return loss.detach()
+
+
+def frozen_train_step(
+    model: torch.nn.Module,
+    optimizer: torch.optim.Optimizer,
+    pad_id: int,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    img_embed: torch.Tensor,
+    grad_clip_norm: Optional[float] = 1.0,
+) -> torch.Tensor:
+  """Stage-1 step: the optimizer must hold only ``vl_connector`` params.
+
+  Convenience wrapper over :func:`train_step`; callers should have run
+  ``set_trainable(model, frozen_llm=True)`` and built the optimizer after,
+  so frozen parameters carry no optimizer state.
+  """
+  return train_step(
+      model,
+      optimizer,
+      pad_id,
+      input_tokens,
+      input_mask,
+      img_embed=img_embed,
+      grad_clip_norm=grad_clip_norm,
+  )
+
+
+@torch.no_grad()
+def validation_step(
+    model: torch.nn.Module,
+    pad_id: int,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    img_embed: Optional[torch.Tensor] = None,
+) -> torch.Tensor:
+  """Loss only (reference ``train_jax.py:531-547`` semantics)."""
+  return forward_and_loss_fn(
+      model, input_tokens, input_mask, pad_id, image=img_embed
+  )
+
+
+def train_epoch(
+    model: torch.nn.Module,
+    optimizer: torch.optim.Optimizer,
+    pad_id: int,
+    batches: Iterable,
+    img_embeds: Optional[Iterable] = None,
+    accumulation_steps: int = 1,
+) -> list[float]:
+  """Drives :func:`train_step` over an iterable of (tokens, mask) batches."""
+  losses = []
+  img_iter = iter(img_embeds) if img_embeds is not None else None
+  for i, (tokens, mask) in enumerate(batches):
+    img = next(img_iter) if img_iter is not None else None
+    loss = train_step(
+        model,
+        optimizer,
+        pad_id,
+        tokens,
+        mask,
+        img_embed=img,
+        accumulation_steps=accumulation_steps,
+        accumulation_index=i % accumulation_steps,
+    )
+    losses.append(float(loss))
+  return losses
