@@ -95,8 +95,31 @@ def save_train_state(
   )
 
 
-def load_train_state(checkpoint_path: str) -> tuple[at.Params, Any, int]:
-  """Restores (params, opt_state, step) saved by :func:`save_train_state`."""
+def load_train_state(
+    checkpoint_path: str,
+    target: tuple[at.Params, Any] | None = None,
+) -> tuple[at.Params, Any, int]:
+  """Restores (params, opt_state, step) saved by :func:`save_train_state`.
+
+  Args:
+    checkpoint_path: Directory written by :func:`save_train_state`.
+    target: Optional ``(params_like, opt_state_like)`` template. Without
+      it, orbax reconstructs optimizer state as raw nested dicts — optax
+      NamedTuple states (``.mu``/``.nu``) are lost and the next
+      ``optimizer.update`` fails; pass the freshly-initialized state (as
+      the train loop does) to restore into the true structure.
+  """
   checkpointer = ocp.PyTreeCheckpointer()
-  state = checkpointer.restore(checkpoint_path)
+  if target is not None:
+    params_like, opt_state_like = target
+    state = checkpointer.restore(
+        checkpoint_path,
+        item={
+            "params": params_like,
+            "opt_state": opt_state_like,
+            "step": jax.numpy.asarray(0),
+        },
+    )
+  else:
+    state = checkpointer.restore(checkpoint_path)
   return state["params"], state["opt_state"], int(state["step"])

@@ -23,6 +23,7 @@ import optax
 
 from cadence_gemma_tpu.checkpoint import io as checkpoint_io
 from cadence_gemma_tpu.training import trainer
+from cadence_gemma_tpu.utils import resilience
 
 
 @chex.dataclass(frozen=True)
@@ -39,6 +40,9 @@ class TrainingConfig:
   checkpoint_every_n: int | None = 1000
   checkpoint_dir: str | None = None
   resume_from: str | None = None  # a save_train_state checkpoint
+  # Apply a zero update (instead of poisoning params) on steps whose
+  # gradients contain NaN/Inf; see utils.resilience.skip_nonfinite_updates.
+  skip_nonfinite_updates: bool = False
 
 
 def train_loop(
@@ -50,6 +54,7 @@ def train_loop(
     encode_image: Callable[[Any], jax.Array] | None = None,
     log_metrics: Callable[[dict[str, float], int], None] | None = None,
     pad_id: int = 0,
+    preemption: resilience.PreemptionHandler | None = None,
 ):
   """Runs one SFT stage; returns the updated params.
 
@@ -64,10 +69,15 @@ def train_loop(
       carry feature tensors or be text-only.
     log_metrics: Optional callback ``(metrics_dict, step)``.
     pad_id: Tokenizer pad id.
+    preemption: Optional SIGTERM watcher; when it fires, the loop saves a
+      resumable train state under ``config.checkpoint_dir`` and returns
+      early (restart with ``config.resume_from`` pointing at it).
   """
   optimizer = trainer.make_optimizer(
       config.learning_rate, weight_decay=config.weight_decay
   )
+  if config.skip_nonfinite_updates:
+    optimizer = resilience.skip_nonfinite_updates(optimizer)
   if config.freeze_llm:
     opt_state = optimizer.init(params["vl_connector"])
     step_fn = trainer.frozen_train_step
@@ -77,8 +87,11 @@ def train_loop(
 
   step = 0
   if config.resume_from:
+    # Restore into the freshly-initialized structures so optax NamedTuple
+    # states survive the round trip (saved params are always the full
+    # tree; in frozen mode opt_state covers only the connector).
     params, opt_state, step = checkpoint_io.load_train_state(
-        config.resume_from
+        config.resume_from, target=(params, opt_state)
     )
 
   t_start = time.perf_counter()
@@ -94,11 +107,23 @@ def train_loop(
       )
       step += 1
 
+      if preemption is not None and preemption.triggered:
+        if config.checkpoint_dir:
+          path = f"{config.checkpoint_dir}/preempted_step_{step}"
+          checkpoint_io.save_train_state(path, params, opt_state, step)
+          if log_metrics is not None:
+            log_metrics({"preempted_at": float(step)}, step)
+          print(f"preemption: saved resumable state at {path}")
+        return params
+
       if step % config.eval_every_n == 0:
         metrics = {
             "train_loss": float(loss),
             "steps_per_sec": step / (time.perf_counter() - t_start),
         }
+        skipped = resilience.nonfinite_count(opt_state)
+        if skipped:
+          metrics["consecutive_nonfinite_steps"] = float(skipped)
         if validation_data is not None:
           metrics["val_loss"] = _validate(
               model, params, validation_data, encode_image, pad_id
