@@ -77,6 +77,26 @@ class SamplerOutput:
   logits: list[jax.Array]
 
 
+@struct.dataclass
+class PrefixState(Generic[Cache]):
+  """A prefilled shared prompt prefix, reusable across ``__call__``s.
+
+  Serving workloads repeat a system prompt / few-shot preamble across
+  requests; prefilling it once and continuing from the stored cache removes
+  its cost from every request's TTFT. No reference counterpart (the
+  reference prefills the full prompt every call, ``jax/sampler.py:403``).
+
+  Attributes:
+    cache: Model cache after consuming the prefix (batch dim = the
+      ``batch_size`` given to :meth:`Sampler.prefill_prefix`; a size-1
+      prefix is broadcast to larger request batches automatically).
+    length: Prefix length in tokens (including BOS).
+  """
+
+  cache: Cache
+  length: int = struct.field(pytree_node=False)
+
+
 def _next_bucket(n: int, minimum: int = 16) -> int:
   """Smallest power of two >= max(n, minimum)."""
   b = minimum
@@ -481,6 +501,53 @@ class Sampler(Generic[Cache]):
         logits_buffer=logits_buffer,
     )
 
+  # -- prefix caching ---------------------------------------------------------
+
+  def prefill_prefix(
+      self, prefix: str, batch_size: int = 1
+  ) -> PrefixState:
+    """Prefills a shared prompt prefix once for reuse across calls.
+
+    The returned :class:`PrefixState` is immutable from the sampler's point
+    of view (no jitted program donates it), so one prefix serves any number
+    of subsequent ``__call__(..., prefix_state=...)`` requests; its cost
+    disappears from those requests' TTFT.
+
+    Args:
+      prefix: Prefix text; BOS (and the chat-template prelude for IT
+        models) is added here, so continuation prompts must NOT repeat it.
+      batch_size: Batch dimension to prefill the cache with. Keep 1 and let
+        requests broadcast unless the prefix itself differs per row.
+    """
+    ids = self.tokenize(prefix)
+    tokens = jnp.tile(ids[None], (batch_size, 1))
+    positions = jnp.tile(
+        jnp.arange(tokens.shape[1], dtype=jnp.int32)[None], (batch_size, 1)
+    )
+    cache = self.model.init_cache(batch_size, self.dtype)
+    _, cache = self._compiled_chunk_fn(
+        self.params, tokens, positions, cache, False
+    )
+    return PrefixState(cache=cache, length=int(tokens.shape[1]))
+
+  def _continue_from_prefix(
+      self, prefix_state: PrefixState, batch_size: int
+  ) -> Cache:
+    """The prefix cache, broadcast to the request batch if needed."""
+    leaf = jax.tree_util.tree_leaves(prefix_state.cache)[0]
+    prefix_batch = leaf.shape[0]
+    if prefix_batch == batch_size:
+      return prefix_state.cache
+    if prefix_batch != 1:
+      raise ValueError(
+          f"Prefix cache batch {prefix_batch} != request batch "
+          f"{batch_size}; prefill the prefix with batch_size=1 (broadcast) "
+          "or the exact request batch."
+      )
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, batch_size, axis=0), prefix_state.cache
+    )
+
   # -- public entry -----------------------------------------------------------
 
   def __call__(
@@ -492,6 +559,7 @@ class Sampler(Generic[Cache]):
       return_logits: bool = False,
       end_sampling_at_eos_token: bool = True,
       img_embed: at.Image | None = None,
+      prefix_state: PrefixState | None = None,
   ) -> SamplerOutput:
     """Generates completions for a batch of prompts.
 
@@ -504,11 +572,22 @@ class Sampler(Generic[Cache]):
       end_sampling_at_eos_token: Stop a sequence once it emits EOS.
       img_embed: Optional fused vision features [b, vision_tokens,
         vision_width] spliced into the prompt on device.
+      prefix_state: Optional prefilled shared prefix
+        (:meth:`prefill_prefix`); ``input_strings`` are then continuations
+        encoded WITHOUT BOS/template, must be equal-length per batch, and
+        ``echo`` covers only the continuation. Incompatible with
+        ``img_embed`` (the image splice needs the in-call BOS).
 
     Returns:
       A :class:`SamplerOutput`.
     """
     self._validate_sampling_args(total_generation_steps, rng)
+
+    if prefix_state is not None:
+      return self._call_with_prefix(
+          prefix_state, input_strings, total_generation_steps, rng, echo,
+          return_logits, end_sampling_at_eos_token, img_embed,
+      )
 
     all_input_ids = [self.tokenize(s) for s in input_strings]
     lengths = [len(ids) for ids in all_input_ids]
@@ -627,6 +706,58 @@ class Sampler(Generic[Cache]):
     return self._finish_sampling(
         state, pad_lengths, total_generation_steps, echo, return_logits,
         end_sampling_at_eos_token,
+    )
+
+  def _call_with_prefix(
+      self,
+      prefix_state: PrefixState,
+      input_strings: Sequence[str],
+      total_generation_steps: int,
+      rng,
+      echo: bool,
+      return_logits: bool,
+      end_sampling_at_eos_token: bool,
+      img_embed,
+  ) -> SamplerOutput:
+    """Continues prompts from a prefilled shared prefix."""
+    if img_embed is not None:
+      raise ValueError(
+          "prefix_state cannot be combined with img_embed: the image "
+          "splices in after the BOS token, which lives in the prefix."
+      )
+    ids = [
+        jnp.asarray(self.vocab.EncodeAsIds(s), jnp.int32)
+        for s in input_strings
+    ]
+    lengths = {len(i) for i in ids}
+    if 0 in lengths:
+      raise ValueError("Continuation prompts must be non-empty.")
+    if len(lengths) != 1:
+      raise ValueError(
+          "Prefix continuation requires equal-length prompts per batch "
+          f"(got {sorted(len(i) for i in ids)}): ragged left-padding "
+          "would write pad tokens into the cache after real prefix "
+          "content. Split the batch by length."
+      )
+    tokens = jnp.stack(ids, axis=0)
+    batch = tokens.shape[0]
+    cache = self._continue_from_prefix(prefix_state, batch)
+    start = jnp.full((batch,), prefix_state.length, jnp.int32)
+    state = self.prompt_processing_fn(
+        self.params,
+        tokens,
+        rng,
+        jnp.asarray([len(i) for i in ids]),
+        total_generation_steps,
+        return_logits,
+        echo,
+        None,
+        cache,
+        start,
+    )
+    return self._finish_sampling(
+        state, jnp.zeros((batch,), jnp.int32), total_generation_steps,
+        echo, return_logits, end_sampling_at_eos_token,
     )
 
   def _validate_sampling_args(self, total_generation_steps, rng) -> None:

@@ -383,3 +383,104 @@ class TestModalSampler:
     np.testing.assert_allclose(
         out.logits[0][0], full_logits[0, -1], atol=1e-4
     )
+
+
+class TestPrefixCaching:
+  """A prefilled shared prefix must be indistinguishable from re-prefilling.
+
+  No reference counterpart (the reference prefills every prompt in full);
+  the invariant is exact greedy-token equivalence between
+  ``prefill_prefix + continuation`` and the concatenated full prompt.
+  """
+
+  PREFIX = "the quick brown fox"
+
+  def _sampler(self, setup):
+    model, vocab, params = setup
+    return sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    ), vocab
+
+  def test_continuation_matches_full_prompt(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    for suffix in ["hello world", "input string"]:
+      got = s([suffix], total_generation_steps=6, prefix_state=prefix_state)
+      want = s([f"{self.PREFIX} {suffix}"], total_generation_steps=6)
+      np.testing.assert_array_equal(
+          np.asarray(got.tokens[0]), np.asarray(want.tokens[0])
+      )
+
+  def test_prefix_state_is_reusable(self, setup):
+    """Two calls from the same PrefixState give identical results."""
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    a = s(["hello"], total_generation_steps=5, prefix_state=prefix_state)
+    b = s(["hello"], total_generation_steps=5, prefix_state=prefix_state)
+    np.testing.assert_array_equal(
+        np.asarray(a.tokens[0]), np.asarray(b.tokens[0])
+    )
+
+  def test_batched_continuation_broadcasts_prefix(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)  # batch 1
+    got = s(
+        ["hello world", "input string"],
+        total_generation_steps=6,
+        prefix_state=prefix_state,
+    )
+    for row, suffix in enumerate(["hello world", "input string"]):
+      want = s([f"{self.PREFIX} {suffix}"], total_generation_steps=6)
+      np.testing.assert_array_equal(
+          np.asarray(got.tokens[row]), np.asarray(want.tokens[0])
+      )
+
+  def test_logits_match_full_prompt(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    got = s(["hello world"], total_generation_steps=3,
+            prefix_state=prefix_state, return_logits=True)
+    want = s([f"{self.PREFIX} hello world"], total_generation_steps=3,
+             return_logits=True)
+    np.testing.assert_allclose(
+        np.asarray(got.logits[0]), np.asarray(want.logits[0]), atol=1e-5
+    )
+
+  def test_ragged_continuations_raise(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    with pytest.raises(ValueError, match="equal-length"):
+      s(["hello", "hello world"], total_generation_steps=3,
+        prefix_state=prefix_state)
+
+  def test_empty_continuation_raises(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    with pytest.raises(ValueError, match="non-empty"):
+      s([""], total_generation_steps=3, prefix_state=prefix_state)
+
+  def test_image_with_prefix_raises(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    img = jnp.zeros((1, 4, 12), jnp.float32)
+    with pytest.raises(ValueError, match="img_embed"):
+      s(["hello"], total_generation_steps=3, prefix_state=prefix_state,
+        img_embed=img)
+
+  def test_mismatched_batch_raises(self, setup):
+    s, _ = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX, batch_size=2)
+    with pytest.raises(ValueError, match="batch"):
+      s(["hello", "world", "input"], total_generation_steps=3,
+        prefix_state=prefix_state)
+
+  def test_echo_covers_continuation_only(self, setup):
+    s, vocab = self._sampler(setup)
+    prefix_state = s.prefill_prefix(self.PREFIX)
+    out = s(["hello world"], total_generation_steps=3,
+            prefix_state=prefix_state, echo=True)
+    decoded = out.text[0]
+    assert decoded.startswith("hello world")
+    assert "fox" not in decoded  # the prefix itself is not echoed
