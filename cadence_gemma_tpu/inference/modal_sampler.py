@@ -129,17 +129,30 @@ class ModalSampler(sampler_lib.Sampler):
       img_path: str = "",
       pixels: at.ImagePixels | None = None,
       img_embed: at.Image | None = None,
+      prefix_state=None,
+      return_state: bool = False,
   ) -> SamplerOutput:
     """Samples completions, optionally conditioned on one image.
 
     Exactly one (or none) of ``img_path`` / ``pixels`` / ``img_embed`` may
     be given. An empty ``img_path`` means text-only (the reference crashes
     on that path, ``modal_sampler.py:451-472``; here it degrades cleanly).
+
+    ``return_state`` / ``prefix_state`` follow the base sampler: an
+    image-grounded first turn with ``return_state=True`` encodes and
+    prefills the image once, and follow-up turns continue text-only from
+    the returned state.
     """
     given = [img_path != "", pixels is not None, img_embed is not None]
     if sum(given) > 1:
       raise ValueError(
           "Pass at most one of img_path, pixels, or img_embed."
+      )
+    if prefix_state is not None and any(given):
+      raise ValueError(
+          "prefix_state cannot be combined with an image argument: the "
+          "image splices in after the BOS token, which lives in the "
+          "cached context."
       )
     if img_path:
       if self.vision_encoder is None:
@@ -175,9 +188,13 @@ class ModalSampler(sampler_lib.Sampler):
           return_logits,
           echo,
       )
+      if return_state and total_generation_steps < 1:
+        raise ValueError(
+            "return_state requires total_generation_steps >= 1."
+        )
       return self._finish_sampling(
           state, pad_lengths, total_generation_steps, echo, return_logits,
-          end_sampling_at_eos_token,
+          end_sampling_at_eos_token, return_state,
       )
 
     return super().__call__(
@@ -188,4 +205,6 @@ class ModalSampler(sampler_lib.Sampler):
         return_logits=return_logits,
         end_sampling_at_eos_token=end_sampling_at_eos_token,
         img_embed=img_embed,
+        prefix_state=prefix_state,
+        return_state=return_state,
     )

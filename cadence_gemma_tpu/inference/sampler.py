@@ -70,31 +70,46 @@ class SamplingState(Generic[Cache]):
 
 @struct.dataclass
 class SamplerOutput:
-  """Generated text plus per-sequence tokens and (optionally) logits."""
+  """Generated text plus per-sequence tokens and (optionally) logits.
+
+  ``state`` is populated by ``__call__(..., return_state=True)``: pass it
+  as the next call's ``prefix_state`` to continue the conversation without
+  re-prefilling its history.
+  """
 
   text: list[str]
   tokens: list[jax.Array]
   logits: list[jax.Array]
+  state: Any = None
 
 
 @struct.dataclass
 class PrefixState(Generic[Cache]):
-  """A prefilled shared prompt prefix, reusable across ``__call__``s.
+  """Cached model context, reusable across ``__call__``s.
 
-  Serving workloads repeat a system prompt / few-shot preamble across
-  requests; prefilling it once and continuing from the stored cache removes
-  its cost from every request's TTFT. No reference counterpart (the
-  reference prefills the full prompt every call, ``jax/sampler.py:403``).
+  Two producers, one consumer:
+    * :meth:`Sampler.prefill_prefix` — a shared system prompt / few-shot
+      preamble prefilled once; its cost leaves every request's TTFT.
+    * ``__call__(..., return_state=True)`` — the conversation state after a
+      generation turn, so the next turn continues without re-prefilling
+      the history (multi-turn chat at O(new tokens) prefill cost).
+  No reference counterpart (the reference prefills the full prompt every
+  call, ``jax/sampler.py:403``).
 
   Attributes:
-    cache: Model cache after consuming the prefix (batch dim = the
-      ``batch_size`` given to :meth:`Sampler.prefill_prefix`; a size-1
-      prefix is broadcast to larger request batches automatically).
-    length: Prefix length in tokens (including BOS).
+    cache: Model cache after consuming the context (batch dim = the
+      producer's batch; a size-1 cache broadcasts to larger request
+      batches automatically).
+    length: Next token position(s) — an int for a text prefix, or a [b]
+      array for post-generation states (rows stop at different lengths).
+    pending_token: [b, 1] last sampled token that the decode loop never
+      fed back into the model; prepended to the next turn's tokens so the
+      continuation context is exact. None for plain text prefixes.
   """
 
   cache: Cache
-  length: int = struct.field(pytree_node=False)
+  length: int | jax.Array
+  pending_token: jax.Array | None = None
 
 
 def _next_bucket(n: int, minimum: int = 16) -> int:
@@ -560,6 +575,7 @@ class Sampler(Generic[Cache]):
       end_sampling_at_eos_token: bool = True,
       img_embed: at.Image | None = None,
       prefix_state: PrefixState | None = None,
+      return_state: bool = False,
   ) -> SamplerOutput:
     """Generates completions for a batch of prompts.
 
@@ -572,21 +588,33 @@ class Sampler(Generic[Cache]):
       end_sampling_at_eos_token: Stop a sequence once it emits EOS.
       img_embed: Optional fused vision features [b, vision_tokens,
         vision_width] spliced into the prompt on device.
-      prefix_state: Optional prefilled shared prefix
-        (:meth:`prefill_prefix`); ``input_strings`` are then continuations
-        encoded WITHOUT BOS/template, must be equal-length per batch, and
-        ``echo`` covers only the continuation. Incompatible with
-        ``img_embed`` (the image splice needs the in-call BOS).
+      prefix_state: Optional cached context (:meth:`prefill_prefix` or a
+        previous call's ``return_state=True`` output); ``input_strings``
+        are then continuations encoded WITHOUT BOS/template, must be
+        equal-length per batch, and ``echo`` covers only the continuation.
+        Incompatible with ``img_embed`` (the image splice needs the
+        in-call BOS).
+      return_state: Attach the post-generation :class:`PrefixState` to the
+        output so the next turn continues from it. Exact for batch 1;
+        in larger batches, rows that hit EOS early keep decoding until the
+        whole batch stops, so their state includes post-EOS tokens.
+        Requires ``total_generation_steps >= 1``.
 
     Returns:
       A :class:`SamplerOutput`.
     """
     self._validate_sampling_args(total_generation_steps, rng)
+    if return_state and total_generation_steps < 1:
+      raise ValueError(
+          "return_state requires total_generation_steps >= 1 (a prefill-"
+          "only call builds no reusable cache; use prefill_prefix)."
+      )
 
     if prefix_state is not None:
       return self._call_with_prefix(
           prefix_state, input_strings, total_generation_steps, rng, echo,
           return_logits, end_sampling_at_eos_token, img_embed,
+          return_state,
       )
 
     all_input_ids = [self.tokenize(s) for s in input_strings]
@@ -705,7 +733,7 @@ class Sampler(Generic[Cache]):
       )
     return self._finish_sampling(
         state, pad_lengths, total_generation_steps, echo, return_logits,
-        end_sampling_at_eos_token,
+        end_sampling_at_eos_token, return_state,
     )
 
   def _call_with_prefix(
@@ -718,8 +746,9 @@ class Sampler(Generic[Cache]):
       return_logits: bool,
       end_sampling_at_eos_token: bool,
       img_embed,
+      return_state: bool,
   ) -> SamplerOutput:
-    """Continues prompts from a prefilled shared prefix."""
+    """Continues prompts from cached context (prefix or previous turn)."""
     if img_embed is not None:
       raise ValueError(
           "prefix_state cannot be combined with img_embed: the image "
@@ -742,7 +771,16 @@ class Sampler(Generic[Cache]):
     tokens = jnp.stack(ids, axis=0)
     batch = tokens.shape[0]
     cache = self._continue_from_prefix(prefix_state, batch)
-    start = jnp.full((batch,), prefix_state.length, jnp.int32)
+    start = jnp.broadcast_to(
+        jnp.asarray(prefix_state.length, jnp.int32).reshape(-1), (batch,)
+    )
+    if prefix_state.pending_token is not None:
+      # The producer's decode loop never fed its last sampled token into
+      # the model; it leads this turn so the context stays exact.
+      pending = jnp.broadcast_to(
+          prefix_state.pending_token, (batch, 1)
+      )
+      tokens = jnp.concatenate([pending, tokens], axis=1)
     state = self.prompt_processing_fn(
         self.params,
         tokens,
@@ -757,7 +795,7 @@ class Sampler(Generic[Cache]):
     )
     return self._finish_sampling(
         state, jnp.zeros((batch,), jnp.int32), total_generation_steps,
-        echo, return_logits, end_sampling_at_eos_token,
+        echo, return_logits, end_sampling_at_eos_token, return_state,
     )
 
   def _validate_sampling_args(self, total_generation_steps, rng) -> None:
@@ -776,10 +814,27 @@ class Sampler(Generic[Cache]):
       echo: bool,
       return_logits: bool,
       end_sampling_at_eos_token: bool,
+      return_state: bool = False,
   ) -> SamplerOutput:
     """Runs the decode loop and slices the buffers into a SamplerOutput."""
     if total_generation_steps > 1:
       state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
+
+    next_state = None
+    if return_state:
+      # The token at buffer[step] was sampled but never fed to the model;
+      # it becomes the pending lead-in of the next turn, whose positions
+      # start where this turn's decode loop stopped.
+      pending = jnp.take_along_axis(
+          state.tokens_buffer, state.step[None, None].repeat(
+              state.tokens_buffer.shape[0], axis=0
+          ), axis=1,
+      )
+      next_state = PrefixState(
+          cache=state.cache,
+          length=state.positions[:, 0],
+          pending_token=pending,
+      )
 
     # Echoed buffers start with the (padded) prompt: drop per-row padding.
     tokens = [
@@ -798,4 +853,5 @@ class Sampler(Generic[Cache]):
         text=[self.vocab.DecodeIds(seq.tolist()) for seq in tokens],
         tokens=tokens,
         logits=logits,
+        state=next_state,
     )

@@ -484,3 +484,118 @@ class TestPrefixCaching:
     decoded = out.text[0]
     assert decoded.startswith("hello world")
     assert "fox" not in decoded  # the prefix itself is not echoed
+
+
+class TestConversationalState:
+  """Multi-turn chat: continue from a previous call's returned state.
+
+  The invariant: turn-2 logits from the cached state must equal a fresh
+  teacher-forced pass over [prompt1 + generated + prompt2], so no context
+  is lost or duplicated at the turn boundary.
+  """
+
+  def _sampler(self, setup):
+    model, vocab, params = setup
+    return sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    ), vocab
+
+  def test_second_turn_matches_teacher_forced_full_context(self, setup):
+    s, vocab = self._sampler(setup)
+    steps1 = 4
+    out1 = s(["hello world"], total_generation_steps=steps1,
+             return_state=True, end_sampling_at_eos_token=False)
+    assert out1.state is not None
+
+    turn2 = "input string"
+    got = s([turn2], total_generation_steps=1, prefix_state=out1.state,
+            return_logits=True)
+
+    # Fresh full-context pass: prompt1 tokens + all generated tokens +
+    # turn-2 tokens, through the raw prefill (steps=1 samples from the
+    # final position — exactly what the continuation call did).
+    combined = jnp.concatenate([
+        s.tokenize("hello world"),
+        jnp.asarray(out1.tokens[0], jnp.int32),
+        jnp.asarray(vocab.EncodeAsIds(turn2), jnp.int32),
+    ])[None]
+    ref_state = s.prompt_processing_fn(
+        s.params, combined, None,
+        jnp.asarray([combined.shape[1]]), 1, True, False, None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.logits[0][0]),
+        np.asarray(ref_state.logits_buffer[0, 0]),
+        atol=1e-5,
+    )
+
+  def test_three_turn_chain(self, setup):
+    s, _ = self._sampler(setup)
+    state = None
+    for i, prompt in enumerate(["hello", "world", "input"]):
+      out = s([prompt], total_generation_steps=3, return_state=True,
+              prefix_state=state, end_sampling_at_eos_token=False)
+      state = out.state
+      assert state is not None and state.pending_token.shape == (1, 1)
+    # Positions advance monotonically across turns.
+    assert int(state.length[0]) > 6
+
+  def test_state_after_multimodal_first_turn(self, setup):
+    """Ask follow-ups about an image without re-encoding or re-prefilling."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    out1 = s(["hello world"], total_generation_steps=3, img_embed=img,
+             return_state=True, end_sampling_at_eos_token=False)
+    # Positions include the 4 spliced visual tokens.
+    assert int(out1.state.length[0]) >= 3 + 4
+    out2 = s(["input string"], total_generation_steps=3,
+             prefix_state=out1.state)
+    assert len(out2.tokens[0]) == 3
+
+  def test_return_state_requires_decode_steps(self, setup):
+    s, _ = self._sampler(setup)
+    with pytest.raises(ValueError, match="return_state"):
+      s(["hello"], total_generation_steps=0, return_state=True)
+
+
+class TestModalConversationalState:
+  """Image-grounded chat: encode + prefill the image once, follow up text-only."""
+
+  def test_pixels_first_turn_then_text_followups(self, setup):
+    from cadence_gemma_tpu.models import vit as vit_lib
+
+    model, vocab, params = setup
+    tiny = vit_lib.ViTConfig(
+        embed_dim=6, depth=2, num_heads=2, mlp_hidden_dim=12,
+        patch_size=4, image_size=8, output_layer=1,
+    )
+    enc = vit_lib.DinoSigLIPEncoder(
+        dino_config=tiny, siglip_config=tiny,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    pixels = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 8, 8))
+    vparams = enc.init(jax.random.PRNGKey(1), pixels)["params"]
+    s = modal_lib.ModalSampler(
+        model, vocab, params, vision_encoder=enc, vision_params=vparams,
+        bucket_prompt_lengths=False,
+    )
+    out1 = s(["hello world"], total_generation_steps=3, pixels=pixels,
+             return_state=True, end_sampling_at_eos_token=False)
+    assert out1.state is not None
+    # Visual tokens are part of the cached context positions.
+    assert int(out1.state.length[0]) >= 3 + model.config.vision_tokens
+    out2 = s(["input string"], total_generation_steps=3,
+             prefix_state=out1.state)
+    assert out2.tokens[0].shape == (3,)
+
+  def test_prefix_with_image_arg_raises(self, setup):
+    model, vocab, params = setup
+    s = modal_lib.ModalSampler(model, vocab, params)
+    out = s(["hello"], total_generation_steps=2, return_state=True,
+            end_sampling_at_eos_token=False)
+    img = jnp.zeros((1, 4, 12), jnp.float32)
+    with pytest.raises(ValueError, match="prefix_state"):
+      s(["x"], total_generation_steps=2, prefix_state=out.state,
+        img_embed=img)
