@@ -1,0 +1,158 @@
+"""Continuous batching: mid-flight joins must not perturb any request.
+
+The invariant (stronger than anything upstream — the reference has no
+serving loop at all): a request's tokens are bit-identical to a solo
+``Sampler.__call__`` run regardless of when it joined the running batch,
+who its neighbors were, or the step-chunk size used to drive the loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.inference import serving
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.tokenizers import SimpleVocab
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+  vocab = SimpleVocab(WORDS)
+  config = common.GriffinConfig(
+      vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+      num_heads=2,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+      ),
+      embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+      logits_soft_cap=30.0, lru_width=16,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+  )
+  model = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  params = model.init(
+      jax.random.PRNGKey(11), jnp.ones((1, 4), jnp.int32),
+      jnp.arange(4)[None],
+  )["params"]
+  sampler = sampler_lib.Sampler(model, vocab, params)
+  return sampler, vocab
+
+
+def _solo(sampler, prompt, steps):
+  out = sampler([prompt], total_generation_steps=steps)
+  return np.asarray(out.tokens[0])
+
+
+def _check(got, solo_tokens, steps, eos_id):
+  """Batcher output must be a prefix of the solo run, of the right length.
+
+  (The solo buffer pads out post-EOS positions; the batcher stops writing
+  instead, so compare the written prefix and the stop condition.)"""
+  assert got == list(solo_tokens[: len(got)]), (got, list(solo_tokens))
+  assert len(got) == steps or got[-1] == eos_id, (got, steps)
+
+
+class TestContinuousBatching:
+
+  def test_single_request_matches_solo(self, setup):
+    sampler, vocab = setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    rid = batcher.add_request("alpha beta", max_steps=steps)
+    results = batcher.run_until_drained(step_size=3)
+    assert [r[0] for r in results] == [rid]
+    _check(results[0][1], _solo(sampler, "alpha beta", steps), steps,
+           vocab.eos_id())
+
+  def test_concurrent_requests_match_solo(self, setup):
+    sampler, vocab = setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(sampler, num_slots=4,
+                                        max_steps_default=steps)
+    prompts = ["alpha beta", "gamma delta eps", "zeta", "eta theta alpha"]
+    ids = {batcher.add_request(p, max_steps=steps): p for p in prompts}
+    results = dict(
+        (rid, tokens) for rid, tokens, _ in batcher.run_until_drained(2)
+    )
+    assert set(results) == set(ids)
+    for rid, prompt in ids.items():
+      _check(results[rid], _solo(sampler, prompt, steps), steps,
+             vocab.eos_id())
+
+  def test_midflight_join_does_not_perturb(self, setup):
+    """The continuous-batching invariant proper."""
+    sampler, vocab = setup
+    steps = 10
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    r1 = batcher.add_request("alpha beta gamma", max_steps=steps)
+    batcher.step(3)  # r1 is mid-generation...
+    r2 = batcher.add_request("delta eps", max_steps=steps)  # ...r2 joins
+    results = dict(
+        (rid, tokens) for rid, tokens, _ in batcher.run_until_drained(4)
+    )
+    for rid, prompt in [(r1, "alpha beta gamma"), (r2, "delta eps")]:
+      _check(results[rid], _solo(sampler, prompt, steps), steps,
+             vocab.eos_id())
+
+  def test_slot_reuse_after_finish(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    r1 = batcher.add_request("alpha", max_steps=4)
+    first = batcher.run_until_drained(2)
+    assert first[0][0] == r1
+    # The freed slot admits a new request whose result is still exact.
+    r2 = batcher.add_request("beta gamma", max_steps=4)
+    second = batcher.run_until_drained(2)
+    assert second[0][0] == r2
+    _check(second[0][1], _solo(sampler, "beta gamma", 4), 4,
+           vocab.eos_id())
+
+  def test_step_chunk_size_is_irrelevant(self, setup):
+    sampler, vocab = setup
+    outs = []
+    for chunk in (1, 5):
+      batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                          max_steps_default=6)
+      batcher.add_request("zeta eta", max_steps=6)
+      outs.append(batcher.run_until_drained(chunk)[0][1])
+    assert outs[0] == outs[1]
+
+  def test_capacity_enforced(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    batcher.add_request("alpha")
+    with pytest.raises(RuntimeError, match="slots busy"):
+      batcher.add_request("beta")
+
+  def test_greedy_only(self, setup):
+    sampler, vocab = setup
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, deterministic_sampling=False
+    )
+    with pytest.raises(ValueError, match="greedy"):
+      serving.ContinuousBatcher(s2, num_slots=1)
+
+  def test_budget_growth_recompiles_safely(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=4)
+    batcher.add_request("alpha", max_steps=4)
+    # A budget beyond the current buffer grows it mid-flight.
+    r_long = batcher.add_request("beta gamma delta", max_steps=40)
+    results = dict(
+        (rid, tokens) for rid, tokens, _ in batcher.run_until_drained(8)
+    )
+    _check(results[r_long], _solo(sampler, "beta gamma delta", 40), 40,
+           vocab.eos_id())
