@@ -95,8 +95,11 @@ class ContinuousBatcher:
 
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
                               static_argnums=4)
-    self._step_fn = jax.jit(self._step_n, donate_argnums=0,
-                            static_argnums=1)
+    # Params enter as an argument: closing over them would bake ~weights-
+    # sized constants into the lowered program (XLA warns at >5 GB and the
+    # executable would carry its own copy of the weights in HBM).
+    self._step_fn = jax.jit(self._step_n, donate_argnums=1,
+                            static_argnums=2)
 
   # -- device programs --------------------------------------------------------
 
@@ -134,14 +137,14 @@ class ContinuousBatcher:
         ),
     }
 
-  def _step_n(self, state, n):
+  def _step_n(self, params, state, n):
     """Advances every slot ``n`` greedy decode steps in one program."""
     eos_id = self.sampler.vocab.eos_id()
 
     def body(_, s):
       live = s["active"] & ~s["done"]
       logits, cache = self.sampler.apply_model(
-          params=self.sampler.params,
+          params=params,
           tokens=s["last_token"][:, None],
           segment_pos=s["positions"],
           cache=s["cache"],
@@ -230,7 +233,7 @@ class ContinuousBatcher:
   def step(self, n: int = 8) -> None:
     """Advances all running requests ``n`` decode steps (one program)."""
     if self._requests:
-      self._state = self._step_fn(self._state, n)
+      self._state = self._step_fn(self.sampler.params, self._state, n)
 
   def pop_finished(self) -> list[tuple[int, list[int], str]]:
     """Returns ``(request_id, token_ids, text)`` for each completed
