@@ -72,8 +72,10 @@ class ModalSampler(sampler_lib.Sampler):
       # VL projection -> Griffin prefill, one XLA program (the north-star
       # path; the reference crosses host/torch/jax per image,
       # modal_sampler.py:452-454).
+      # Model params enter as a real argument — closing over them would
+      # bake a weights-sized constant block into the lowered program.
       self._fused_prefill_fn = jax.jit(
-          self._fused_prefill, static_argnums=[5, 6, 7]
+          self._fused_prefill, static_argnums=[6, 7, 8]
       )
     elif vision_encoder is not None:
       self._encode_fn = lambda p, px: vision_encoder.apply({"params": p}, px)
@@ -84,6 +86,7 @@ class ModalSampler(sampler_lib.Sampler):
 
   def _fused_prefill(
       self,
+      params,
       vision_params,
       pixels,
       tokens,
@@ -97,7 +100,7 @@ class ModalSampler(sampler_lib.Sampler):
         {"params": vision_params}, pixels
     ).astype(jnp.bfloat16)
     return self._prompt_processing_fn(
-        self.params,
+        params,
         tokens,
         rng,
         input_lengths,
@@ -179,6 +182,7 @@ class ModalSampler(sampler_lib.Sampler):
       input_lengths = jnp.asarray(lengths)
       pad_lengths = padded_tokens.shape[1] - input_lengths
       state = self._fused_prefill_fn(
+          self.params,
           self.vision_params,
           pixels,
           padded_tokens,

@@ -136,6 +136,9 @@ class Sampler(Generic[Cache]):
       prefill_chunk_size: int | None = None,
       mesh: Any | None = None,
       model_axis: str = "model",
+      temperature: float = 1.0,
+      top_k: int | None = None,
+      top_p: float | None = None,
   ):
     """See the class docstring.
 
@@ -165,6 +168,17 @@ class Sampler(Generic[Cache]):
         per-layer collectives over ICI. The reference serves single-device
         only (its sampler has no sharding story, ``jax/sampler.py:75``).
       model_axis: Mesh axis name for the tensor-parallel layouts.
+      temperature: Softmax temperature for categorical sampling (ignored
+        when ``deterministic_sampling``). Must be > 0; greedy decoding is
+        ``deterministic_sampling=True``, not temperature 0.
+      top_k: Keep only the ``k`` highest-probability tokens before
+        sampling (None = full vocab). The reference sampler exposes
+        neither this nor ``top_p``/``temperature``
+        (``jax/sampler.py:163-169`` — plain argmax/categorical only).
+      top_p: Nucleus sampling — keep the smallest set of tokens whose
+        cumulative probability reaches ``top_p`` (None = off). Applied
+        after ``temperature`` and ``top_k``, matching the conventional
+        filter order.
     """
     self.model = model
     self.vocab = vocab
@@ -177,6 +191,18 @@ class Sampler(Generic[Cache]):
       params = jax.device_put(params, shardings)
     self.mesh = mesh
     self.params = params
+    if temperature <= 0.0:
+      raise ValueError(
+          f"temperature must be > 0 (got {temperature}); use "
+          "deterministic_sampling=True for greedy decoding."
+      )
+    if top_k is not None and top_k < 1:
+      raise ValueError(f"top_k must be >= 1 (got {top_k}).")
+    if top_p is not None and not 0.0 < top_p <= 1.0:
+      raise ValueError(f"top_p must be in (0, 1] (got {top_p}).")
+    self.temperature = float(temperature)
+    self.top_k = top_k
+    self.top_p = top_p
     self.deterministic_sampling = deterministic_sampling
     self.jit_compile = jit_compile
     self.bucket_prompt_lengths = bucket_prompt_lengths
@@ -279,7 +305,38 @@ class Sampler(Generic[Cache]):
       return jnp.argmax(logits, axis=-1), rng
     assert rng is not None
     rng, step_rng = jax.random.split(rng)
-    return jax.random.categorical(step_rng, logits), rng
+    return jax.random.categorical(step_rng, self._filter_logits(logits)), rng
+
+  def _filter_logits(
+      self, logits: jt.Float[jt.Array, "*b v"]
+  ) -> jt.Float[jt.Array, "*b v"]:
+    """Temperature / top-k / top-p filtering for categorical sampling.
+
+    Static per-sampler settings, so the filters trace into the compiled
+    prefill/decode programs with no dynamic-shape cost: top-k is a
+    threshold-mask against the k-th logit (not a gather), top-p masks
+    against the smallest kept logit from one descending sort — both stay
+    [b, v]-shaped for the MXU-friendly categorical that follows.
+    """
+    if self.temperature != 1.0:
+      logits = logits / self.temperature
+    neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+    if self.top_k is not None and self.top_k < logits.shape[-1]:
+      kth = jax.lax.top_k(logits, self.top_k)[0][..., -1:]
+      logits = jnp.where(logits < kth, neg_inf, logits)
+    if self.top_p is not None and self.top_p < 1.0:
+      sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+      probs = jax.nn.softmax(sorted_logits, axis=-1)
+      cumulative = jnp.cumsum(probs, axis=-1)
+      # Keep a token if the mass *before* it is < top_p: the first token
+      # is always kept, and the token that crosses the boundary is
+      # included (nucleus convention).
+      keep = cumulative - probs < self.top_p
+      min_kept = jnp.min(
+          jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+      )
+      logits = jnp.where(logits < min_kept, neg_inf, logits)
+    return logits
 
   def _sample_step(
       self,

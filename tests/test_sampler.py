@@ -599,3 +599,82 @@ class TestModalConversationalState:
     with pytest.raises(ValueError, match="prefix_state"):
       s(["x"], total_generation_steps=2, prefix_state=out.state,
         img_embed=img)
+
+
+class TestSamplingControls:
+  """Temperature / top-k / top-p (beyond the reference's argmax/categorical)."""
+
+  def test_validation(self, setup):
+    model, vocab, params = setup
+    for kwargs in [
+        dict(temperature=0.0), dict(temperature=-1.0),
+        dict(top_k=0), dict(top_p=0.0), dict(top_p=1.5),
+    ]:
+      with pytest.raises(ValueError):
+        sampler_lib.Sampler(model, vocab, params, **kwargs)
+
+  def test_top_k_one_matches_greedy(self, setup):
+    model, vocab, params = setup
+    greedy = sampler_lib.Sampler(model, vocab, params,
+                                 bucket_prompt_lengths=False)
+    k1 = sampler_lib.Sampler(model, vocab, params,
+                             deterministic_sampling=False, top_k=1,
+                             bucket_prompt_lengths=False)
+    want = greedy(["hello world"], total_generation_steps=6)
+    got = k1(["hello world"], total_generation_steps=6,
+             rng=jax.random.PRNGKey(3))
+    assert got.tokens[0].tolist() == want.tokens[0].tolist()
+
+  def test_tiny_top_p_matches_greedy(self, setup):
+    model, vocab, params = setup
+    greedy = sampler_lib.Sampler(model, vocab, params,
+                                 bucket_prompt_lengths=False)
+    p = sampler_lib.Sampler(model, vocab, params,
+                            deterministic_sampling=False, top_p=1e-6,
+                            bucket_prompt_lengths=False)
+    want = greedy(["the quick brown"], total_generation_steps=6)
+    got = p(["the quick brown"], total_generation_steps=6,
+            rng=jax.random.PRNGKey(11))
+    assert got.tokens[0].tolist() == want.tokens[0].tolist()
+
+  def test_filter_logits_masks_expected_sets(self, setup):
+    model, vocab, params = setup
+    logits = jnp.log(jnp.asarray([[0.5, 0.25, 0.15, 0.06, 0.04]]))
+
+    s_k = sampler_lib.Sampler(model, vocab, params,
+                              deterministic_sampling=False, top_k=2)
+    out_k = np.asarray(s_k._filter_logits(logits))[0]
+    assert np.isfinite(out_k[:2]).all() and (out_k[2:] == -np.inf).all()
+
+    # top_p=0.7: mass before token i is (0, .5, .75, .9, .96) -> keep 0,1.
+    s_p = sampler_lib.Sampler(model, vocab, params,
+                              deterministic_sampling=False, top_p=0.7)
+    out_p = np.asarray(s_p._filter_logits(logits))[0]
+    assert np.isfinite(out_p[:2]).all() and (out_p[2:] == -np.inf).all()
+
+    # top_p=0.76: boundary token 2 is included (nucleus convention).
+    s_p2 = sampler_lib.Sampler(model, vocab, params,
+                               deterministic_sampling=False, top_p=0.76)
+    out_p2 = np.asarray(s_p2._filter_logits(logits))[0]
+    assert np.isfinite(out_p2[:3]).all() and (out_p2[3:] == -np.inf).all()
+
+    # Temperature rescales but masks nothing on its own.
+    s_t = sampler_lib.Sampler(model, vocab, params,
+                              deterministic_sampling=False, temperature=0.5)
+    np.testing.assert_allclose(
+        np.asarray(s_t._filter_logits(logits)), np.asarray(logits) / 0.5,
+        rtol=1e-6)
+
+  def test_temperature_preserves_argmax_distribution_shift(self, setup):
+    """Low temperature concentrates samples on the modal token."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            deterministic_sampling=False, temperature=0.05,
+                            bucket_prompt_lengths=False)
+    greedy = sampler_lib.Sampler(model, vocab, params,
+                                 bucket_prompt_lengths=False)
+    want = greedy(["hello world"], total_generation_steps=4)
+    got = s(["hello world"], total_generation_steps=4,
+            rng=jax.random.PRNGKey(0))
+    # At T=0.05 the categorical is near-degenerate: tokens match greedy.
+    assert got.tokens[0].tolist() == want.tokens[0].tolist()
