@@ -41,6 +41,20 @@ def _bench(fn, make_args, reps=5):
   return statistics.median(times)
 
 
+def _bench_amortized(fn, make_args, n=16):
+  """Per-call time with the relay round-trip amortized over ``n`` calls.
+
+  Enqueues ``n`` calls with distinct inputs (dedup-safe) and syncs once at
+  the end — the pattern CLAUDE.md prescribes for sub-100 ms measurements on
+  this backend, where a single dispatch+fetch costs ~30 ms.
+  """
+  _sync(fn(*make_args(0)))  # compile
+  t0 = time.perf_counter()
+  outs = [fn(*make_args(i + 1)) for i in range(n)]
+  _sync(outs[-1])
+  return (time.perf_counter() - t0) / n
+
+
 def bench_vision_encoder():
   """Config #2: image pixels → fused features → projected visual tokens."""
   from cadence_gemma_tpu import common
@@ -434,6 +448,106 @@ def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
   }))
 
 
+def bench_speculative(prompt_len=128, steps=256, draft_len=7, ngram=2,
+                      int8=False):
+  """Speculative decoding vs plain greedy decode at 2B.
+
+  The prompt is structured (a repeating word cycle) so the random-weight
+  model's greedy continuation is n-gram predictable — this measures the
+  *mechanism's* ceiling on this hardware; real-text acceptance depends on
+  the workload (reported alongside as tokens_per_verify_step).
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.inference import speculative
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.ops import quantization
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (hash(w) % 1000) for w in text.split()]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (1, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  if int8:
+    params = jax.jit(quantization.quantize_params)(params)
+    model = griffin.Griffin(
+        config, gradient_checkpointing=False, quantized=True
+    )
+  s = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+  spec = speculative.SpeculativeSampler(s, draft_len=draft_len, ngram=ngram)
+
+  cycle = ["w%d" % i for i in range(8)]
+  prompt = " ".join(cycle[i % 8] for i in range(prompt_len - 1))
+
+  def run_plain(seed):
+    return s([prompt + " w%d" % seed], total_generation_steps=steps)
+
+  def run_spec(seed):
+    return spec([prompt + " w%d" % seed], total_generation_steps=steps)
+
+  run_plain(0)  # compile
+  t0 = time.perf_counter()
+  out_p = run_plain(1)
+  assert len(out_p.tokens[0]) == steps
+  dt_plain = time.perf_counter() - t0
+
+  run_spec(0)  # compile
+  t0 = time.perf_counter()
+  out_s = run_spec(1)
+  dt_spec = time.perf_counter() - t0
+  emitted = spec.last_stats["tokens_emitted"]
+
+  print(json.dumps({
+      "metric": "speculative_decode_tokens_per_sec_per_chip",
+      "value": round(emitted / dt_spec, 1),
+      "unit": "tokens/sec/chip"
+              + (" int8" if int8 else " bf16")
+              + f" (draft_len={draft_len}, ngram={ngram})",
+      "plain_decode_tps": round(steps / dt_plain, 1),
+      "speedup_vs_plain": round((emitted / dt_spec) / (steps / dt_plain), 2),
+      "tokens_per_verify_step": round(
+          spec.last_stats["tokens_per_verify_step"], 2
+      ),
+      "notes": "structured prompt; acceptance (hence speedup) is "
+               "workload-dependent — tokens_per_verify_step is the "
+               "measured mean accepted length per weights read.",
+  }))
+
+
 def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):
   """Serving features: prefix-cached TTFT + continuous-batching throughput.
 
@@ -493,23 +607,37 @@ def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):
   def words(n, seed):
     return " ".join(f"w{seed}_{i}" for i in range(n))
 
-  # Prefix-cached TTFT: distinct suffixes per rep (dedup-safe), one
-  # prefill of the (suffix)-continuation per timing.
+  # Prefix-cached TTFT vs full-prompt TTFT. Times the prefill *programs*
+  # directly (as every other TTFT figure in this file does): the public
+  # __call__ adds host tokenize/detokenize and per-call fetches, which on
+  # the relay backend cost ~30 ms each and would swamp a few-ms prefill.
   prefix_state = s.prefill_prefix(words(prefix_len - 1, 0))
+  start = jnp.full((1,), prefix_state.length, jnp.int32)
 
   def continue_prefill(seed):
-    out = s([words(suffix_len, seed)], total_generation_steps=1,
-            prefix_state=prefix_state)
-    return out.tokens[0]
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed), (1, suffix_len), 3, 1000, jnp.int32
+    )
+    lengths = jnp.full((1,), suffix_len, jnp.int32)
+    return s.prompt_processing_fn(
+        s.params, tokens, None, lengths, 1, False, False, None,
+        prefix_state.cache, start,
+    )
 
-  cached = _bench(lambda seed: continue_prefill(seed), lambda i: (i,))
+  cached = _bench_amortized(lambda seed: continue_prefill(seed),
+                            lambda i: (i,))
 
   def full_prefill(seed):
-    out = s([words(prefix_len - 1, 0) + " " + words(suffix_len, seed)],
-            total_generation_steps=1)
-    return out.tokens[0]
+    total = prefix_len + suffix_len
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed), (1, total), 3, 1000, jnp.int32
+    )
+    lengths = jnp.full((1,), total, jnp.int32)
+    return s.prompt_processing_fn(
+        s.params, tokens, None, lengths, 1, False, False, None
+    )
 
-  full = _bench(lambda seed: full_prefill(seed), lambda i: (i,))
+  full = _bench_amortized(lambda seed: full_prefill(seed), lambda i: (i,))
   print(json.dumps({
       "metric": "prefix_cached_ttft_ms",
       "value": round(cached * 1e3, 2),
@@ -519,26 +647,29 @@ def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):
       "speedup": round(full / cached, 2),
   }))
 
-  # Continuous batching: staggered arrivals, aggregate throughput.
+  # Continuous batching: staggered arrivals, aggregate throughput. The
+  # warmup pass runs the IDENTICAL workload first so the timed pass sees
+  # no compiles (a remote 2B compile is minutes and `step`'s program is
+  # specialized on the step count).
   batcher = serving.ContinuousBatcher(
       s, num_slots=num_slots, max_steps_default=steps
   )
   n_requests = 2 * num_slots
-  pending = [words(suffix_len, 100 + i) for i in range(n_requests)]
-  # Warm the compiled insert/step programs before timing.
-  batcher.add_request(pending[0], max_steps=steps)
-  batcher.step(2)
-  batcher._state["done"] = jnp.ones_like(batcher._state["done"])
-  batcher.pop_finished()
 
+  def run_workload(seed0):
+    pending = [words(suffix_len, seed0 + i) for i in range(n_requests)]
+    generated = 0
+    while pending or batcher.active_count:
+      while pending and batcher.has_capacity:
+        batcher.add_request(pending.pop(), max_steps=steps)
+      batcher.step(16)
+      for _, toks, _ in batcher.pop_finished():
+        generated += len(toks)
+    return generated
+
+  run_workload(100)  # compile insert/step/pop at the exact shapes used
   t0 = time.perf_counter()
-  generated = 0
-  while pending or batcher.active_count:
-    while pending and batcher.has_capacity:
-      batcher.add_request(pending.pop(), max_steps=steps)
-    batcher.step(16)
-    for _, toks, _ in batcher.pop_finished():
-      generated += len(toks)
+  generated = run_workload(500)
   # One data-dependent fetch already happened per pop; timing closed here.
   dt = time.perf_counter() - t0
   print(json.dumps({
@@ -570,3 +701,7 @@ if __name__ == "__main__":
     bench_longcontext_sft(use_flash=False)
   if which in ("all", "serving"):
     bench_serving()
+  if which in ("all", "spec"):
+    bench_speculative()
+  if which == "spec_int8":
+    bench_speculative(int8=True)

@@ -27,6 +27,7 @@ from cadence_gemma_tpu.inference.serving import ContinuousBatcher
 from cadence_gemma_tpu.inference.sampler import Sampler
 from cadence_gemma_tpu.inference.sampler import SamplerOutput
 from cadence_gemma_tpu.inference.sampler import SamplingState
+from cadence_gemma_tpu.inference.speculative import SpeculativeSampler
 from cadence_gemma_tpu.models.griffin import Cache
 from cadence_gemma_tpu.models.griffin import Griffin
 from cadence_gemma_tpu.models.layers import BlockDiagonalLinear

@@ -74,6 +74,11 @@ KeySegmentIds = jt.Integer[jt.Array, "*b t"]
 # (e.g. the 7B presets: width 4096, lru_width 5632).
 RNNState = jt.Shaped[jt.Array, "*b sd"]
 Conv1DState = jt.Shaped[jt.Array, "*b tw sd"]
+# Pending conv material for speculative decoding: [old tail | chunk inputs],
+# a fresh symbolic length so it can coexist with a bound tw/t in one call.
+Conv1DPending = jt.Shaped[jt.Array, "*b twt sd"]
+# Pending RG-LRU material: per-step fp32 carries [b, t, d].
+RNNStatePending = jt.Shaped[jt.Array, "*b t sd"]
 RNNDiagonal = jt.Shaped[jt.Array, "sd"]
 
 # Vision.

@@ -1,0 +1,262 @@
+"""Self-speculative greedy decoding via device-side prompt-lookup drafts.
+
+No reference counterpart (the reference decodes strictly one token per
+forward pass, ``/root/reference/recurrentgemma/jax/sampler.py:163-204``).
+Decode is HBM-bandwidth-bound: every step reads all weights to produce one
+token. Speculative decoding reads the weights once per *draft chunk* —
+verify ``k`` drafted tokens plus the pending token in a single ``k+1``-token
+forward, accept the prefix on which the model's own greedy choices agree,
+and emit one extra (corrected) token on top. Greedy acceptance makes the
+output tokens identical to plain decode regardless of draft quality; drafts
+only change the speed.
+
+Drafting is prompt-lookup (n-gram) based and runs **on device**: the most
+recent ``ngram`` tokens are matched against the whole history (prompt +
+generated) with one vectorized compare, and the continuation of the latest
+match becomes the draft. No draft model, no host round-trips — the entire
+generation loop (draft → verify → accept → cache commit) is ONE compiled
+XLA while-loop program, same as the plain sampler's.
+
+The Griffin-specific piece is the cache: recurrent state cannot be "rolled
+back" like a pure KV cache, so verification runs the model in
+``pending_cache`` mode (``models/griffin.py``) and
+:func:`models.modules.commit_pending_cache` materializes exactly the
+accepted prefix — RG-LRU fp32 carries, conv input tail, masked ring write.
+
+Speed-of-light accounting: a spec step costs one weights read (like one
+plain decode step) plus O(k) extra FLOPs (negligible at decode batch
+sizes); with mean accepted length ``1 + E[j]`` the decode throughput
+multiplier is ``1 + E[j]`` minus epsilon. Copy-heavy workloads (structured
+extraction, code edits, quoting) see 2-5x; adversarially non-repetitive
+text degrades gracefully to ~1x.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.models import modules
+
+SamplerOutput = sampler_lib.SamplerOutput
+
+
+class SpeculativeSampler:
+  """Greedy sampler with prompt-lookup speculative decoding.
+
+  Args:
+    sampler: A deterministic (greedy) :class:`Sampler`; its model, params,
+      vocab, and prefill programs are reused.
+    draft_len: Tokens drafted per verify step (the chunk is draft_len + 1).
+    ngram: Match length for the history lookup.
+  """
+
+  def __init__(
+      self,
+      sampler: sampler_lib.Sampler,
+      draft_len: int = 7,
+      ngram: int = 2,
+  ):
+    if not sampler.deterministic_sampling:
+      raise ValueError(
+          "Speculative decoding is exact only for greedy sampling "
+          "(deterministic_sampling=True)."
+      )
+    if draft_len < 1 or ngram < 1:
+      raise ValueError(f"draft_len/ngram must be >= 1, got {draft_len}/{ngram}")
+    window = getattr(sampler.model.config, "attention_window_size", None)
+    if window is not None and draft_len + 1 > window:
+      raise ValueError(
+          f"draft_len + 1 ({draft_len + 1}) exceeds the attention window "
+          f"({window}); the masked ring commit needs distinct slots."
+      )
+    self.sampler = sampler
+    self.draft_len = draft_len
+    self.ngram = ngram
+    self.last_stats: dict[str, Any] = {}
+    self._loop_fn = jax.jit(self._spec_loop, static_argnums=(6,))
+
+  # -- device program ----------------------------------------------------------
+
+  def _spec_loop(
+      self,
+      cache,
+      positions,
+      hist,
+      valid_from,
+      cur_len,
+      first_token,
+      total_steps: int,
+  ):
+    """The whole speculative generation as one XLA while-loop program."""
+    s = self.sampler
+    k, n = self.draft_len, self.ngram
+    eos = s.vocab.eos_id()
+    b, hist_len = hist.shape
+    rows = jnp.arange(b)[:, None]
+    offs = jnp.arange(k + 1)[None]
+
+    out = jnp.full((b, total_steps), s.vocab.pad_id(), jnp.int32)
+    out = out.at[:, 0].set(first_token)
+    carry = dict(
+        cache=cache,
+        positions=positions,
+        hist=hist,
+        cur_len=cur_len,
+        done=first_token == eos,
+        out=out,
+        emitted=jnp.ones((b,), jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+      return jnp.any(~c["done"])
+
+    def body(c):
+      # -- draft: continuation of the latest n-gram match in the history.
+      gram_idx = c["cur_len"][:, None] - n + jnp.arange(n)[None]
+      gram = jnp.take_along_axis(
+          c["hist"], jnp.clip(gram_idx, 0, hist_len - 1), axis=1
+      )
+      starts = jnp.arange(hist_len - n)
+      windows = c["hist"][:, starts[:, None] + jnp.arange(n)[None]]
+      match = jnp.all(windows == gram[:, None, :], axis=-1)
+      # Continuation must begin inside known history (this also excludes
+      # the query n-gram matching itself), and the window must not reach
+      # into the left padding.
+      match &= (starts[None] + n) <= c["cur_len"][:, None] - 1
+      match &= starts[None] >= valid_from[:, None]
+      best = jnp.max(jnp.where(match, starts[None], -1), axis=1)
+      cont_idx = jnp.clip(
+          best[:, None] + n + jnp.arange(k)[None], 0, hist_len - 1
+      )
+      draft = jnp.take_along_axis(c["hist"], cont_idx, axis=1)
+      pending = jnp.take_along_axis(c["hist"], c["cur_len"][:, None] - 1, 1)
+      # No match → draft the pending token repeated (cheap, usually
+      # rejected; correctness never depends on draft quality).
+      draft = jnp.where(best[:, None] >= 0, draft, pending)
+
+      # -- verify: one forward over [pending, draft...], deferred cache.
+      chunk = jnp.concatenate([pending, draft], axis=1)  # [b, k+1]
+      chunk_pos = c["positions"] + offs
+      logits, pend_cache = s.model.apply(
+          {"params": s.params},
+          tokens=chunk,
+          segment_pos=chunk_pos,
+          cache=c["cache"],
+          return_logits=True,
+          return_cache=True,
+          pending_cache=True,
+      )
+      greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
+
+      # -- accept: drafts agreeing with the model's own greedy choices.
+      agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+      j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
+      is_eos = greedy == eos
+      eos_pos = jnp.argmax(is_eos, axis=1)
+      j = jnp.where(jnp.any(is_eos, axis=1), jnp.minimum(j, eos_pos), j)
+
+      emit_n = jnp.minimum(j + 1, total_steps - c["emitted"])
+      emit_n = jnp.where(c["done"], 0, emit_n)
+
+      # -- cache: commit the accepted prefix; done rows keep their cache.
+      committed = modules.commit_pending_cache(c["cache"], pend_cache, j)
+      keep = c["done"]
+      new_cache = jax.tree_util.tree_map(
+          lambda old, new: jnp.where(
+              keep.reshape((b,) + (1,) * (new.ndim - 1)), old, new
+          ),
+          c["cache"],
+          committed,
+      )
+
+      # -- emit into the output buffer and the lookup history. Masked
+      # entries scatter to an out-of-bounds index and are dropped —
+      # clipping them in-bounds instead would duplicate indices, and
+      # duplicate-scatter write order is undefined.
+      emit_mask = offs < emit_n[:, None]
+      widx = jnp.where(emit_mask, c["emitted"][:, None] + offs, total_steps)
+      new_out = c["out"].at[rows, widx].set(greedy, mode="drop")
+      hidx = jnp.where(emit_mask, c["cur_len"][:, None] + offs, hist_len)
+      new_hist = c["hist"].at[rows, hidx].set(greedy, mode="drop")
+      emitted = c["emitted"] + emit_n
+      done = (
+          c["done"]
+          | jnp.any(is_eos & emit_mask, axis=1)
+          | (emitted >= total_steps)
+      )
+      return dict(
+          cache=new_cache,
+          positions=c["positions"] + emit_n[:, None],
+          hist=new_hist,
+          cur_len=c["cur_len"] + emit_n,
+          done=done,
+          out=new_out,
+          emitted=emitted,
+          steps=c["steps"] + 1,
+      )
+
+    final = jax.lax.while_loop(cond, body, carry)
+    return final["out"], final["emitted"], final["steps"]
+
+  # -- host API ----------------------------------------------------------------
+
+  def __call__(
+      self,
+      input_strings: Sequence[str],
+      total_generation_steps: int,
+  ) -> SamplerOutput:
+    """Greedy generation; emits the same tokens as ``Sampler.__call__``.
+
+    The output buffer is padded with ``pad_id`` after a row's EOS (the
+    plain sampler leaves post-EOS buffer contents unspecified).
+    """
+    s = self.sampler
+    if total_generation_steps < 1:
+      raise ValueError("total_generation_steps must be >= 1.")
+    all_ids = [s.tokenize(t) for t in input_strings]
+    lengths = jnp.asarray([len(i) for i in all_ids])
+    tokens = s._get_padded_tokens(all_ids)
+    prompt_len = tokens.shape[1]
+
+    # History buffer BEFORE prefill: prompt_processing_fn donates `tokens`.
+    hist = jnp.pad(
+        tokens, ((0, 0), (0, total_generation_steps)),
+        constant_values=s.vocab.pad_id(),
+    )
+    valid_from = (prompt_len - lengths).astype(jnp.int32)
+
+    state = s.prompt_processing_fn(
+        s.params, tokens, None, lengths, 1, False, False, None
+    )
+    first_token = state.tokens_buffer[:, 0]
+    hist = hist.at[:, prompt_len].set(first_token)
+    cur_len = jnp.full(lengths.shape, prompt_len + 1, jnp.int32)
+
+    out, emitted, steps = self._loop_fn(
+        state.cache, state.positions, hist, valid_from, cur_len,
+        first_token, total_generation_steps,
+    )
+    emitted_h = jax.device_get(emitted)
+    steps_h = int(jax.device_get(steps))
+    spec_tokens = float(emitted_h.sum() - len(emitted_h))  # minus prefill T0
+    self.last_stats = {
+        "verify_steps": steps_h,
+        "tokens_emitted": int(emitted_h.sum()),
+        # Decode-throughput multiplier vs plain decode: tokens emitted per
+        # weights read (upper-bounded by draft_len + 1).
+        "tokens_per_verify_step": spec_tokens / max(steps_h, 1),
+    }
+    token_rows = [row for row in out]
+    return SamplerOutput(
+        text=[
+            s.vocab.DecodeIds(row[: int(m)].tolist())
+            for row, m in zip(out, emitted_h)
+        ],
+        tokens=token_rows,
+        logits=[],
+    )

@@ -63,8 +63,8 @@ class Griffin(nn.Module):
 
     block_cls = modules.ResidualBlock
     if self.gradient_checkpointing:
-      # return_cache is a static arg of the block call.
-      block_cls = nn.remat(block_cls, static_argnums=4)
+      # return_cache / pending_cache are static args of the block call.
+      block_cls = nn.remat(block_cls, static_argnums=(4, 5))
     self.blocks = [
         block_cls(
             name=f"blocks.{i}",
@@ -131,6 +131,7 @@ class Griffin(nn.Module):
       image: at.Image | None = None,
       last_logits_only: bool = False,
       return_hidden: bool = False,
+      pending_cache: bool = False,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     """Runs the model over ``tokens`` (optionally with spliced image tokens).
 
@@ -154,6 +155,13 @@ class Griffin(nn.Module):
         :meth:`decode_hidden` so the [b, t, vocab] tensor never exists —
         at 8k tokens and 256k vocab that tensor is 4-8 GB and is what
         actually bounds long-context training memory (not attention).
+      pending_cache: Return per-layer *pending* cache material instead of
+        committed caches — the speculative-decoding verify pass runs the
+        draft chunk once, compares the resulting logits with the draft,
+        and only then commits the accepted prefix via
+        :func:`modules.commit_pending_cache` (RG-LRU per-step fp32 carries,
+        conv input tail, the chunk's rotated KVs). Requires ``cache``
+        (decode mode) and contiguous positions per row.
 
     Returns:
       ``(logits | None, cache | None)``; logits include positions for the
@@ -178,6 +186,7 @@ class Griffin(nn.Module):
           segment_pos,
           None if cache is None else cache[layer_name],
           return_cache,
+          pending_cache,
       )
 
     if not return_logits:

@@ -288,8 +288,20 @@ class RGLRU(nn.Module):
       segment_pos: at.SegmentPos,
       cache: at.RNNState | None = None,
       return_cache: bool = True,
-  ) -> tuple[at.ExpandedActivations, at.RNNState | None]:
-    """Runs the RG-LRU over ``x``; returns outputs and the final fp32 state."""
+      pending_cache: bool = False,
+  ) -> tuple[
+      at.ExpandedActivations, at.RNNState | at.RNNStatePending | None
+  ]:
+    """Runs the RG-LRU over ``x``; returns outputs and the final fp32 state.
+
+    ``pending_cache`` returns the *per-step* fp32 states [b, t, d] instead
+    of the final one: the speculative-decoding verify pass picks the state
+    at the accepted draft index after comparing logits (see
+    ``modules.commit_pending_cache``). The scan then runs on the sequential
+    native path so the intermediates equal the carries plain decode would
+    have produced; ``t`` is the draft length, so the Pallas kernel is not
+    missed.
+    """
     x, a_param = nn.dtypes.promote_dtype(x, self.a_param, dtype=self.dtype)
     batch, seq_len, _ = x.shape
     assert segment_pos.shape == (batch, seq_len)
@@ -307,6 +319,15 @@ class RGLRU(nn.Module):
     multiplier = sqrt_bound_derivative(1 - a_squared, 1000)
     multiplier = reset[..., None] + (1 - reset[..., None]) * multiplier
     normed_x = gated_x * multiplier.astype(x.dtype)
+
+    if pending_cache:
+      y_acc, _ = scan.lru_linear_scan(
+          x=normed_x,
+          a=a * (1 - reset[..., None]),
+          h0=cache,
+          y_in_acc_dtype=True,
+      )
+      return y_acc.astype(x.dtype), (y_acc if return_cache else None)
 
     y, h_last = scan.linear_scan(
         x=normed_x,
@@ -348,7 +369,10 @@ class Conv1D(nn.Module):
       segment_pos: at.SegmentPos,
       cache: at.Conv1DState | None = None,
       return_cache: bool = True,
-  ) -> tuple[at.ExpandedActivations, at.Conv1DState | None]:
+      pending_cache: bool = False,
+  ) -> tuple[
+      at.ExpandedActivations, at.Conv1DState | at.Conv1DPending | None
+  ]:
     w = self.param(
         "w",
         nn.initializers.variance_scaling(
@@ -405,6 +429,14 @@ class Conv1D(nn.Module):
 
     if not return_cache:
       return out, None
+
+    if pending_cache:
+      # Speculative decoding: return the whole concatenated [old tail |
+      # chunk] of raw inputs; ``modules.commit_pending_cache`` slices the
+      # temporal_width-1 inputs ending at the accepted index (which may
+      # reach back into the previous tail). Requires cache mode.
+      assert cache is not None
+      return out, x.astype(state_dtype)
 
     new_cache = x[:, 1 - self.temporal_width :].astype(state_dtype)
     missing = self.temporal_width - 1 - new_cache.shape[1]

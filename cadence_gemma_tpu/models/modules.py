@@ -43,17 +43,27 @@ _MAX_WAVELENGTH = 10_000
 
 
 class RecurrentBlockCache(NamedTuple):
-  """State of a recurrent block: RG-LRU hidden state + conv tail."""
+  """State of a recurrent block: RG-LRU hidden state + conv tail.
 
-  rg_lru_state: at.RNNState
-  conv1d_state: at.Conv1DState
+  In a ``pending_cache=True`` forward the same container carries the
+  *per-step* material instead (fp32 carries [b, t, d] / concatenated conv
+  inputs) until :func:`commit_pending_cache` resolves it.
+  """
+
+  rg_lru_state: at.RNNState | at.RNNStatePending
+  conv1d_state: at.Conv1DState | at.Conv1DPending
 
 
 class AttentionBlockCache(NamedTuple):
-  """Ring KV cache of ``window_size`` slots plus a monotone token counter."""
+  """Ring KV cache of ``window_size`` slots plus a monotone token counter.
 
-  keys: at.CachedKeys
-  values: at.CachedValues
+  In a ``pending_cache=True`` forward, ``keys``/``values`` instead hold the
+  verify chunk's rotated KVs [b, t, 1, h] (``num_tokens`` unchanged) until
+  :func:`commit_pending_cache` mask-writes the accepted prefix.
+  """
+
+  keys: at.CachedKeys | at.Keys
+  values: at.CachedValues | at.Values
   num_tokens: at.NumTokens
 
 
@@ -234,6 +244,90 @@ def update_attention_cache(
   return AttentionBlockCache(new_keys, new_values, new_num)
 
 
+def commit_attention_cache(
+    keys: at.Keys,
+    values: at.Values,
+    cache: AttentionBlockCache,
+    commit_idx: at.NumTokens,
+) -> AttentionBlockCache:
+  """Masked ring write for a speculative-decoding verify chunk.
+
+  The chunk's tokens occupy contiguous positions starting at the ring
+  counter; per row, only tokens up to ``commit_idx`` (the accepted draft
+  prefix) are written — rejected tokens' slots keep their previous
+  contents, so the ring is exactly what plain decode of the accepted
+  tokens would have produced. Chunk slots are distinct because the draft
+  length is far below the window.
+
+  ``keys``/``values`` come from a ``pending_cache=True`` forward, where the
+  attention block returns the chunk's rotated KVs instead of updating the
+  ring (see :func:`commit_pending_cache`).
+  """
+  b, t = keys.shape[0], keys.shape[1]
+  window = cache.keys.shape[1]
+  assert t <= window, (t, window)
+  offsets = jnp.arange(t)
+  slots = (cache.num_tokens[:, None] + offsets[None]) % window  # [b, t]
+  accept = offsets[None] <= commit_idx[:, None]  # [b, t]
+  batch_idx = jnp.arange(b)[:, None]
+  select = accept[..., None, None]
+  new_keys = cache.keys.at[batch_idx, slots].set(
+      jnp.where(select, keys, cache.keys[batch_idx, slots])
+  )
+  new_values = cache.values.at[batch_idx, slots].set(
+      jnp.where(select, values, cache.values[batch_idx, slots])
+  )
+  return AttentionBlockCache(
+      keys=new_keys,
+      values=new_values,
+      num_tokens=cache.num_tokens + commit_idx + 1,
+  )
+
+
+def commit_pending_cache(
+    old_cache,
+    pending_cache,
+    commit_idx: at.NumTokens,
+):
+  """Resolves a ``pending_cache=True`` forward into a real decode cache.
+
+  Speculative decoding runs the whole draft chunk through the model once;
+  which prefix survives is only known after comparing the chunk's logits
+  with the draft, so the per-layer cache write is deferred: the forward
+  returns raw per-step material and this function commits exactly the
+  accepted ``commit_idx + 1`` tokens per row —
+
+    * RG-LRU: the per-step fp32 carries [b, t, d]; take step ``j``.
+    * Conv1D: the concatenated [old tail | chunk inputs]; slice the
+      ``temporal_width - 1`` inputs ending at ``j``.
+    * Attention: the chunk's rotated KVs; masked ring write
+      (:func:`commit_attention_cache`).
+
+  The result equals what plain decode of the accepted tokens would have
+  produced (tested to fma tolerance in tests/test_speculative.py).
+  """
+  idx = commit_idx.astype(jnp.int32)
+
+  def commit_block(old, pending):
+    if isinstance(old, RecurrentBlockCache):
+      states = pending.rg_lru_state  # [b, t, d] fp32 carries
+      h = jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0]
+      xcat = pending.conv1d_state  # [b, tw-1+t, d]
+      tail = old.conv1d_state.shape[1]  # temporal_width - 1
+      conv = jax.vmap(
+          lambda row, j: jax.lax.dynamic_slice_in_dim(row, j + 1, tail, 0)
+      )(xcat, idx).astype(old.conv1d_state.dtype)
+      return RecurrentBlockCache(rg_lru_state=h, conv1d_state=conv)
+    return commit_attention_cache(
+        pending.keys, pending.values, old, idx
+    )
+
+  return {
+      name: commit_block(old_cache[name], pending_cache[name])
+      for name in old_cache
+  }
+
+
 def _should_use_flash_attention(
     seq_len: int, window_size: int, override: bool | None
 ) -> bool:
@@ -299,6 +393,7 @@ class LocalAttentionBlock(nn.Module):
       segment_pos: at.SegmentPos,
       cache: AttentionBlockCache | None = None,
       return_cache: bool = True,
+      pending_cache: bool = False,
   ) -> tuple[at.Activations, AttentionBlockCache | None]:
     b, t, _ = x.shape
     assert segment_pos.shape == (b, t), segment_pos.shape
@@ -313,11 +408,23 @@ class LocalAttentionBlock(nn.Module):
     keys = apply_rope(keys, segment_pos)
 
     if cache is not None:
-      new_cache = (
-          update_attention_cache(keys, values, segment_pos, cache)
-          if return_cache
-          else None
-      )
+      if pending_cache:
+        # Speculative decoding: defer the ring write — hand back the
+        # chunk's KVs so commit_pending_cache can mask-write only the
+        # accepted prefix once the verify logits pick it.
+        new_cache = (
+            AttentionBlockCache(
+                keys=keys, values=values, num_tokens=cache.num_tokens
+            )
+            if return_cache
+            else None
+        )
+      else:
+        new_cache = (
+            update_attention_cache(keys, values, segment_pos, cache)
+            if return_cache
+            else None
+        )
       keys = jnp.concatenate([cache.keys, keys], axis=-3)
       values = jnp.concatenate([cache.values, values], axis=-3)
       attn_mask = compute_cache_mask(
@@ -458,6 +565,7 @@ class RecurrentBlock(nn.Module):
       segment_pos: at.SegmentPos,
       cache: RecurrentBlockCache | None = None,
       return_cache: bool = True,
+      pending_cache: bool = False,
   ) -> tuple[at.Activations, RecurrentBlockCache | None]:
     y = jax.nn.gelu(self.linear_y(x))
 
@@ -467,12 +575,14 @@ class RecurrentBlock(nn.Module):
         segment_pos=segment_pos,
         cache=None if cache is None else cache.conv1d_state,
         return_cache=return_cache,
+        pending_cache=pending_cache,
     )
     x, rg_lru_state = self.rg_lru(
         x=x,
         segment_pos=segment_pos,
         cache=None if cache is None else cache.rg_lru_state,
         return_cache=return_cache,
+        pending_cache=pending_cache,
     )
 
     x = self.linear_out(x * y)
@@ -659,11 +769,13 @@ class ResidualBlock(nn.Module):
       segment_pos: at.SegmentPos,
       cache: ResidualBlockCache | None = None,
       return_cache: bool = True,
+      pending_cache: bool = False,
   ) -> tuple[at.Activations, ResidualBlockCache | None]:
     residual = x
     x = self.temporal_pre_norm(x)
     x, cache = self.temporal_block(
-        x, segment_pos, cache, return_cache=return_cache
+        x, segment_pos, cache, return_cache=return_cache,
+        pending_cache=pending_cache,
     )
     x = x + residual
 

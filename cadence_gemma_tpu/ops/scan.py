@@ -52,14 +52,18 @@ def lru_linear_scan(
     return_a_prod: bool = False,
     acc_float_dtype: jnp.dtype = jnp.float32,
     unroll: int = 1,
+    y_in_acc_dtype: bool = False,
 ):
   """Sequential scan via ``jax.lax.scan`` with an fp32 carry.
 
   Returns ``(y, h_last)``, or ``((y, h_last), (a_prod, a_prod_last))`` when
   ``return_a_prod`` — the cumulative products needed by the sequence-parallel
-  fix-up.
+  fix-up. ``y_in_acc_dtype`` keeps the per-step outputs in the accumulation
+  dtype: they then ARE the exact intermediate carries, which the
+  speculative-decoding commit needs to restore mid-chunk state losslessly.
   """
   acc_dtype = sharding.get_acc_dtype(x, h0, acc_float_dtype)
+  y_dtype = acc_dtype if y_in_acc_dtype else x.dtype
 
   if h0 is None:
     h0 = complex_lib.zeros_like(x[:, 0], acc_dtype)
@@ -71,8 +75,8 @@ def lru_linear_scan(
     h_t = a_t.astype(acc_dtype) * h_prev + x_t.astype(acc_dtype)
     if return_a_prod:
       p_t = a_t.astype(acc_dtype) * p_prev
-      return (h_t, p_t), (h_t.astype(x.dtype), p_t.astype(x.dtype))
-    return (h_t, None), (h_t.astype(x.dtype), None)
+      return (h_t, p_t), (h_t.astype(y_dtype), p_t.astype(x.dtype))
+    return (h_t, None), (h_t.astype(y_dtype), None)
 
   # vmap over batch so scan's leading axis is time.
   scanned = jax.vmap(

@@ -1,0 +1,230 @@
+"""Speculative decoding: ragged cache commit + sampler equivalence.
+
+The reference has no speculative decoding; this subsystem is TPU-native
+original work. The correctness bar for the cache commit: a
+verify pass over ``t`` draft tokens with ``cache_commit_idx=j`` must leave
+every layer cache equal (fp32, to fma-fusion tolerance — XLA contracts
+``a*h+x`` differently across programs) to processing only the first
+``j+1`` tokens the ordinary way — RG-LRU state (fp32 scan carries),
+conv tail (raw-input slice), and the attention KV ring (masked write,
+reference ring semantics at ``/root/reference/recurrentgemma/jax/
+modules.py:153-253``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.models import modules
+from cadence_gemma_tpu.tokenizers import SimpleVocab
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def tiny_model(window=6):
+  vocab = SimpleVocab(WORDS)
+  config = common.GriffinConfig(
+      vocab_size=vocab.GetPieceSize(),
+      width=16,
+      mlp_expanded_width=32,
+      num_heads=2,
+      lru_width=16,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+          common.TemporalBlockType.RECURRENT,
+      ),
+      embeddings_scale_by_sqrt_dim=True,
+      attention_window_size=window,
+      logits_soft_cap=30.0,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+      vision_tokens=2,
+      vision_width=8,
+      vl_expanded_width=12,
+  )
+  model = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  tokens = jnp.zeros((1, 4), jnp.int32)
+  params = model.init(
+      jax.random.PRNGKey(0), tokens, jnp.arange(4)[None]
+  )["params"]
+  return model, vocab, params
+
+
+def run(model, params, tokens, positions, cache, commit_idx=None):
+  logits, new_cache = model.apply(
+      {"params": params},
+      tokens=tokens,
+      segment_pos=positions,
+      cache=cache,
+      return_logits=True,
+      return_cache=True,
+      pending_cache=commit_idx is not None,
+  )
+  if commit_idx is not None:
+    new_cache = modules.commit_pending_cache(cache, new_cache, commit_idx)
+  return logits, new_cache
+
+
+def assert_caches_equal(got, want):
+  got_l, got_tree = jax.tree_util.tree_flatten(got)
+  want_l, want_tree = jax.tree_util.tree_flatten(want)
+  assert got_tree == want_tree
+  for g, w in zip(got_l, want_l):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6, rtol=1e-5)
+
+
+class TestCacheCommit:
+
+  @pytest.mark.parametrize("commit", [0, 2, 4])
+  def test_commit_equals_truncated_run(self, commit):
+    """Commit at j == the cache from processing only tokens[:j+1]."""
+    model, _, params = tiny_model()
+    prompt = jnp.asarray([[2, 3, 4, 5, 6]], jnp.int32)
+    pos = jnp.arange(5)[None]
+    _, cache = run(model, params, prompt, pos, None)
+
+    chunk = jnp.asarray([[7, 3, 5, 4, 6]], jnp.int32)
+    chunk_pos = 5 + jnp.arange(5)[None]
+    logits_full, committed = run(
+        model, params, chunk, chunk_pos, cache,
+        commit_idx=jnp.asarray([commit]),
+    )
+
+    _, want = run(
+        model, params, chunk[:, : commit + 1], chunk_pos[:, : commit + 1],
+        cache,
+    )
+    assert_caches_equal(committed, want)
+
+    # The verify logits themselves are unaffected by the commit index.
+    logits_plain, _ = run(model, params, chunk, chunk_pos, cache)
+    np.testing.assert_allclose(
+        np.asarray(logits_full), np.asarray(logits_plain), atol=1e-6, rtol=1e-5
+    )
+
+  def test_commit_ring_wrap(self):
+    """Masked ring write stays exact across a window wrap."""
+    model, _, params = tiny_model(window=4)
+    prompt = jnp.asarray([[2, 3, 4]], jnp.int32)
+    pos = jnp.arange(3)[None]
+    _, cache = run(model, params, prompt, pos, None)
+    chunk = jnp.asarray([[5, 6, 7]], jnp.int32)  # wraps the 4-slot ring
+    chunk_pos = 3 + jnp.arange(3)[None]
+    _, committed = run(
+        model, params, chunk, chunk_pos, cache, commit_idx=jnp.asarray([1])
+    )
+    _, want = run(model, params, chunk[:, :2], chunk_pos[:, :2], cache)
+    assert_caches_equal(committed, want)
+
+  def test_per_row_commit(self):
+    """Different rows commit different prefixes in one call."""
+    model, _, params = tiny_model()
+    prompt = jnp.asarray([[2, 3, 4], [4, 5, 6]], jnp.int32)
+    pos = jnp.tile(jnp.arange(3)[None], (2, 1))
+    _, cache = run(model, params, prompt, pos, None)
+    chunk = jnp.asarray([[7, 3, 5], [2, 6, 4]], jnp.int32)
+    chunk_pos = 3 + jnp.tile(jnp.arange(3)[None], (2, 1))
+    _, committed = run(
+        model, params, chunk, chunk_pos, cache,
+        commit_idx=jnp.asarray([0, 2]),
+    )
+    # Row 0: one token; row 1: all three — check against solo runs.
+    for row, j in [(0, 0), (1, 2)]:
+      _, want = run(
+          model, params, chunk[row : row + 1, : j + 1],
+          chunk_pos[row : row + 1, : j + 1],
+          jax.tree_util.tree_map(lambda x: x[row : row + 1], cache),
+      )
+      got_row = jax.tree_util.tree_map(
+          lambda x: x[row : row + 1], committed
+      )
+      assert_caches_equal(got_row, want)
+
+  def test_continue_after_commit(self):
+    """Decode after a partial commit matches decode after a plain run."""
+    model, _, params = tiny_model()
+    prompt = jnp.asarray([[2, 3, 4, 5]], jnp.int32)
+    pos = jnp.arange(4)[None]
+    _, cache = run(model, params, prompt, pos, None)
+    chunk = jnp.asarray([[6, 7, 2, 3]], jnp.int32)
+    chunk_pos = 4 + jnp.arange(4)[None]
+    _, committed = run(
+        model, params, chunk, chunk_pos, cache, commit_idx=jnp.asarray([1])
+    )
+    _, plain = run(model, params, chunk[:, :2], chunk_pos[:, :2], cache)
+
+    nxt = jnp.asarray([[5]], jnp.int32)
+    nxt_pos = jnp.asarray([[6]], jnp.int32)
+    logits_a, _ = run(model, params, nxt, nxt_pos, committed)
+    logits_b, _ = run(model, params, nxt, nxt_pos, plain)
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(logits_b), atol=1e-6, rtol=1e-5
+    )
+
+
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.inference import speculative
+
+
+def _trim_to_eos(row, eos):
+  row = list(row)
+  return row[: row.index(eos) + 1] if eos in row else row
+
+
+class TestSpeculativeSampler:
+
+  def setup_method(self):
+    self.model, self.vocab, self.params = tiny_model()
+    self.plain = sampler_lib.Sampler(
+        self.model, self.vocab, self.params, bucket_prompt_lengths=False
+    )
+
+  def _assert_equivalent(self, spec, prompts, steps):
+    want = self.plain(prompts, total_generation_steps=steps)
+    got = spec(prompts, total_generation_steps=steps)
+    eos = self.vocab.eos_id()
+    for w, g in zip(want.tokens, got.tokens):
+      assert _trim_to_eos(w.tolist(), eos) == _trim_to_eos(g.tolist(), eos)
+
+  @pytest.mark.parametrize("draft_len", [1, 3, 5])
+  def test_matches_plain_greedy(self, draft_len):
+    spec = speculative.SpeculativeSampler(
+        self.plain, draft_len=draft_len, ngram=2
+    )
+    self._assert_equivalent(spec, ["alpha beta gamma"], steps=12)
+
+  def test_batched_ragged_prompts(self):
+    spec = speculative.SpeculativeSampler(self.plain, draft_len=4, ngram=2)
+    self._assert_equivalent(
+        spec,
+        ["alpha beta", "gamma delta eps zeta eta", "theta"],
+        steps=10,
+    )
+
+  def test_repetitive_prompt_accepts_drafts(self):
+    """A cyclic prompt makes the model's continuation n-gram-predictable;
+    the lookup should accept more than one token per verify step."""
+    spec = speculative.SpeculativeSampler(self.plain, draft_len=4, ngram=2)
+    prompt = " ".join(["alpha beta gamma delta"] * 6)
+    self._assert_equivalent(spec, [prompt], steps=16)
+    stats = spec.last_stats
+    assert stats["tokens_per_verify_step"] > 1.0, stats
+
+  def test_one_step_budget(self):
+    spec = speculative.SpeculativeSampler(self.plain, draft_len=3)
+    out = spec(["alpha beta"], total_generation_steps=1)
+    want = self.plain(["alpha beta"], total_generation_steps=1)
+    assert out.tokens[0][:1].tolist() == want.tokens[0].tolist()
+
+  def test_requires_greedy(self):
+    rnd = sampler_lib.Sampler(
+        self.model, self.vocab, self.params, deterministic_sampling=False
+    )
+    with pytest.raises(ValueError):
+      speculative.SpeculativeSampler(rnd)
