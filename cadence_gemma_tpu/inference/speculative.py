@@ -77,12 +77,15 @@ class SpeculativeSampler:
     self.draft_len = draft_len
     self.ngram = ngram
     self.last_stats: dict[str, Any] = {}
-    self._loop_fn = jax.jit(self._spec_loop, static_argnums=(6,))
+    # Params enter as an argument: closing over them would bake a
+    # weights-sized constant block into the lowered program.
+    self._loop_fn = jax.jit(self._spec_loop, static_argnums=(7,))
 
   # -- device program ----------------------------------------------------------
 
   def _spec_loop(
       self,
+      params,
       cache,
       positions,
       hist,
@@ -143,7 +146,7 @@ class SpeculativeSampler:
       chunk = jnp.concatenate([pending, draft], axis=1)  # [b, k+1]
       chunk_pos = c["positions"] + offs
       logits, pend_cache = s.model.apply(
-          {"params": s.params},
+          {"params": params},
           tokens=chunk,
           segment_pos=chunk_pos,
           cache=c["cache"],
@@ -238,7 +241,7 @@ class SpeculativeSampler:
     cur_len = jnp.full(lengths.shape, prompt_len + 1, jnp.int32)
 
     out, emitted, steps = self._loop_fn(
-        state.cache, state.positions, hist, valid_from, cur_len,
+        s.params, state.cache, state.positions, hist, valid_from, cur_len,
         first_token, total_generation_steps,
     )
     emitted_h = jax.device_get(emitted)

@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Iterator, Sequence
+import queue as queue_lib
+import threading
+from typing import Any, Iterable, Iterator, Sequence
 
+import jax
 import numpy as np
 
 from cadence_gemma_tpu import common
@@ -129,6 +132,64 @@ class DatasetBuilder:
           image_paths=paths if all(paths) else None,
           pixels=pixels,
       )
+
+
+def prefetch_to_device(
+    iterator: Iterable[Any],
+    buffer_size: int = 2,
+    device: Any | None = None,
+) -> Iterator[Any]:
+  """Overlaps host batch prep + H2D transfer with device compute.
+
+  TPU-native counterpart of the reference DataLoader's worker/pinned-memory
+  overlap (``/root/reference/training/train.py`` builds
+  ``DataLoader(..., num_workers, pin_memory=True)``): a producer thread
+  pulls batches from ``iterator``, moves every ndarray field to the device
+  (an async transfer on TPU), and keeps up to ``buffer_size`` batches in
+  flight, so tokenization, JPEG decode, and the copy of step N+1 hide
+  behind the device computing step N.
+
+  Order is preserved and producer exceptions re-raise at the consumer.
+  Opt-in via ``TrainingConfig.prefetch_batches`` — keep it off when the
+  data iterator has side effects that must stay in lockstep with training
+  steps (the producer runs ahead by ``buffer_size``).
+  """
+  q: queue_lib.Queue = queue_lib.Queue(maxsize=buffer_size)
+  sentinel = object()
+
+  def to_device(batch):
+    def put(x):
+      return jax.device_put(x, device) if isinstance(x, np.ndarray) else x
+
+    if dataclasses.is_dataclass(batch) and not isinstance(batch, type):
+      return dataclasses.replace(
+          batch,
+          **{
+              f.name: put(getattr(batch, f.name))
+              for f in dataclasses.fields(batch)
+          },
+      )
+    return jax.tree_util.tree_map(put, batch)
+
+  def producer():
+    try:
+      for item in iterator:
+        q.put(to_device(item))
+      q.put(sentinel)
+    except BaseException as e:  # noqa: BLE001 — re-raised at the consumer
+      q.put(e)
+
+  thread = threading.Thread(
+      target=producer, daemon=True, name="cadence-data-prefetch"
+  )
+  thread.start()
+  while True:
+    item = q.get()
+    if item is sentinel:
+      return
+    if isinstance(item, BaseException):
+      raise item
+    yield item
 
 
 def apply_it_template(prompt: str) -> str:

@@ -22,6 +22,7 @@ import numpy as np
 import optax
 
 from cadence_gemma_tpu.checkpoint import io as checkpoint_io
+from cadence_gemma_tpu.training import data as data_lib
 from cadence_gemma_tpu.training import trainer
 from cadence_gemma_tpu.utils import resilience
 
@@ -43,6 +44,11 @@ class TrainingConfig:
   # Apply a zero update (instead of poisoning params) on steps whose
   # gradients contain NaN/Inf; see utils.resilience.skip_nonfinite_updates.
   skip_nonfinite_updates: bool = False
+  # Prefetch this many batches to the device on a background thread
+  # (data.prefetch_to_device), hiding host tokenize/decode + H2D behind
+  # device compute. 0 = synchronous (default); the producer runs ahead,
+  # so keep 0 for iterators with step-synchronized side effects.
+  prefetch_batches: int = 0
 
 
 def train_loop(
@@ -96,7 +102,12 @@ def train_loop(
 
   t_start = time.perf_counter()
   for _ in range(config.num_epochs):
-    for skip, batch in enumerate(train_data):
+    epoch_data = (
+        data_lib.prefetch_to_device(iter(train_data), config.prefetch_batches)
+        if config.prefetch_batches
+        else train_data
+    )
+    for skip, batch in enumerate(epoch_data):
       if config.resume_from and skip < step:
         continue  # fast-forward the data stream to the resume point
       img = _features_for(batch, encode_image)

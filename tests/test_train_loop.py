@@ -135,3 +135,58 @@ class TestTrainLoop:
       assert len(jax.tree_util.tree_leaves(ro)) == len(
           jax.tree_util.tree_leaves(opt_state)
       )
+
+
+class TestPrefetch:
+
+  def test_order_and_device(self):
+    batches = [
+        data_lib.TrainingInput(
+            input_tokens=np.full((1, 4), i, np.int32),
+            target_mask=np.ones((1, 4), bool),
+        )
+        for i in range(5)
+    ]
+    got = list(data_lib.prefetch_to_device(iter(batches), buffer_size=2))
+    assert [int(b.input_tokens[0, 0]) for b in got] == list(range(5))
+    assert isinstance(got[0].input_tokens, jax.Array)
+    assert got[0].image_paths is None and got[0].pixels is None
+
+  def test_exception_propagates(self):
+    def gen():
+      yield data_lib.TrainingInput(
+          input_tokens=np.zeros((1, 2), np.int32),
+          target_mask=np.ones((1, 2), bool),
+      )
+      raise RuntimeError("boom")
+
+    it = data_lib.prefetch_to_device(gen(), buffer_size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+      next(it)
+
+  def test_train_loop_prefetch_matches_sync(self, setup):
+    vocab, _, model, params = setup
+    losses = {}
+    with tempfile.TemporaryDirectory() as d:
+      for name, pf in [("sync", 0), ("prefetch", 3)]:
+        logged = []
+        cfg = train_loop.TrainingConfig(
+            learning_rate=1e-3, max_steps=3, eval_every_n=1,
+            checkpoint_every_n=None, prefetch_batches=pf,
+        )
+        train_loop.train_loop(
+            model,
+            jax.tree_util.tree_map(jnp.copy, params),
+            _dataset(vocab, d),
+            cfg,
+            pad_id=vocab.pad_id(),
+            log_metrics=lambda m, s, log=logged: log.append(m),
+        )
+        losses[name] = [
+            m["train_loss"] for m in logged if "train_loss" in m
+        ]
+      assert losses["sync"], losses
+      np.testing.assert_allclose(
+          losses["sync"], losses["prefetch"], rtol=1e-6
+      )
