@@ -448,6 +448,112 @@ def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
   }))
 
 
+def bench_9b_int8(prompt_len=128, steps=64):
+  """RecurrentGemma-9B served on ONE v5e chip via int8 weight-only.
+
+  The 9B model is 17+ GB at bf16 — it cannot even be materialized in a
+  single v5e's 16 GB HBM, so the reference cannot serve it on this chip at
+  all. int8 weights (~9 GB + fp scales) fit; the quantized parameter tree
+  is built directly at int8 (random content) without ever allocating the
+  bf16 tree.
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.ops import quantization
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_9B_V1
+  )
+  model_bf16 = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (1, 1))
+  shapes = jax.eval_shape(
+      lambda: quantization.quantize_params(
+          model_bf16.init(jax.random.PRNGKey(0), tokens0, pos0)["params"]
+      )
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    out = []
+    for i, s in enumerate(leaves):
+      key = jax.random.PRNGKey(i)
+      if s.dtype == jnp.int8:
+        out.append(
+            jax.random.randint(key, s.shape, -127, 128, jnp.int32).astype(
+                jnp.int8
+            )
+        )
+      else:
+        # Scales and un-quantized leaves: small positive-ish values keep
+        # activations content-dependent without overflow.
+        out.append(
+            (1e-4 + 2e-4 * jnp.abs(jax.random.normal(key, s.shape))).astype(
+                s.dtype
+            )
+        )
+    return out
+
+  params = jax.tree_util.tree_unflatten(treedef, build())
+  model = griffin.Griffin(
+      config, gradient_checkpointing=False, quantized=True
+  )
+  s = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+
+  def prefill(seed):
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed), (1, prompt_len), 3, 1000, jnp.int32
+    )
+    lengths = jnp.full((1,), prompt_len, jnp.int32)
+    return s.prompt_processing_fn(
+        s.params, tokens, None, lengths, steps, False, False, None
+    )
+
+  ttft = _bench_amortized(lambda seed: prefill(seed), lambda i: (i,), n=8)
+
+  def decode(seed):
+    state = prefill(seed)
+    _sync(state.positions)
+    t0 = time.perf_counter()
+    out = s.sample_fn(s.params, state, False)
+    _sync(out.step)
+    return time.perf_counter() - t0
+
+  decode(0)  # compile
+  dts = [decode(i + 1) for i in range(3)]
+  dt = statistics.median(dts)
+  print(json.dumps({
+      "metric": "decode_tokens_per_sec_per_chip_9b_int8",
+      "value": round((steps - 1) / dt, 1),
+      "unit": "tokens/sec/chip",
+      "ttft_text_ms": round(ttft * 1e3, 2),
+      "notes": "RecurrentGemma-9B on ONE v5e: bf16 weights (17+ GB) "
+               "cannot fit in 16 GB HBM, so the reference cannot serve "
+               "this model on this chip at all; int8 weight-only fits "
+               "with room for the decode cache.",
+  }))
+
+
 def bench_speculative(prompt_len=128, steps=256, draft_len=7, ngram=2,
                       int8=False):
   """Speculative decoding vs plain greedy decode at 2B.
@@ -705,3 +811,5 @@ if __name__ == "__main__":
     bench_speculative()
   if which == "spec_int8":
     bench_speculative(int8=True)
+  if which == "9b":
+    bench_9b_int8()

@@ -212,29 +212,65 @@ class SpeculativeSampler:
       self,
       input_strings: Sequence[str],
       total_generation_steps: int,
+      prefix_state: sampler_lib.PrefixState | None = None,
   ) -> SamplerOutput:
     """Greedy generation; emits the same tokens as ``Sampler.__call__``.
 
     The output buffer is padded with ``pad_id`` after a row's EOS (the
     plain sampler leaves post-EOS buffer contents unspecified).
+
+    ``prefix_state`` continues from cached context (a shared system prompt
+    via :meth:`Sampler.prefill_prefix`, or a previous turn's state) with
+    the same contract as the plain sampler: continuations are encoded
+    WITHOUT BOS/template and must be equal-length per batch. The n-gram
+    draft lookup then covers only the continuation + generated tokens (the
+    prefix cache stores model state, not token ids), which costs a little
+    acceptance on prefix-quoting workloads but nothing in correctness.
     """
     s = self.sampler
     if total_generation_steps < 1:
       raise ValueError("total_generation_steps must be >= 1.")
-    all_ids = [s.tokenize(t) for t in input_strings]
-    lengths = jnp.asarray([len(i) for i in all_ids])
-    tokens = s._get_padded_tokens(all_ids)
-    prompt_len = tokens.shape[1]
+
+    if prefix_state is None:
+      all_ids = [s.tokenize(t) for t in input_strings]
+      lengths = jnp.asarray([len(i) for i in all_ids])
+      tokens = s._get_padded_tokens(all_ids)
+      prompt_len = tokens.shape[1]
+      valid_from = (prompt_len - lengths).astype(jnp.int32)
+      cache, start = None, None
+    else:
+      ids = [
+          jnp.asarray(s.vocab.EncodeAsIds(t), jnp.int32)
+          for t in input_strings
+      ]
+      if 0 in {len(i) for i in ids}:
+        raise ValueError("Continuation prompts must be non-empty.")
+      if len({len(i) for i in ids}) != 1:
+        raise ValueError(
+            "Prefix continuation requires equal-length prompts per batch "
+            f"(got {sorted(len(i) for i in ids)})."
+        )
+      tokens = jnp.stack(ids, axis=0)
+      batch = tokens.shape[0]
+      cache = s._continue_from_prefix(prefix_state, batch)
+      start = jnp.broadcast_to(
+          jnp.asarray(prefix_state.length, jnp.int32).reshape(-1), (batch,)
+      )
+      if prefix_state.pending_token is not None:
+        pending = jnp.broadcast_to(prefix_state.pending_token, (batch, 1))
+        tokens = jnp.concatenate([pending, tokens], axis=1)
+      prompt_len = tokens.shape[1]
+      lengths = jnp.full((batch,), prompt_len, jnp.int32)
+      valid_from = jnp.zeros((batch,), jnp.int32)
 
     # History buffer BEFORE prefill: prompt_processing_fn donates `tokens`.
     hist = jnp.pad(
         tokens, ((0, 0), (0, total_generation_steps)),
         constant_values=s.vocab.pad_id(),
     )
-    valid_from = (prompt_len - lengths).astype(jnp.int32)
 
     state = s.prompt_processing_fn(
-        s.params, tokens, None, lengths, 1, False, False, None
+        s.params, tokens, None, lengths, 1, False, False, None, cache, start
     )
     first_token = state.tokens_buffer[:, 0]
     hist = hist.at[:, prompt_len].set(first_token)

@@ -38,6 +38,13 @@ _STEP_CHUNK = flags.DEFINE_integer(
 )
 _IT = flags.DEFINE_boolean("is_it_model", True, "Apply the chat template.")
 _INT8 = flags.DEFINE_boolean("int8", False, "Serve int8 weight-only.")
+_SPECULATIVE = flags.DEFINE_boolean(
+    "speculative", False,
+    "Serve each request with greedy self-speculative decoding (prompt-"
+    "lookup drafts; outputs identical to plain decode) instead of the "
+    "continuous batcher — the low-latency single-stream mode.",
+)
+_DRAFT_LEN = flags.DEFINE_integer("draft_len", 7, "Speculative draft length.")
 _PRESET = flags.DEFINE_enum_class(
     "preset", cg.Preset.RECURRENT_GEMMA_2B_V1, cg.Preset,
     "Preset supplying hypers not inferable from the checkpoint.",
@@ -64,6 +71,20 @@ def main(argv):
     print(f"[serve] shared prefix prefilled once "
           f"({prefix.length} tokens, {time.perf_counter() - t0:.3f}s); "
           "subsequent prefix_state= calls skip it entirely.")
+
+  if _SPECULATIVE.value:
+    spec = cg.SpeculativeSampler(sampler, draft_len=_DRAFT_LEN.value)
+    t0 = time.perf_counter()
+    total = 0
+    for prompt in _REQUESTS.value:
+      out = spec([prompt], total_generation_steps=_STEPS.value)
+      total += spec.last_stats["tokens_emitted"]
+      print(f"\n=== {prompt!r}\n{out.text[0]}")
+      print(f"[serve] {spec.last_stats['tokens_per_verify_step']:.2f} "
+            "tokens per weights read")
+    dt = time.perf_counter() - t0
+    print(f"\n[serve] speculative: {total} tokens, {total / dt:.1f} tok/s")
+    return
 
   batcher = cg.ContinuousBatcher(
       sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value

@@ -228,3 +228,46 @@ class TestSpeculativeSampler:
     )
     with pytest.raises(ValueError):
       speculative.SpeculativeSampler(rnd)
+
+  def test_prefix_state_continuation(self):
+    spec = speculative.SpeculativeSampler(self.plain, draft_len=3, ngram=2)
+    pstate = self.plain.prefill_prefix("alpha beta gamma")
+    want = self.plain(["delta eps"], total_generation_steps=8,
+                      prefix_state=pstate)
+    got = spec(["delta eps"], total_generation_steps=8,
+               prefix_state=pstate)
+    eos = self.vocab.eos_id()
+    assert _trim_to_eos(want.tokens[0].tolist(), eos) == _trim_to_eos(
+        got.tokens[0].tolist(), eos
+    )
+
+  def test_conversational_state_continuation(self):
+    spec = speculative.SpeculativeSampler(self.plain, draft_len=3, ngram=2)
+    turn1 = self.plain(["alpha beta"], total_generation_steps=3,
+                       return_state=True, end_sampling_at_eos_token=False)
+    want = self.plain(["gamma"], total_generation_steps=6,
+                      prefix_state=turn1.state)
+    got = spec(["gamma"], total_generation_steps=6,
+               prefix_state=turn1.state)
+    eos = self.vocab.eos_id()
+    assert _trim_to_eos(want.tokens[0].tolist(), eos) == _trim_to_eos(
+        got.tokens[0].tolist(), eos
+    )
+
+  def test_quantized_matches_plain_quantized(self):
+    from cadence_gemma_tpu.ops import quantization
+    qparams = quantization.quantize_params(self.params)
+    qmodel = griffin.Griffin(
+        self.model.config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, quantized=True,
+    )
+    qplain = sampler_lib.Sampler(
+        qmodel, self.vocab, qparams, bucket_prompt_lengths=False
+    )
+    spec = speculative.SpeculativeSampler(qplain, draft_len=3, ngram=2)
+    want = qplain(["alpha beta gamma"], total_generation_steps=8)
+    got = spec(["alpha beta gamma"], total_generation_steps=8)
+    eos = self.vocab.eos_id()
+    assert _trim_to_eos(want.tokens[0].tolist(), eos) == _trim_to_eos(
+        got.tokens[0].tolist(), eos
+    )
