@@ -10,10 +10,11 @@ and emit one extra (corrected) token on top. Greedy acceptance makes the
 output tokens identical to plain decode regardless of draft quality; drafts
 only change the speed.
 
-Drafting is prompt-lookup (n-gram) based and runs **on device**: the most
-recent ``ngram`` tokens are matched against the whole history (prompt +
-generated) with one vectorized compare, and the continuation of the latest
-match becomes the draft. No draft model, no host round-trips — the entire
+Drafting is prompt-lookup based and runs **on device**: every position in
+the history (prompt + generated) is scored by the length of its backward
+match against the most recent tokens (up to ``ngram``) in one vectorized
+compare, and the continuation of the longest/latest match becomes the
+draft. No draft model, no host round-trips — the entire
 generation loop (draft → verify → accept → cache commit) is ONE compiled
 XLA while-loop program, same as the plain sampler's.
 
@@ -51,14 +52,16 @@ class SpeculativeSampler:
     sampler: A deterministic (greedy) :class:`Sampler`; its model, params,
       vocab, and prefill programs are reused.
     draft_len: Tokens drafted per verify step (the chunk is draft_len + 1).
-    ngram: Match length for the history lookup.
+    ngram: MAXIMUM match length for the longest-suffix history lookup —
+      candidates are ranked by how many of the last ``ngram`` tokens they
+      match backwards (longer beats later).
   """
 
   def __init__(
       self,
       sampler: sampler_lib.Sampler,
       draft_len: int = 7,
-      ngram: int = 2,
+      ngram: int = 4,
   ):
     if not sampler.deterministic_sampling:
       raise ValueError(
@@ -119,28 +122,45 @@ class SpeculativeSampler:
       return jnp.any(~c["done"])
 
     def body(c):
-      # -- draft: continuation of the latest n-gram match in the history.
-      gram_idx = c["cur_len"][:, None] - n + jnp.arange(n)[None]
-      gram = jnp.take_along_axis(
-          c["hist"], jnp.clip(gram_idx, 0, hist_len - 1), axis=1
+      # -- draft: longest-suffix prompt lookup. For every candidate
+      # continuation start e, count how many of the last `n` tokens match
+      # the tokens just before e (backwards), then draft from the
+      # candidate with the LONGEST match, breaking ties toward the most
+      # recent occurrence. One [b, H, n] compare — no host round-trips.
+      lags = jnp.arange(n)[None, None, :]  # [1, 1, n]
+      ends = jnp.arange(hist_len)[None, :, None]  # [1, H, 1]
+      back_idx = jnp.clip(ends - 1 - lags, 0, hist_len - 1)  # [1, H, n]
+      back = jnp.take_along_axis(
+          c["hist"][:, :, None], jnp.broadcast_to(
+              back_idx, (b, hist_len, n)
+          ), axis=1,
+      )  # back[b, e, l] = hist[b, e-1-l]
+      gram_idx = jnp.clip(
+          c["cur_len"][:, None] - 1 - jnp.arange(n)[None], 0, hist_len - 1
       )
-      starts = jnp.arange(hist_len - n)
-      windows = c["hist"][:, starts[:, None] + jnp.arange(n)[None]]
-      match = jnp.all(windows == gram[:, None, :], axis=-1)
-      # Continuation must begin inside known history (this also excludes
-      # the query n-gram matching itself), and the window must not reach
-      # into the left padding.
-      match &= (starts[None] + n) <= c["cur_len"][:, None] - 1
-      match &= starts[None] >= valid_from[:, None]
-      best = jnp.max(jnp.where(match, starts[None], -1), axis=1)
+      gram = jnp.take_along_axis(c["hist"], gram_idx, axis=1)  # [b, n]
+      eq = back == gram[:, None, :]
+      # Positions reaching before the history start (or into left padding,
+      # or before index 0 after the clip) cannot count as matched.
+      eq &= (ends - 1 - lags) >= valid_from[:, None, None]
+      run = jnp.cumprod(eq.astype(jnp.int32), axis=-1)
+      length = jnp.sum(run, axis=-1)  # [b, H] longest back-match at e
+      e_axis = jnp.arange(hist_len)[None]
+      # Continuation must begin inside known history; e == cur_len (the
+      # query suffix itself) has no known continuation.
+      usable = (length >= 1) & (e_axis <= c["cur_len"][:, None] - 1)
+      score = jnp.where(usable, length * (hist_len + 1) + e_axis, -1)
+      best_score = jnp.max(score, axis=1)  # [b]
+      best_e = best_score % (hist_len + 1)
+      has_match = best_score >= 0
       cont_idx = jnp.clip(
-          best[:, None] + n + jnp.arange(k)[None], 0, hist_len - 1
+          best_e[:, None] + jnp.arange(k)[None], 0, hist_len - 1
       )
       draft = jnp.take_along_axis(c["hist"], cont_idx, axis=1)
       pending = jnp.take_along_axis(c["hist"], c["cur_len"][:, None] - 1, 1)
       # No match → draft the pending token repeated (cheap, usually
       # rejected; correctness never depends on draft quality).
-      draft = jnp.where(best[:, None] >= 0, draft, pending)
+      draft = jnp.where(has_match[:, None], draft, pending)
 
       # -- verify: one forward over [pending, draft...], deferred cache.
       chunk = jnp.concatenate([pending, draft], axis=1)  # [b, k+1]
