@@ -54,9 +54,11 @@ class ContinuousBatcher:
   """Slot-based continuous batching over a greedy :class:`Sampler`.
 
   Args:
-    sampler: A deterministic (greedy) sampler; its model/params/vocab are
-      reused. Categorical sampling would need per-slot PRNG threading —
-      not supported here.
+    sampler: The sampler whose model/params/vocab (and, for categorical
+      sampling, temperature/top-k/top-p filters) are reused. Categorical
+      sampling threads an independent PRNG chain per slot: a request's
+      tokens depend only on its own ``rng`` and its own step count, never
+      on which slots its neighbors occupy or when they joined (tested).
     num_slots: Decode batch width (fixed; one compiled step program).
     max_steps_default: Per-request decode budget when a request does not
       specify one. Output buffers are sized to the largest budget seen,
@@ -69,11 +71,6 @@ class ContinuousBatcher:
       num_slots: int,
       max_steps_default: int = 256,
   ):
-    if not sampler.deterministic_sampling:
-      raise ValueError(
-          "ContinuousBatcher supports greedy sampling only (per-slot "
-          "categorical PRNG threading is not implemented)."
-      )
     self.sampler = sampler
     self.num_slots = num_slots
     self.max_steps_default = max_steps_default
@@ -91,6 +88,9 @@ class ContinuousBatcher:
         "write_idx": jnp.ones((num_slots,), jnp.int32),
         "budget": jnp.zeros((num_slots,), jnp.int32),
         "out": jnp.zeros((num_slots, self._buffer_len), jnp.int32),
+        # Per-slot PRNG chains for categorical sampling (unused, but kept
+        # in the state tree, for greedy samplers).
+        "rng": jax.random.split(jax.random.PRNGKey(0), num_slots),
     }
 
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
@@ -122,6 +122,10 @@ class ContinuousBatcher:
     out_row = out_row.at[0].set(first_token)
     eos = first_token == self.sampler.vocab.eos_id()
     upd = lambda arr, v: arr.at[slot].set(v)  # noqa: E731
+    rng = state["rng"]
+    if prefill_state.rng is not None:
+      # Continue the request's own chain from where prefill split it.
+      rng = upd(rng, prefill_state.rng)
     return {
         "cache": new_cache,
         "last_token": upd(state["last_token"], first_token),
@@ -135,6 +139,7 @@ class ContinuousBatcher:
         "out": jax.lax.dynamic_update_index_in_dim(
             state["out"], out_row, slot, axis=0
         ),
+        "rng": rng,
     }
 
   def _step_n(self, params, state, n):
@@ -151,7 +156,20 @@ class ContinuousBatcher:
           return_logits=True,
           return_cache=True,
       )
-      sampled = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+      rng = s["rng"]
+      if self.sampler.deterministic_sampling:
+        sampled = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+      else:
+        # Independent per-slot chains: a slot's key advances only on its
+        # own live steps, so a request's tokens are a function of its rng
+        # and step count alone — not of its neighbors or join time.
+        split = jax.vmap(lambda key: jax.random.split(key, 2))(rng)
+        step_keys, next_keys = split[:, 0], split[:, 1]
+        filtered = self.sampler._filter_logits(logits[:, 0])
+        sampled = jax.vmap(jax.random.categorical)(
+            step_keys, filtered
+        ).astype(jnp.int32)
+        rng = jnp.where(live[:, None], next_keys, rng)
       next_token = jnp.where(live, sampled, s["last_token"])
       rows = jnp.arange(self.num_slots)
       idx = jnp.minimum(s["write_idx"], s["out"].shape[1] - 1)
@@ -171,6 +189,7 @@ class ContinuousBatcher:
           "write_idx": write_idx,
           "budget": s["budget"],
           "out": out,
+          "rng": rng,
       }
 
     return jax.lax.fori_loop(0, n, body, state)
@@ -186,17 +205,23 @@ class ContinuousBatcher:
     return len(self._requests) < self.num_slots
 
   def add_request(
-      self, prompt: str, max_steps: int | None = None
+      self, prompt: str, max_steps: int | None = None, rng=None
   ) -> int:
     """Admits a prompt into a free slot; returns a request id.
 
     The new request's prefill runs now (one batch-1 program); it starts
     decoding on the next :meth:`step` alongside whatever is already
-    running.
+    running. ``rng`` seeds the request's own sampling chain (required for
+    a categorical sampler; its tokens are then reproducible independent
+    of batch composition).
     """
     if not self.has_capacity:
       raise RuntimeError(
           f"All {self.num_slots} slots busy; pop_finished() first."
+      )
+    if not self.sampler.deterministic_sampling and rng is None:
+      raise ValueError(
+          "rng must be provided per request for categorical sampling."
       )
     max_steps = max_steps or self.max_steps_default
     slot = next(
@@ -205,10 +230,14 @@ class ContinuousBatcher:
     s = self.sampler
     ids = s.tokenize(prompt)
     tokens = s._get_padded_tokens([ids])
+    if rng is not None:
+      # The prefill program donates its rng argument; keep the caller's
+      # key alive (reproducibility tests reuse one key across batchers).
+      rng = jnp.array(rng, copy=True)
     prefill = s.prompt_processing_fn(
         s.params,
         tokens,
-        None,
+        rng,
         jnp.asarray([len(ids)]),
         1,  # buffers here only seed the first token; ours are per-slot
         False,

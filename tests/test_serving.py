@@ -136,13 +136,41 @@ class TestContinuousBatching:
     with pytest.raises(RuntimeError, match="slots busy"):
       batcher.add_request("beta")
 
-  def test_greedy_only(self, setup):
+  def test_categorical_requires_rng(self, setup):
     sampler, vocab = setup
     s2 = sampler_lib.Sampler(
         sampler.model, vocab, sampler.params, deterministic_sampling=False
     )
-    with pytest.raises(ValueError, match="greedy"):
-      serving.ContinuousBatcher(s2, num_slots=1)
+    batcher = serving.ContinuousBatcher(s2, num_slots=1)
+    with pytest.raises(ValueError, match="rng"):
+      batcher.add_request("alpha")
+
+  def test_categorical_reproducible_across_topologies(self, setup):
+    """A request's sampled tokens depend only on its own rng and steps —
+    not on which neighbors share the batch or when it joined."""
+    sampler, vocab = setup
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params,
+        deterministic_sampling=False, temperature=0.9, top_k=6,
+    )
+    key = jax.random.PRNGKey(42)
+
+    solo = serving.ContinuousBatcher(s2, num_slots=1, max_steps_default=8)
+    rid = solo.add_request("beta gamma", rng=key)
+    want = dict(
+        (r, t) for r, t, _ in solo.run_until_drained(4)
+    )[rid]
+
+    crowded = serving.ContinuousBatcher(s2, num_slots=3,
+                                        max_steps_default=8)
+    crowded.add_request("alpha", rng=jax.random.PRNGKey(7))
+    crowded.step(3)  # the target request joins a mid-flight batch
+    rid2 = crowded.add_request("beta gamma", rng=key)
+    crowded.add_request("delta eps zeta", rng=jax.random.PRNGKey(9))
+    got = dict(
+        (r, t) for r, t, _ in crowded.run_until_drained(4)
+    )[rid2]
+    assert got == want, (got, want)
 
   def test_budget_growth_recompiles_safely(self, setup):
     sampler, vocab = setup
