@@ -786,6 +786,37 @@ def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):
       "requests": n_requests,
   }))
 
+  # Continuous batching x speculation: same workload, each tick is one
+  # verify pass per slot (several tokens per weights read on acceptance).
+  spec_batcher = serving.ContinuousBatcher(
+      s, num_slots=num_slots, max_steps_default=steps, draft_len=7
+  )
+
+  def run_spec_workload(seed0):
+    cycle = ["w%d" % i for i in range(8)]
+    base = " ".join(cycle[i % 8] for i in range(suffix_len - 1))
+    pending = [base + f" u{seed0 + i}" for i in range(n_requests)]
+    generated = 0
+    while pending or spec_batcher.active_count:
+      while pending and spec_batcher.has_capacity:
+        spec_batcher.add_request(pending.pop(), max_steps=steps)
+      spec_batcher.step(4)
+      for _, toks, _ in spec_batcher.pop_finished():
+        generated += len(toks)
+    return generated
+
+  run_spec_workload(100)
+  t0 = time.perf_counter()
+  generated = run_spec_workload(500)
+  dt = time.perf_counter() - t0
+  print(json.dumps({
+      "metric": "speculative_batching_tokens_per_sec_per_chip",
+      "value": round(generated / dt, 1),
+      "unit": f"tokens/sec/chip ({n_requests} staggered requests, "
+              f"{num_slots} slots, {steps} steps each, draft_len=7)",
+      "requests": n_requests,
+  }))
+
 
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"

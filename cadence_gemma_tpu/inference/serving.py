@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.inference import speculative
 
 
 @dataclasses.dataclass
@@ -63,6 +64,13 @@ class ContinuousBatcher:
     max_steps_default: Per-request decode budget when a request does not
       specify one. Output buffers are sized to the largest budget seen,
       rounded up to a power of two (bounded recompiles).
+    draft_len: > 0 turns on speculative decoding inside the batch
+      (continuous batching × speculation): every ``step`` is one
+      ``draft_len + 1``-token verify pass per slot via
+      :func:`speculative.prompt_lookup_spec_step`, so each slot can emit
+      several tokens per weights read. Greedy samplers only; tokens stay
+      bit-identical to solo plain-greedy runs.
+    ngram: Longest-suffix lookup window for speculative drafting.
   """
 
   def __init__(
@@ -70,13 +78,29 @@ class ContinuousBatcher:
       sampler: sampler_lib.Sampler,
       num_slots: int,
       max_steps_default: int = 256,
+      draft_len: int = 0,
+      ngram: int = 4,
   ):
     self.sampler = sampler
     self.num_slots = num_slots
     self.max_steps_default = max_steps_default
+    self.draft_len = draft_len
+    self.ngram = ngram
+    if draft_len:
+      if not sampler.deterministic_sampling:
+        raise ValueError(
+            "Speculative decoding in the batcher requires greedy sampling."
+        )
+      window = getattr(sampler.model.config, "attention_window_size", None)
+      if window is not None and draft_len + 1 > window:
+        raise ValueError(
+            f"draft_len + 1 ({draft_len + 1}) exceeds the attention "
+            f"window ({window})."
+        )
     self._requests: dict[int, _Request] = {}  # slot -> request
     self._next_id = 0
     self._buffer_len = sampler_lib._next_bucket(max_steps_default)
+    self._hist_len = sampler_lib._next_bucket(self._buffer_len + 64)
 
     cache = sampler.model.init_cache(num_slots, sampler.dtype)
     self._state = {
@@ -92,9 +116,16 @@ class ContinuousBatcher:
         # in the state tree, for greedy samplers).
         "rng": jax.random.split(jax.random.PRNGKey(0), num_slots),
     }
+    if draft_len:
+      # Per-slot token history for prompt-lookup drafting.
+      self._state.update(
+          hist=jnp.zeros((num_slots, self._hist_len), jnp.int32),
+          cur_len=jnp.zeros((num_slots,), jnp.int32),
+          valid_from=jnp.zeros((num_slots,), jnp.int32),
+      )
 
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
-                              static_argnums=4)
+                              static_argnums=(4, 7))
     # Params enter as an argument: closing over them would bake ~weights-
     # sized constants into the lowered program (XLA warns at >5 GB and the
     # executable would carry its own copy of the weights in HBM).
@@ -103,10 +134,16 @@ class ContinuousBatcher:
 
   # -- device programs --------------------------------------------------------
 
-  def _insert(self, state, prefill_state, slot, budget, grow_to=None):
-    """Scatters a batch-1 prefill result into slot ``slot``."""
+  def _insert(self, state, prefill_state, slot, budget, grow_to=None,
+              prompt_tokens=None, prompt_length=None, grow_hist_to=None):
+    """Scatters a batch-1 prefill result into slot ``slot``.
+
+    ``prompt_tokens``/``prompt_length``/``grow_hist_to`` are only used in
+    speculative mode: the (padded) prompt row seeds the slot's drafting
+    history.
+    """
+    state = dict(state)
     if grow_to is not None and grow_to != state["out"].shape[1]:
-      state = dict(state)
       state["out"] = jnp.pad(
           state["out"], ((0, 0), (0, grow_to - state["out"].shape[1]))
       )
@@ -126,25 +163,80 @@ class ContinuousBatcher:
     if prefill_state.rng is not None:
       # Continue the request's own chain from where prefill split it.
       rng = upd(rng, prefill_state.rng)
-    return {
-        "cache": new_cache,
-        "last_token": upd(state["last_token"], first_token),
-        "positions": jax.lax.dynamic_update_index_in_dim(
+    state.update(
+        cache=new_cache,
+        last_token=upd(state["last_token"], first_token),
+        positions=jax.lax.dynamic_update_index_in_dim(
             state["positions"], prefill_state.positions[0], slot, axis=0
         ),
-        "active": upd(state["active"], True),
-        "done": upd(state["done"], eos | (budget <= 1)),
-        "write_idx": upd(state["write_idx"], 1),
-        "budget": upd(state["budget"], budget),
-        "out": jax.lax.dynamic_update_index_in_dim(
+        active=upd(state["active"], True),
+        done=upd(state["done"], eos | (budget <= 1)),
+        write_idx=upd(state["write_idx"], 1),
+        budget=upd(state["budget"], budget),
+        out=jax.lax.dynamic_update_index_in_dim(
             state["out"], out_row, slot, axis=0
         ),
-        "rng": rng,
-    }
+        rng=rng,
+    )
+    if prompt_tokens is not None:
+      if grow_hist_to is not None and grow_hist_to != state["hist"].shape[1]:
+        state["hist"] = jnp.pad(
+            state["hist"],
+            ((0, 0), (0, grow_hist_to - state["hist"].shape[1])),
+        )
+      padded_len = prompt_tokens.shape[1]
+      hist_row = jnp.zeros((state["hist"].shape[1],), jnp.int32)
+      hist_row = jax.lax.dynamic_update_slice_in_dim(
+          hist_row, prompt_tokens[0], 0, axis=0
+      )
+      hist_row = hist_row.at[padded_len].set(first_token)
+      state.update(
+          hist=jax.lax.dynamic_update_index_in_dim(
+              state["hist"], hist_row, slot, axis=0
+          ),
+          cur_len=upd(state["cur_len"], padded_len + 1),
+          valid_from=upd(state["valid_from"], padded_len - prompt_length),
+      )
+    return state
 
   def _step_n(self, params, state, n):
-    """Advances every slot ``n`` greedy decode steps in one program."""
+    """Advances every slot ``n`` decode (or verify) steps in one program."""
     eos_id = self.sampler.vocab.eos_id()
+
+    if self.draft_len:
+
+      def spec_body(_, s):
+        live = s["active"] & ~s["done"]
+        st = dict(
+            hist=s["hist"],
+            valid_from=s["valid_from"],
+            cur_len=s["cur_len"],
+            cache=s["cache"],
+            positions=s["positions"],
+            live=live,
+            out=s["out"],
+            write_idx=s["write_idx"],
+            budget=s["budget"],
+        )
+        st = speculative.prompt_lookup_spec_step(
+            self.sampler.model, params, st,
+            draft_len=self.draft_len, ngram=self.ngram, eos_id=eos_id,
+        )
+        eos_hit = st.pop("eos_hit")
+        return {
+            **s,
+            "cache": st["cache"],
+            "positions": st["positions"],
+            "hist": st["hist"],
+            "cur_len": st["cur_len"],
+            "out": st["out"],
+            "write_idx": st["write_idx"],
+            "done": s["done"]
+            | eos_hit
+            | (live & (st["write_idx"] >= s["budget"])),
+        }
+
+      return jax.lax.fori_loop(0, n, spec_body, state)
 
     def body(_, s):
       live = s["active"] & ~s["done"]
@@ -230,6 +322,12 @@ class ContinuousBatcher:
     s = self.sampler
     ids = s.tokenize(prompt)
     tokens = s._get_padded_tokens([ids])
+    prompt_tokens = prompt_length = None
+    if self.draft_len:
+      # The prefill program donates `tokens`; keep a copy to seed the
+      # slot's drafting history.
+      prompt_tokens = jnp.array(tokens, copy=True)
+      prompt_length = jnp.int32(len(ids))
     if rng is not None:
       # The prefill program donates its rng argument; keep the caller's
       # key alive (reproducibility tests reuse one key across batchers).
@@ -248,8 +346,16 @@ class ContinuousBatcher:
     need = sampler_lib._next_bucket(max_steps)
     if need > self._buffer_len:
       self._buffer_len = grow_to = need
+    grow_hist_to = None
+    if self.draft_len:
+      hist_need = sampler_lib._next_bucket(
+          prompt_tokens.shape[1] + max(need, self._buffer_len) + 1
+      )
+      if hist_need > self._hist_len:
+        self._hist_len = grow_hist_to = hist_need
     self._state = self._insert_fn(
-        self._state, prefill, slot, jnp.int32(max_steps), grow_to
+        self._state, prefill, slot, jnp.int32(max_steps), grow_to,
+        prompt_tokens, prompt_length, grow_hist_to,
     )
     request_id = self._next_id
     self._next_id += 1

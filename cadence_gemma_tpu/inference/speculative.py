@@ -45,6 +45,134 @@ from cadence_gemma_tpu.models import modules
 SamplerOutput = sampler_lib.SamplerOutput
 
 
+def prompt_lookup_spec_step(
+    model,
+    params,
+    state: dict[str, Any],
+    *,
+    draft_len: int,
+    ngram: int,
+    eos_id: int,
+) -> dict[str, Any]:
+  """One draft → verify → accept → commit step over a batch of rows.
+
+  Pure and jittable; shared by :class:`SpeculativeSampler`'s generation
+  while-loop and :class:`serving.ContinuousBatcher`'s speculative step
+  (continuous batching × speculation).
+
+  ``state`` keys (b = rows, H = history capacity, L = output capacity):
+    hist [b, H] int32, valid_from [b], cur_len [b], cache (model decode
+    caches), positions [b, 1], live [b] bool (rows to advance; others are
+    bit-frozen), out [b, L] int32, write_idx [b], budget [b].
+
+  Returns the updated state plus ``eos_hit`` [b] — the caller folds that
+  (and budget exhaustion) into its own liveness bookkeeping.
+  """
+  k, n = draft_len, ngram
+  hist = state["hist"]
+  b, hist_len = hist.shape
+  out_len = state["out"].shape[1]
+  rows = jnp.arange(b)[:, None]
+  offs = jnp.arange(k + 1)[None]
+  live = state["live"]
+
+  # -- draft: longest-suffix prompt lookup. For every candidate
+  # continuation start e, count how many of the last `n` tokens match the
+  # tokens just before e (backwards), then draft from the candidate with
+  # the LONGEST match, breaking ties toward the most recent occurrence.
+  # One [b, H, n] compare — no host round-trips.
+  lags = jnp.arange(n)[None, None, :]  # [1, 1, n]
+  ends = jnp.arange(hist_len)[None, :, None]  # [1, H, 1]
+  back_idx = jnp.clip(ends - 1 - lags, 0, hist_len - 1)  # [1, H, n]
+  back = jnp.take_along_axis(
+      hist[:, :, None], jnp.broadcast_to(back_idx, (b, hist_len, n)),
+      axis=1,
+  )  # back[b, e, l] = hist[b, e-1-l]
+  gram_idx = jnp.clip(
+      state["cur_len"][:, None] - 1 - jnp.arange(n)[None], 0, hist_len - 1
+  )
+  gram = jnp.take_along_axis(hist, gram_idx, axis=1)  # [b, n]
+  eq = back == gram[:, None, :]
+  # Positions reaching before the history start (or into left padding, or
+  # before index 0 after the clip) cannot count as matched.
+  eq &= (ends - 1 - lags) >= state["valid_from"][:, None, None]
+  run = jnp.cumprod(eq.astype(jnp.int32), axis=-1)
+  length = jnp.sum(run, axis=-1)  # [b, H] longest back-match ending at e
+  e_axis = jnp.arange(hist_len)[None]
+  # Continuation must begin inside known history; e == cur_len (the query
+  # suffix itself) has no known continuation.
+  usable = (length >= 1) & (e_axis <= state["cur_len"][:, None] - 1)
+  score = jnp.where(usable, length * (hist_len + 1) + e_axis, -1)
+  best_score = jnp.max(score, axis=1)  # [b]
+  best_e = best_score % (hist_len + 1)
+  has_match = best_score >= 0
+  cont_idx = jnp.clip(
+      best_e[:, None] + jnp.arange(k)[None], 0, hist_len - 1
+  )
+  draft = jnp.take_along_axis(hist, cont_idx, axis=1)
+  pending = jnp.take_along_axis(hist, state["cur_len"][:, None] - 1, 1)
+  # No match → draft the pending token repeated (cheap, usually rejected;
+  # correctness never depends on draft quality).
+  draft = jnp.where(has_match[:, None], draft, pending)
+
+  # -- verify: one forward over [pending, draft...], deferred cache.
+  chunk = jnp.concatenate([pending, draft], axis=1)  # [b, k+1]
+  chunk_pos = state["positions"] + offs
+  logits, pend_cache = model.apply(
+      {"params": params},
+      tokens=chunk,
+      segment_pos=chunk_pos,
+      cache=state["cache"],
+      return_logits=True,
+      return_cache=True,
+      pending_cache=True,
+  )
+  greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
+
+  # -- accept: drafts agreeing with the model's own greedy choices.
+  agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+  j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
+  is_eos = greedy == eos_id
+  eos_pos = jnp.argmax(is_eos, axis=1)
+  j = jnp.where(jnp.any(is_eos, axis=1), jnp.minimum(j, eos_pos), j)
+
+  emit_n = jnp.minimum(j + 1, state["budget"] - state["write_idx"])
+  emit_n = jnp.where(live, emit_n, 0)
+
+  # -- cache: commit the accepted prefix; frozen rows keep their cache.
+  committed = modules.commit_pending_cache(state["cache"], pend_cache, j)
+  new_cache = jax.tree_util.tree_map(
+      lambda old, new: jnp.where(
+          live.reshape((b,) + (1,) * (new.ndim - 1)), new, old
+      ),
+      state["cache"],
+      committed,
+  )
+
+  # -- emit into the output buffer and the lookup history. Masked entries
+  # scatter to an out-of-bounds index and are dropped — clipping them
+  # in-bounds instead would duplicate indices, and duplicate-scatter
+  # write order is undefined.
+  emit_mask = offs < emit_n[:, None]
+  widx = jnp.where(emit_mask, state["write_idx"][:, None] + offs, out_len)
+  new_out = state["out"].at[rows, widx].set(greedy, mode="drop")
+  hidx = jnp.where(emit_mask, state["cur_len"][:, None] + offs, hist_len)
+  new_hist = hist.at[rows, hidx].set(greedy, mode="drop")
+
+  return dict(
+      hist=new_hist,
+      valid_from=state["valid_from"],
+      cur_len=state["cur_len"] + emit_n,
+      cache=new_cache,
+      positions=state["positions"] + emit_n[:, None],
+      live=live,
+      out=new_out,
+      write_idx=state["write_idx"] + emit_n,
+      budget=state["budget"],
+      eos_hit=jnp.any(is_eos & emit_mask, axis=1),
+  )
+
+
 class SpeculativeSampler:
   """Greedy sampler with prompt-lookup speculative decoding.
 
@@ -99,132 +227,41 @@ class SpeculativeSampler:
   ):
     """The whole speculative generation as one XLA while-loop program."""
     s = self.sampler
-    k, n = self.draft_len, self.ngram
     eos = s.vocab.eos_id()
-    b, hist_len = hist.shape
-    rows = jnp.arange(b)[:, None]
-    offs = jnp.arange(k + 1)[None]
+    b = hist.shape[0]
 
     out = jnp.full((b, total_steps), s.vocab.pad_id(), jnp.int32)
     out = out.at[:, 0].set(first_token)
-    carry = dict(
+    state = dict(
+        hist=hist,
+        valid_from=valid_from,
+        cur_len=cur_len,
         cache=cache,
         positions=positions,
-        hist=hist,
-        cur_len=cur_len,
-        done=first_token == eos,
+        live=(first_token != eos) & (total_steps > 1),
         out=out,
-        emitted=jnp.ones((b,), jnp.int32),
-        steps=jnp.zeros((), jnp.int32),
+        write_idx=jnp.ones((b,), jnp.int32),
+        budget=jnp.full((b,), total_steps, jnp.int32),
     )
+    carry = (state, jnp.zeros((), jnp.int32))
 
     def cond(c):
-      return jnp.any(~c["done"])
+      return jnp.any(c[0]["live"])
 
     def body(c):
-      # -- draft: longest-suffix prompt lookup. For every candidate
-      # continuation start e, count how many of the last `n` tokens match
-      # the tokens just before e (backwards), then draft from the
-      # candidate with the LONGEST match, breaking ties toward the most
-      # recent occurrence. One [b, H, n] compare — no host round-trips.
-      lags = jnp.arange(n)[None, None, :]  # [1, 1, n]
-      ends = jnp.arange(hist_len)[None, :, None]  # [1, H, 1]
-      back_idx = jnp.clip(ends - 1 - lags, 0, hist_len - 1)  # [1, H, n]
-      back = jnp.take_along_axis(
-          c["hist"][:, :, None], jnp.broadcast_to(
-              back_idx, (b, hist_len, n)
-          ), axis=1,
-      )  # back[b, e, l] = hist[b, e-1-l]
-      gram_idx = jnp.clip(
-          c["cur_len"][:, None] - 1 - jnp.arange(n)[None], 0, hist_len - 1
+      st, steps = c
+      st = prompt_lookup_spec_step(
+          s.model, params, st,
+          draft_len=self.draft_len, ngram=self.ngram, eos_id=eos,
       )
-      gram = jnp.take_along_axis(c["hist"], gram_idx, axis=1)  # [b, n]
-      eq = back == gram[:, None, :]
-      # Positions reaching before the history start (or into left padding,
-      # or before index 0 after the clip) cannot count as matched.
-      eq &= (ends - 1 - lags) >= valid_from[:, None, None]
-      run = jnp.cumprod(eq.astype(jnp.int32), axis=-1)
-      length = jnp.sum(run, axis=-1)  # [b, H] longest back-match at e
-      e_axis = jnp.arange(hist_len)[None]
-      # Continuation must begin inside known history; e == cur_len (the
-      # query suffix itself) has no known continuation.
-      usable = (length >= 1) & (e_axis <= c["cur_len"][:, None] - 1)
-      score = jnp.where(usable, length * (hist_len + 1) + e_axis, -1)
-      best_score = jnp.max(score, axis=1)  # [b]
-      best_e = best_score % (hist_len + 1)
-      has_match = best_score >= 0
-      cont_idx = jnp.clip(
-          best_e[:, None] + jnp.arange(k)[None], 0, hist_len - 1
+      eos_hit = st.pop("eos_hit")
+      st["live"] = (
+          st["live"] & ~eos_hit & (st["write_idx"] < st["budget"])
       )
-      draft = jnp.take_along_axis(c["hist"], cont_idx, axis=1)
-      pending = jnp.take_along_axis(c["hist"], c["cur_len"][:, None] - 1, 1)
-      # No match → draft the pending token repeated (cheap, usually
-      # rejected; correctness never depends on draft quality).
-      draft = jnp.where(has_match[:, None], draft, pending)
+      return (st, steps + 1)
 
-      # -- verify: one forward over [pending, draft...], deferred cache.
-      chunk = jnp.concatenate([pending, draft], axis=1)  # [b, k+1]
-      chunk_pos = c["positions"] + offs
-      logits, pend_cache = s.model.apply(
-          {"params": params},
-          tokens=chunk,
-          segment_pos=chunk_pos,
-          cache=c["cache"],
-          return_logits=True,
-          return_cache=True,
-          pending_cache=True,
-      )
-      greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
-
-      # -- accept: drafts agreeing with the model's own greedy choices.
-      agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
-      j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
-      is_eos = greedy == eos
-      eos_pos = jnp.argmax(is_eos, axis=1)
-      j = jnp.where(jnp.any(is_eos, axis=1), jnp.minimum(j, eos_pos), j)
-
-      emit_n = jnp.minimum(j + 1, total_steps - c["emitted"])
-      emit_n = jnp.where(c["done"], 0, emit_n)
-
-      # -- cache: commit the accepted prefix; done rows keep their cache.
-      committed = modules.commit_pending_cache(c["cache"], pend_cache, j)
-      keep = c["done"]
-      new_cache = jax.tree_util.tree_map(
-          lambda old, new: jnp.where(
-              keep.reshape((b,) + (1,) * (new.ndim - 1)), old, new
-          ),
-          c["cache"],
-          committed,
-      )
-
-      # -- emit into the output buffer and the lookup history. Masked
-      # entries scatter to an out-of-bounds index and are dropped —
-      # clipping them in-bounds instead would duplicate indices, and
-      # duplicate-scatter write order is undefined.
-      emit_mask = offs < emit_n[:, None]
-      widx = jnp.where(emit_mask, c["emitted"][:, None] + offs, total_steps)
-      new_out = c["out"].at[rows, widx].set(greedy, mode="drop")
-      hidx = jnp.where(emit_mask, c["cur_len"][:, None] + offs, hist_len)
-      new_hist = c["hist"].at[rows, hidx].set(greedy, mode="drop")
-      emitted = c["emitted"] + emit_n
-      done = (
-          c["done"]
-          | jnp.any(is_eos & emit_mask, axis=1)
-          | (emitted >= total_steps)
-      )
-      return dict(
-          cache=new_cache,
-          positions=c["positions"] + emit_n[:, None],
-          hist=new_hist,
-          cur_len=c["cur_len"] + emit_n,
-          done=done,
-          out=new_out,
-          emitted=emitted,
-          steps=c["steps"] + 1,
-      )
-
-    final = jax.lax.while_loop(cond, body, carry)
-    return final["out"], final["emitted"], final["steps"]
+    final, steps = jax.lax.while_loop(cond, body, carry)
+    return final["out"], final["write_idx"], steps
 
   # -- host API ----------------------------------------------------------------
 

@@ -184,3 +184,69 @@ class TestContinuousBatching:
     )
     _check(results[r_long], _solo(sampler, "beta gamma delta", 40), 40,
            vocab.eos_id())
+
+
+class TestSpeculativeBatching:
+  """Continuous batching x speculation: slots emit multiple tokens per
+  verify pass, tokens stay identical to solo plain-greedy runs."""
+
+  def test_matches_solo_regardless_of_join_time(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=8, draft_len=3
+    )
+    r1 = batcher.add_request("alpha beta", max_steps=8)
+    batcher.step(2)
+    r2 = batcher.add_request("gamma delta eps", max_steps=8)
+    results = dict(
+        (rid, toks) for rid, toks, _ in batcher.run_until_drained(2)
+    )
+    for rid, prompt in [(r1, "alpha beta"), (r2, "gamma delta eps")]:
+      _check(results[rid], _solo(sampler, prompt, 8), 8, vocab.eos_id())
+
+  def test_slot_reuse_after_speculative_finish(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=6, draft_len=2
+    )
+    for prompt in ["alpha", "beta gamma", "delta"]:
+      rid = batcher.add_request(prompt, max_steps=6)
+      results = dict(
+          (r, t) for r, t, _ in batcher.run_until_drained(2)
+      )
+      _check(results[rid], _solo(sampler, prompt, 6), 6, vocab.eos_id())
+
+  def test_emits_multiple_tokens_per_verify_step(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=16, draft_len=4
+    )
+    prompt = " ".join(["alpha beta gamma delta"] * 4)
+    batcher.add_request(prompt, max_steps=16)
+    batcher.step(1)
+    import jax as _jax
+    write_idx = int(_jax.device_get(batcher._state["write_idx"])[0])
+    # One verify pass; with useful drafts more than 2 tokens exist
+    # (1 from prefill + >1 from the verify step).
+    assert write_idx > 2, write_idx
+
+  def test_speculative_requires_greedy(self, setup):
+    sampler, vocab = setup
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, deterministic_sampling=False
+    )
+    with pytest.raises(ValueError, match="greedy"):
+      serving.ContinuousBatcher(s2, num_slots=1, draft_len=2)
+
+  def test_hist_growth_for_long_budget(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=4, draft_len=2
+    )
+    batcher.add_request("alpha", max_steps=4)
+    r_long = batcher.add_request("beta gamma delta", max_steps=40)
+    results = dict(
+        (rid, toks) for rid, toks, _ in batcher.run_until_drained(4)
+    )
+    _check(results[r_long], _solo(sampler, "beta gamma delta", 40), 40,
+           vocab.eos_id())
