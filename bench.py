@@ -29,6 +29,7 @@ overhead is subtracted from TTFT and reported as sync_overhead_ms.
 
 import json
 import statistics
+import os
 import sys
 import time
 import types
@@ -260,74 +261,26 @@ def bench_ours():
 
 
 def bench_speculative_ours():
-  """Speculative decoding (int8 weights) on an n-gram-predictable prompt.
+  """Speculative decoding (int8), delegated to the extended bench harness.
 
-  Greedy speculative decoding emits identical tokens to plain decode; its
-  throughput scales with the measured acceptance (tokens per weights
-  read), which is workload-dependent — the structured prompt here shows
-  the mechanism's ceiling on this chip, and spec_tokens_per_verify_step
-  reports the acceptance the speedup came from.
+  One definition of the speculative benchmark lives in
+  benchmarks/multimodal_bench.py (``spec`` / ``spec_int8`` modes); this
+  just maps its result into the headline JSON's field names.
   """
-  import time as time_lib
+  import importlib.util
 
-  from cadence_gemma_tpu import common
-  from cadence_gemma_tpu.inference import sampler as sampler_lib
-  from cadence_gemma_tpu.inference import speculative
-  from cadence_gemma_tpu.models import griffin
-  from cadence_gemma_tpu.ops import quantization
-
-  class SpecVocab(_BenchVocab):
-
-    def EncodeAsIds(self, text):  # noqa: N802
-      return [3 + (hash(w) % 1000) for w in text.split()]
-
-  config = common.GriffinConfig.from_preset(
-      common.Preset.RECURRENT_GEMMA_2B_V1, vocab_size=VOCAB_SIZE
+  spec = importlib.util.spec_from_file_location(
+      "multimodal_bench",
+      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "benchmarks", "multimodal_bench.py"),
   )
-  shapes = jax.eval_shape(
-      lambda: griffin.Griffin(config, gradient_checkpointing=False).init(
-          jax.random.PRNGKey(0),
-          jnp.ones((BATCH, 8), jnp.int32),
-          jnp.tile(jnp.arange(8)[None], (BATCH, 1)),
-      )
-  )
-  params = _random_params_like(shapes)["params"]
-  qparams = jax.jit(quantization.quantize_params)(params)
-  qmodel = griffin.Griffin(
-      config, gradient_checkpointing=False, quantized=True
-  )
-  s = sampler_lib.Sampler(
-      qmodel, SpecVocab(), qparams, bucket_prompt_lengths=False
-  )
-  spec = speculative.SpeculativeSampler(s, draft_len=7, ngram=2)
-
-  steps = 256
-  cycle = ["w%d" % i for i in range(8)]
-  prompt = " ".join(cycle[i % 8] for i in range(PROMPT_LEN - 1))
-
-  spec([prompt + " c0"], total_generation_steps=steps)  # compile
-  t0 = time_lib.perf_counter()
-  spec([prompt + " c1"], total_generation_steps=steps)
-  dt_spec = time_lib.perf_counter() - t0
-  emitted = spec.last_stats["tokens_emitted"]
-  accept = spec.last_stats["tokens_per_verify_step"]
-
-  s([prompt + " c2"], total_generation_steps=steps)  # compile
-  t0 = time_lib.perf_counter()
-  s([prompt + " c3"], total_generation_steps=steps)
-  dt_plain = time_lib.perf_counter() - t0
-
-  spec_tps = emitted / dt_spec
-  plain_tps = steps / dt_plain
-  print(
-      f"[bench] ours int8 speculative: {spec_tps:.1f} tok/s "
-      f"(plain {plain_tps:.1f}, {accept:.2f} tokens/weights-read)",
-      file=sys.stderr,
-  )
+  mb = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mb)
+  r = mb.bench_speculative(int8=True)
   return {
-      "decode_tps_speculative_int8": round(spec_tps, 2),
-      "spec_tokens_per_verify_step": round(accept, 2),
-      "spec_speedup_vs_plain_decode": round(spec_tps / plain_tps, 2),
+      "decode_tps_speculative_int8": r["value"],
+      "spec_tokens_per_verify_step": r["tokens_per_verify_step"],
+      "spec_speedup_vs_plain_decode": r["speedup_vs_plain"],
   }
 
 

@@ -353,7 +353,7 @@ def bench_fused_image_ttft(prompt_len=128, reps=6):
   def prefill(seed):
     px = jax.random.uniform(jax.random.PRNGKey(100 + seed), (1, 3, 384, 384))
     return s._fused_prefill_fn(
-        s.vision_params, px, padded, None, lengths, 8, False, False
+        s.params, s.vision_params, px, padded, None, lengths, 8, False, False
     )
 
   _sync(prefill(0).tokens_buffer)  # compile
@@ -367,7 +367,8 @@ def bench_fused_image_ttft(prompt_len=128, reps=6):
   t0 = time.perf_counter()
   states = [
       s._fused_prefill_fn(
-          s.vision_params, p, padded, None, lengths, 8, False, False
+          s.params, s.vision_params, p, padded, None, lengths, 8, False,
+          False,
       )
       for p in pixels
   ]
@@ -637,7 +638,7 @@ def bench_speculative(prompt_len=128, steps=256, draft_len=7, ngram=2,
   dt_spec = time.perf_counter() - t0
   emitted = spec.last_stats["tokens_emitted"]
 
-  print(json.dumps({
+  result = {
       "metric": "speculative_decode_tokens_per_sec_per_chip",
       "value": round(emitted / dt_spec, 1),
       "unit": "tokens/sec/chip"
@@ -651,7 +652,9 @@ def bench_speculative(prompt_len=128, steps=256, draft_len=7, ngram=2,
       "notes": "structured prompt; acceptance (hence speedup) is "
                "workload-dependent — tokens_per_verify_step is the "
                "measured mean accepted length per weights read.",
-  }))
+  }
+  print(json.dumps(result))
+  return result
 
 
 def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):

@@ -793,24 +793,18 @@ class Sampler(Generic[Cache]):
         end_sampling_at_eos_token, return_state,
     )
 
-  def _call_with_prefix(
-      self,
-      prefix_state: PrefixState,
-      input_strings: Sequence[str],
-      total_generation_steps: int,
-      rng,
-      echo: bool,
-      return_logits: bool,
-      end_sampling_at_eos_token: bool,
-      img_embed,
-      return_state: bool,
-  ) -> SamplerOutput:
-    """Continues prompts from cached context (prefix or previous turn)."""
-    if img_embed is not None:
-      raise ValueError(
-          "prefix_state cannot be combined with img_embed: the image "
-          "splices in after the BOS token, which lives in the prefix."
-      )
+  def encode_continuation(
+      self, input_strings: Sequence[str], prefix_state: PrefixState
+  ) -> tuple[jax.Array, Cache, jax.Array]:
+    """Tokens / cache / start positions for a prefix-continuation prefill.
+
+    Continuations are encoded WITHOUT BOS or the chat template (those live
+    in the prefix) and must be equal-length per batch: ragged left-padding
+    would write pad tokens into the cache after real prefix content. A
+    producer's pending token (a sampled-but-never-fed last token) leads the
+    continuation so the context stays exact. Shared by ``__call__`` and
+    :class:`speculative.SpeculativeSampler`.
+    """
     ids = [
         jnp.asarray(self.vocab.EncodeAsIds(s), jnp.int32)
         for s in input_strings
@@ -832,17 +826,39 @@ class Sampler(Generic[Cache]):
         jnp.asarray(prefix_state.length, jnp.int32).reshape(-1), (batch,)
     )
     if prefix_state.pending_token is not None:
-      # The producer's decode loop never fed its last sampled token into
-      # the model; it leads this turn so the context stays exact.
-      pending = jnp.broadcast_to(
-          prefix_state.pending_token, (batch, 1)
-      )
+      pending = jnp.broadcast_to(prefix_state.pending_token, (batch, 1))
       tokens = jnp.concatenate([pending, tokens], axis=1)
+    return tokens, cache, start
+
+  def _call_with_prefix(
+      self,
+      prefix_state: PrefixState,
+      input_strings: Sequence[str],
+      total_generation_steps: int,
+      rng,
+      echo: bool,
+      return_logits: bool,
+      end_sampling_at_eos_token: bool,
+      img_embed,
+      return_state: bool,
+  ) -> SamplerOutput:
+    """Continues prompts from cached context (prefix or previous turn)."""
+    if img_embed is not None:
+      raise ValueError(
+          "prefix_state cannot be combined with img_embed: the image "
+          "splices in after the BOS token, which lives in the prefix."
+      )
+    tokens, cache, start = self.encode_continuation(
+        input_strings, prefix_state
+    )
+    batch = tokens.shape[0]
     state = self.prompt_processing_fn(
         self.params,
         tokens,
         rng,
-        jnp.asarray([len(i) for i in ids]),
+        # Every continuation token is real (equal lengths, no padding);
+        # positions come from `start`, so this is informational only.
+        jnp.full((batch,), tokens.shape[1], jnp.int32),
         total_generation_steps,
         return_logits,
         echo,

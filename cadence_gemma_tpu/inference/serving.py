@@ -25,7 +25,10 @@ Design (static shapes throughout, host orchestrates, device computes):
 
 Correctness bar (tested): a request's tokens are bit-identical to a solo
 ``Sampler.__call__`` run no matter when it joins, how many neighbors it
-shares the batch with, or how often ``step`` is called.
+shares the batch with, or how often ``step`` is called. (In speculative
+mode the match is exact up to cross-program fma numerics; in categorical
+mode the chain is reproducible from the request's rng alone and matches a
+batch-1 solo run with the same key.)
 """
 
 from __future__ import annotations
@@ -68,8 +71,9 @@ class ContinuousBatcher:
       (continuous batching × speculation): every ``step`` is one
       ``draft_len + 1``-token verify pass per slot via
       :func:`speculative.prompt_lookup_spec_step`, so each slot can emit
-      several tokens per weights read. Greedy samplers only; tokens stay
-      bit-identical to solo plain-greedy runs.
+      several tokens per weights read. Greedy samplers only; tokens match
+      solo plain-greedy runs (exactly up to cross-program fma numerics —
+      a near-tie argmax can flip, see speculative.py).
     ngram: Longest-suffix lookup window for speculative drafting.
   """
 
@@ -255,8 +259,11 @@ class ContinuousBatcher:
         # Independent per-slot chains: a slot's key advances only on its
         # own live steps, so a request's tokens are a function of its rng
         # and step count alone — not of its neighbors or join time.
+        # Carry/step order matches Sampler._sample_from_logits (carry =
+        # split[0], step = split[1]) so a batch-1 solo run with the same
+        # rng produces the same chain.
         split = jax.vmap(lambda key: jax.random.split(key, 2))(rng)
-        step_keys, next_keys = split[:, 0], split[:, 1]
+        next_keys, step_keys = split[:, 0], split[:, 1]
         filtered = self.sampler._filter_logits(logits[:, 0])
         sampled = jax.vmap(jax.random.categorical)(
             step_keys, filtered

@@ -7,8 +7,11 @@ token. Speculative decoding reads the weights once per *draft chunk* —
 verify ``k`` drafted tokens plus the pending token in a single ``k+1``-token
 forward, accept the prefix on which the model's own greedy choices agree,
 and emit one extra (corrected) token on top. Greedy acceptance makes the
-output tokens identical to plain decode regardless of draft quality; drafts
-only change the speed.
+output tokens match plain decode regardless of draft quality — exactly up
+to XLA numerics: the k+1-token verify program contracts a*h+x / softmax
+with different fma fusions than the 1-token decode program (~1e-7 relative
+in fp32), so an argmax whose top-2 logits are closer than that can flip.
+Drafts themselves only change the speed, never the distribution.
 
 Drafting is prompt-lookup based and runs **on device**: every position in
 the history (prompt + generated) is scored by the length of its backward
@@ -296,26 +299,10 @@ class SpeculativeSampler:
       valid_from = (prompt_len - lengths).astype(jnp.int32)
       cache, start = None, None
     else:
-      ids = [
-          jnp.asarray(s.vocab.EncodeAsIds(t), jnp.int32)
-          for t in input_strings
-      ]
-      if 0 in {len(i) for i in ids}:
-        raise ValueError("Continuation prompts must be non-empty.")
-      if len({len(i) for i in ids}) != 1:
-        raise ValueError(
-            "Prefix continuation requires equal-length prompts per batch "
-            f"(got {sorted(len(i) for i in ids)})."
-        )
-      tokens = jnp.stack(ids, axis=0)
-      batch = tokens.shape[0]
-      cache = s._continue_from_prefix(prefix_state, batch)
-      start = jnp.broadcast_to(
-          jnp.asarray(prefix_state.length, jnp.int32).reshape(-1), (batch,)
+      tokens, cache, start = s.encode_continuation(
+          input_strings, prefix_state
       )
-      if prefix_state.pending_token is not None:
-        pending = jnp.broadcast_to(prefix_state.pending_token, (batch, 1))
-        tokens = jnp.concatenate([pending, tokens], axis=1)
+      batch = tokens.shape[0]
       prompt_len = tokens.shape[1]
       lengths = jnp.full((batch,), prompt_len, jnp.int32)
       valid_from = jnp.zeros((batch,), jnp.int32)

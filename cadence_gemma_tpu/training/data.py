@@ -156,6 +156,7 @@ def prefetch_to_device(
   """
   q: queue_lib.Queue = queue_lib.Queue(maxsize=buffer_size)
   sentinel = object()
+  stop = threading.Event()
 
   def to_device(batch):
     def put(x):
@@ -171,25 +172,42 @@ def prefetch_to_device(
       )
     return jax.tree_util.tree_map(put, batch)
 
+  def offer(item) -> bool:
+    """Enqueues unless the consumer has gone away; returns False to stop."""
+    while not stop.is_set():
+      try:
+        q.put(item, timeout=0.1)
+        return True
+      except queue_lib.Full:
+        continue
+    return False
+
   def producer():
     try:
       for item in iterator:
-        q.put(to_device(item))
-      q.put(sentinel)
+        if not offer(to_device(item)):
+          return  # consumer abandoned the generator (early return/break)
+      offer(sentinel)
     except BaseException as e:  # noqa: BLE001 — re-raised at the consumer
-      q.put(e)
+      offer(e)
 
   thread = threading.Thread(
       target=producer, daemon=True, name="cadence-data-prefetch"
   )
   thread.start()
-  while True:
-    item = q.get()
-    if item is sentinel:
-      return
-    if isinstance(item, BaseException):
-      raise item
-    yield item
+  try:
+    while True:
+      item = q.get()
+      if item is sentinel:
+        return
+      if isinstance(item, BaseException):
+        raise item
+      yield item
+  finally:
+    # Runs when the consumer breaks out early (train_loop hitting
+    # max_steps / preemption) and the generator is closed or collected:
+    # unblock the producer so it exits instead of pinning device batches.
+    stop.set()
 
 
 def apply_it_template(prompt: str) -> str:

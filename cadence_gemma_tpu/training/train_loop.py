@@ -11,6 +11,7 @@ device pipeline, not a host torch model per batch.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Any, Callable, Iterable
@@ -103,59 +104,80 @@ def train_loop(
   t_start = time.perf_counter()
   for _ in range(config.num_epochs):
     epoch_data = (
-        data_lib.prefetch_to_device(iter(train_data), config.prefetch_batches)
-        if config.prefetch_batches
-        else train_data
-    )
-    for skip, batch in enumerate(epoch_data):
-      if config.resume_from and skip < step:
-        continue  # fast-forward the data stream to the resume point
-      img = _features_for(batch, encode_image)
-      loss, params, opt_state = step_fn(
-          model, params, optimizer, opt_state, pad_id,
-          jnp.asarray(batch.input_tokens), jnp.asarray(batch.target_mask),
-          img,
-      )
-      step += 1
-
-      if preemption is not None and preemption.triggered:
-        if config.checkpoint_dir:
-          path = f"{config.checkpoint_dir}/preempted_step_{step}"
-          checkpoint_io.save_train_state(path, params, opt_state, step)
-          if log_metrics is not None:
-            log_metrics({"preempted_at": float(step)}, step)
-          print(f"preemption: saved resumable state at {path}")
-        return params
-
-      if step % config.eval_every_n == 0:
-        metrics = {
-            "train_loss": float(loss),
-            "steps_per_sec": step / (time.perf_counter() - t_start),
-        }
-        skipped = resilience.nonfinite_count(opt_state)
-        if skipped:
-          metrics["consecutive_nonfinite_steps"] = float(skipped)
-        if validation_data is not None:
-          metrics["val_loss"] = _validate(
-              model, params, validation_data, encode_image, pad_id
-          )
-        if log_metrics is not None:
-          log_metrics(metrics, step)
-        else:
-          print(f"step {step}: {metrics}")
-
-      if (
-          config.checkpoint_every_n
-          and config.checkpoint_dir
-          and step % config.checkpoint_every_n == 0
-      ):
-        checkpoint_io.save_train_state(
-            f"{config.checkpoint_dir}/step_{step}", params, opt_state, step
+        contextlib.closing(
+            data_lib.prefetch_to_device(
+                iter(train_data), config.prefetch_batches
+            )
         )
-
-      if config.max_steps is not None and step >= config.max_steps:
-        return params
+        if config.prefetch_batches
+        else contextlib.nullcontext(train_data)
+    )
+    with epoch_data as epoch_iter:
+      # `closing` shuts the prefetch producer down deterministically on
+      # every exit path (max_steps / preemption returns included).
+      params, opt_state, step, finished = _run_epoch(
+          model, params, optimizer, opt_state, step, epoch_iter, config,
+          encode_image, pad_id, validation_data, log_metrics, preemption,
+          step_fn, t_start,
+      )
+    if finished:
+      return params
   return params
+
+
+def _run_epoch(model, params, optimizer, opt_state, step, epoch_iter,
+               config, encode_image, pad_id, validation_data, log_metrics,
+               preemption, step_fn, t_start):
+  """One epoch; returns (params, opt_state, step, stop_training)."""
+  for skip, batch in enumerate(epoch_iter):
+    if config.resume_from and skip < step:
+      continue  # fast-forward the data stream to the resume point
+    img = _features_for(batch, encode_image)
+    loss, params, opt_state = step_fn(
+        model, params, optimizer, opt_state, pad_id,
+        jnp.asarray(batch.input_tokens), jnp.asarray(batch.target_mask),
+        img,
+    )
+    step += 1
+
+    if preemption is not None and preemption.triggered:
+      if config.checkpoint_dir:
+        path = f"{config.checkpoint_dir}/preempted_step_{step}"
+        checkpoint_io.save_train_state(path, params, opt_state, step)
+        if log_metrics is not None:
+          log_metrics({"preempted_at": float(step)}, step)
+        print(f"preemption: saved resumable state at {path}")
+      return params, opt_state, step, True
+
+    if step % config.eval_every_n == 0:
+      metrics = {
+          "train_loss": float(loss),
+          "steps_per_sec": step / (time.perf_counter() - t_start),
+      }
+      skipped = resilience.nonfinite_count(opt_state)
+      if skipped:
+        metrics["consecutive_nonfinite_steps"] = float(skipped)
+      if validation_data is not None:
+        metrics["val_loss"] = _validate(
+            model, params, validation_data, encode_image, pad_id
+        )
+      if log_metrics is not None:
+        log_metrics(metrics, step)
+      else:
+        print(f"step {step}: {metrics}")
+
+    if (
+        config.checkpoint_every_n
+        and config.checkpoint_dir
+        and step % config.checkpoint_every_n == 0
+    ):
+      checkpoint_io.save_train_state(
+          f"{config.checkpoint_dir}/step_{step}", params, opt_state, step
+      )
+
+    if config.max_steps is not None and step >= config.max_steps:
+      return params, opt_state, step, True
+  return params, opt_state, step, False
 
 
 def _features_for(batch, encode_image):

@@ -250,3 +250,21 @@ class TestSpeculativeBatching:
     )
     _check(results[r_long], _solo(sampler, "beta gamma delta", 40), 40,
            vocab.eos_id())
+
+
+def test_categorical_matches_batch1_solo(setup):
+  """With the same rng, a batcher slot reproduces a batch-1 solo run."""
+  sampler, vocab = setup
+  s2 = sampler_lib.Sampler(
+      sampler.model, vocab, sampler.params,
+      deterministic_sampling=False, temperature=0.9,
+      bucket_prompt_lengths=False,
+  )
+  key = jax.random.PRNGKey(123)
+  solo = s2(["beta gamma"], total_generation_steps=8,
+            rng=jax.random.PRNGKey(123),
+            end_sampling_at_eos_token=True)
+  batcher = serving.ContinuousBatcher(s2, num_slots=1, max_steps_default=8)
+  rid = batcher.add_request("beta gamma", rng=key)
+  got = dict((r, t) for r, t, _ in batcher.run_until_drained(4))[rid]
+  _check(got, np.asarray(solo.tokens[0]), 8, vocab.eos_id())
