@@ -23,6 +23,7 @@ import einops
 from flax import struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RealOrComplex = TypeVar("RealOrComplex", jax.Array, "Complex")
 Numeric = Union[int, float, jax.Array]
@@ -315,8 +316,24 @@ def lift(fn: Callable[..., Any]) -> Callable[..., Any]:
   def wrapped(*args: Any, **kwargs: Any) -> Any:
     if not any(_has_complex(a) for a in args):
       return fn(*args, **kwargs)
-    real_out = fn(*(_component(a, "real") for a in args), **kwargs)
-    imag_out = fn(*(_component(a, "imag") for a in args), **kwargs)
+
+    def operand(x, part):
+      if isinstance(x, Complex) or _has_complex(x):
+        return _component(x, part)
+      if part == "imag":
+        # A bare real operand promotes with a ZERO imaginary part —
+        # reusing it in the imaginary call would corrupt that component
+        # (add(cx, x) must be Complex(r + x, i), pad(cx, 1.0, ...) must
+        # pad the imaginary part with 0). Ints/shapes/axes pass through:
+        # integer positional args are structural parameters, not data.
+        if isinstance(x, (jax.Array, np.ndarray)):
+          return jnp.zeros_like(x)
+        if isinstance(x, float):
+          return 0.0
+      return x
+
+    real_out = fn(*(operand(a, "real") for a in args), **kwargs)
+    imag_out = fn(*(operand(a, "imag") for a in args), **kwargs)
     return _rebuild(real_out, imag_out)
 
   return wrapped

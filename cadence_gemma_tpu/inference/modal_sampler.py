@@ -169,6 +169,12 @@ class ModalSampler(sampler_lib.Sampler):
       # Fused path: decode is the only host step; everything from raw
       # pixels to the first sampled token is one device program.
       self._validate_sampling_args(total_generation_steps, rng)
+      if return_state and total_generation_steps < 1:
+        # Validate before the fused prefill runs — the base sampler also
+        # rejects this combination before doing any device work.
+        raise ValueError(
+            "return_state requires total_generation_steps >= 1."
+        )
       all_ids = [self.tokenize(s) for s in input_strings]
       lengths = [len(ids) for ids in all_ids]
       if len(set(lengths)) != 1:
@@ -192,10 +198,6 @@ class ModalSampler(sampler_lib.Sampler):
           return_logits,
           echo,
       )
-      if return_state and total_generation_steps < 1:
-        raise ValueError(
-            "return_state requires total_generation_steps >= 1."
-        )
       return self._finish_sampling(
           state, pad_lengths, total_generation_steps, echo, return_logits,
           end_sampling_at_eos_token, return_state,

@@ -586,12 +586,24 @@ class Sampler(Generic[Cache]):
     disappears from those requests' TTFT.
 
     Args:
-      prefix: Prefix text; BOS (and the chat-template prelude for IT
-        models) is added here, so continuation prompts must NOT repeat it.
+      prefix: Prefix text; BOS is added here. For IT models only the
+        user-turn OPENING (``<start_of_turn>user\\n``) wraps the prefix —
+        continuation prompts extend the same user turn and
+        ``encode_continuation`` appends the turn close + model opener, so
+        prefix + continuation tokenizes like one full templated prompt
+        (the full template here would close the user turn around the
+        system prompt and strand continuations inside the model turn).
       batch_size: Batch dimension to prefill the cache with. Keep 1 and let
         requests broadcast unless the prefix itself differs per row.
     """
-    ids = self.tokenize(prefix)
+    if self._is_it_model:
+      ids = jnp.asarray(
+          [self.vocab.bos_id()]
+          + self.vocab.EncodeAsIds("<start_of_turn>user\n" + prefix),
+          jnp.int32,
+      )
+    else:
+      ids = self.tokenize(prefix)
     tokens = jnp.tile(ids[None], (batch_size, 1))
     positions = jnp.tile(
         jnp.arange(tokens.shape[1], dtype=jnp.int32)[None], (batch_size, 1)
@@ -798,13 +810,31 @@ class Sampler(Generic[Cache]):
   ) -> tuple[jax.Array, Cache, jax.Array]:
     """Tokens / cache / start positions for a prefix-continuation prefill.
 
-    Continuations are encoded WITHOUT BOS or the chat template (those live
-    in the prefix) and must be equal-length per batch: ragged left-padding
-    would write pad tokens into the cache after real prefix content. A
-    producer's pending token (a sampled-but-never-fed last token) leads the
-    continuation so the context stays exact. Shared by ``__call__`` and
+    Continuations are encoded WITHOUT BOS (it lives in the prefix) and
+    must be equal-length per batch: ragged left-padding would write pad
+    tokens into the cache after real prefix content. A producer's pending
+    token (a sampled-but-never-fed last token) leads the continuation so
+    the context stays exact. Shared by ``__call__`` and
     :class:`speculative.SpeculativeSampler`.
+
+    IT chat template: a text prefix (``prefill_prefix``) left the user
+    turn OPEN, so the continuation closes it and opens the model turn —
+    prefix + continuation then tokenizes like one fully templated prompt.
+    A conversational state (``pending_token`` set) ended mid-model-reply,
+    so the continuation closes the model turn and wraps the new text as a
+    fresh user turn.
     """
+    if self._is_it_model:
+      if prefix_state.pending_token is not None:
+        input_strings = [
+            "<end_of_turn>\n" + common.apply_it_formatter(s)
+            for s in input_strings
+        ]
+      else:
+        input_strings = [
+            f"{s}<end_of_turn>\n<start_of_turn>model\n"
+            for s in input_strings
+        ]
     ids = [
         jnp.asarray(self.vocab.EncodeAsIds(s), jnp.int32)
         for s in input_strings
@@ -866,8 +896,12 @@ class Sampler(Generic[Cache]):
         cache,
         start,
     )
+    # A prepended pending token belongs to the PREVIOUS turn (it was
+    # already returned to the caller); echoed buffers slice it off so
+    # "echo covers only the continuation" holds.
+    lead = 1 if prefix_state.pending_token is not None else 0
     return self._finish_sampling(
-        state, jnp.zeros((batch,), jnp.int32), total_generation_steps,
+        state, jnp.full((batch,), lead, jnp.int32), total_generation_steps,
         echo, return_logits, end_sampling_at_eos_token, return_state,
     )
 

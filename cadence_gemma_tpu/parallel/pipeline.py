@@ -45,6 +45,7 @@ import optax
 from cadence_gemma_tpu import common
 from cadence_gemma_tpu.models import griffin as griffin_lib
 from cadence_gemma_tpu.models import modules
+from cadence_gemma_tpu.training import trainer
 
 P = jax.sharding.PartitionSpec
 
@@ -299,21 +300,57 @@ class GriffinPipeline:
       positions: jax.Array,
       image: jax.Array | None = None,
   ) -> jax.Array:
-    """Masked next-token NLL with the trainer's visual-row semantics."""
-    logits = self(
-        stacked, shared, input_tokens, positions, image=image
-    ).astype(jnp.float32)
-    logits = logits[:, :-1]
+    """Masked next-token NLL with the trainer's visual-row semantics.
+
+    Like ``trainer.forward_and_loss_fn``, the [b, t, vocab] logits tensor
+    is never materialized: the pipeline returns hidden states and the
+    vocabulary projection + log-softmax + gather run per time-chunk —
+    long-context training is exactly the workload PP targets, and at 8k
+    tokens x 256k vocab the full logits tensor (4-8 GB fp32) would
+    dominate memory.
+    """
+    hidden = self(
+        stacked, shared, input_tokens, positions, image=image,
+        return_hidden=True,
+    )
+    hidden = hidden[:, :-1]
     targets = input_tokens[:, 1:]
     target_mask = input_mask[:, 1:]
     if image is not None:
-      n_img = logits.shape[1] - targets.shape[1]
+      n_img = hidden.shape[1] - targets.shape[1]
       targets = jnp.pad(targets, ((0, 0), (n_img, 0)))
       target_mask = jnp.pad(target_mask, ((0, 0), (n_img, 0)))
-    logp = jax.nn.log_softmax(logits)
-    picked = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    mask = target_mask.astype(jnp.float32)
-    return -jnp.sum(picked * mask) / (jnp.sum(mask) + 1e-8)
+    norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
+
+    batch, t, width = hidden.shape
+    chunk = min(trainer._VOCAB_CHUNK, t)
+    pad = -t % chunk
+    if pad:
+      hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+      targets = jnp.pad(targets, ((0, 0), (0, pad)))
+      target_mask = jnp.pad(target_mask, ((0, 0), (0, pad)))
+    n_chunks = (t + pad) // chunk
+    variables = {"params": shared}
+
+    def chunk_nll(args):
+      h, tgt, m = args
+      logits = self.model.apply(
+          variables, h, method="decode_hidden"
+      ).astype(jnp.float32)
+      logp = jax.nn.log_softmax(logits)
+      picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+      return -jnp.sum(picked * m.astype(picked.dtype))
+
+    xs = (
+        hidden.reshape(batch, n_chunks, chunk, width).swapaxes(0, 1),
+        targets.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
+        target_mask.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
+    )
+    if n_chunks == 1:
+      total = chunk_nll(jax.tree_util.tree_map(lambda x: x[0], xs))
+    else:
+      total = jnp.sum(jax.lax.map(jax.checkpoint(chunk_nll), xs))
+    return total * norm
 
   def make_train_step(self, optimizer: optax.GradientTransformation):
     """A jitted SFT step over (stacked, shared) params.

@@ -204,11 +204,17 @@ def train_epoch(
     img_embeds: Optional[Iterable] = None,
     accumulation_steps: int = 1,
 ) -> list[float]:
-  """Drives :func:`train_step` over an iterable of (tokens, mask) batches."""
+  """Drives :func:`train_step` over an iterable of (tokens, mask) batches.
+
+  A tail group shorter than ``accumulation_steps`` still steps the
+  optimizer (flushed after the loop) — no batch's gradients are dropped.
+  """
   losses = []
   img_iter = iter(img_embeds) if img_embeds is not None else None
+  last_index = -1
   for i, (tokens, mask) in enumerate(batches):
     img = next(img_iter) if img_iter is not None else None
+    last_index = i % accumulation_steps
     loss = train_step(
         model,
         optimizer,
@@ -217,7 +223,16 @@ def train_epoch(
         mask,
         img_embed=img,
         accumulation_steps=accumulation_steps,
-        accumulation_index=i % accumulation_steps,
+        accumulation_index=last_index,
     )
     losses.append(float(loss))
+  if 0 <= last_index < accumulation_steps - 1:
+    # Flush the partial tail group: its microbatches averaged with the
+    # full-group divisor, which slightly underweights them — acceptable
+    # for a tail shorter than one group; dropping them entirely is not.
+    torch.nn.utils.clip_grad_norm_(
+        (p for p in model.parameters() if p.requires_grad), 1.0
+    )
+    optimizer.step()
+    optimizer.zero_grad(set_to_none=True)
   return losses

@@ -242,3 +242,27 @@ class TestLiftedStructuralOps:
     )
     np.testing.assert_allclose(got.real, want.real, atol=1e-4)
     np.testing.assert_allclose(got.imag, want.imag, atol=1e-4)
+
+
+class TestLiftMixedOperands:
+  """Bare real operands promote with a ZERO imaginary part."""
+
+  def test_add_complex_plus_real(self):
+    cx = complex_lib.Complex(jnp.ones((2, 3)), 2 * jnp.ones((2, 3)))
+    x = 5 * jnp.ones((2, 3))
+    out = complex_lib.add(cx, x)
+    np.testing.assert_allclose(np.asarray(out.real), 6.0)
+    np.testing.assert_allclose(np.asarray(out.imag), 2.0)  # NOT 7
+
+  def test_pad_value_pads_imag_with_zero(self):
+    cx = complex_lib.Complex(jnp.ones((2,)), 3 * jnp.ones((2,)))
+    out = complex_lib.pad(cx, 1.0, [(1, 1, 0)])
+    np.testing.assert_allclose(np.asarray(out.real), [1, 1, 1, 1])
+    np.testing.assert_allclose(np.asarray(out.imag), [0, 3, 3, 0])
+
+  def test_structural_ints_untouched(self):
+    cx = complex_lib.Complex(jnp.arange(6.0).reshape(2, 3), jnp.ones((2, 3)))
+    parts = complex_lib.split(cx, 3, 1)
+    assert len(parts) == 3
+    out = complex_lib.expand_dims(cx, 1)
+    assert out.real.shape == (2, 1, 3)

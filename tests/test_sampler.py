@@ -678,3 +678,45 @@ class TestSamplingControls:
             rng=jax.random.PRNGKey(0))
     # At T=0.05 the categorical is near-degenerate: tokens match greedy.
     assert got.tokens[0].tolist() == want.tokens[0].tolist()
+
+
+class TestITPrefixTemplate:
+  """IT chat template across prefix caching: prefix + continuation must
+  tokenize like one fully templated prompt (the prefix leaves the user
+  turn open; the continuation closes it and opens the model turn)."""
+
+  def test_prefix_plus_continuation_matches_full_prompt(self, setup):
+    model, vocab, params = setup
+    s_it = sampler_lib.Sampler(
+        model, vocab, params, is_it_model=True, bucket_prompt_lengths=False
+    )
+    pstate = s_it.prefill_prefix("hello")
+    got = s_it(["world"], total_generation_steps=6, prefix_state=pstate)
+    want = s_it(["hello world"], total_generation_steps=6)
+    assert got.tokens[0].tolist() == want.tokens[0].tolist()
+
+  def test_conversational_turn_wraps_new_user_turn(self, setup):
+    model, vocab, params = setup
+    s_it = sampler_lib.Sampler(
+        model, vocab, params, is_it_model=True, bucket_prompt_lengths=False
+    )
+    turn1 = s_it(["hello"], total_generation_steps=3, return_state=True,
+                 end_sampling_at_eos_token=False)
+    turn2 = s_it(["world"], total_generation_steps=3,
+                 prefix_state=turn1.state)
+    assert len(turn2.tokens[0]) == 3
+
+  def test_echo_excludes_pending_token(self, setup):
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False)
+    turn1 = s(["hello world"], total_generation_steps=3, return_state=True,
+              end_sampling_at_eos_token=False)
+    steps = 4
+    out = s(["the quick"], total_generation_steps=steps,
+            prefix_state=turn1.state, echo=True, return_logits=True,
+            end_sampling_at_eos_token=False)
+    # Echo covers only the continuation (2 tokens), not the previous
+    # turn's pending token.
+    assert out.tokens[0].shape == (2 + steps,)
+    assert out.logits[0].shape[0] == 2 + steps
