@@ -72,19 +72,60 @@ def load_parameters(
   return checkpointer.restore(checkpoint_path, restore_args=restore_args)
 
 
+class AsyncTrainStateSaver:
+  """Background training-state saves: the device keeps training while
+  orbax serializes the previous state to disk.
+
+  A synchronous checkpoint pauses training for the full write (seconds to
+  minutes at multi-GB states); the async checkpointer snapshots device
+  arrays and commits on a background thread. ``save`` waits for the
+  previous in-flight write only (back-to-back saves never corrupt), so
+  the common cadence — save every N steps — fully overlaps. Call
+  :meth:`wait` (or use as a context manager) before relying on the last
+  checkpoint being durable.
+  """
+
+  def __init__(self):
+    self._checkpointer = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+  def save(
+      self, checkpoint_path: str, params: at.Params, opt_state: Any,
+      step: int,
+  ) -> None:
+    save_train_state(
+        checkpoint_path, params, opt_state, step,
+        checkpointer=self._checkpointer,
+    )
+
+  def wait(self) -> None:
+    self._checkpointer.wait_until_finished()
+
+  def __enter__(self):
+    return self
+
+  def __exit__(self, *exc_info):
+    self.wait()
+    self._checkpointer.close()
+    return False
+
+
 def save_train_state(
     checkpoint_path: str,
     params: at.Params,
     opt_state: Any,
     step: int,
+    checkpointer: Any | None = None,
 ) -> None:
   """Saves a resumable training state (params + optimizer state + step).
 
   The reference only checkpoints final parameters (train_jax.py:784 /
   torch.save of state_dict every 100 steps) — interrupted runs restart
   from scratch there; here they resume exactly.
+
+  ``checkpointer`` accepts an :class:`AsyncTrainStateSaver`'s underlying
+  checkpointer (or any orbax checkpointer) for non-blocking saves.
   """
-  checkpointer = ocp.PyTreeCheckpointer()
+  checkpointer = checkpointer or ocp.PyTreeCheckpointer()
   checkpointer.save(
       checkpoint_path,
       {

@@ -50,6 +50,10 @@ class TrainingConfig:
   # device compute. 0 = synchronous (default); the producer runs ahead,
   # so keep 0 for iterators with step-synchronized side effects.
   prefetch_batches: int = 0
+  # Write periodic checkpoints on a background thread (orbax async):
+  # training continues during the write instead of pausing for it.
+  # Preemption saves stay synchronous (they must be durable before exit).
+  async_checkpoints: bool = False
 
 
 def train_loop(
@@ -102,6 +106,24 @@ def train_loop(
     )
 
   t_start = time.perf_counter()
+  saver_ctx = (
+      checkpoint_io.AsyncTrainStateSaver()
+      if config.async_checkpoints
+      else contextlib.nullcontext(None)
+  )
+  with saver_ctx as saver:
+    params = _run_stage(
+        model, params, optimizer, opt_state, step, train_data, config,
+        encode_image, pad_id, validation_data, log_metrics, preemption,
+        step_fn, t_start, saver,
+    )
+  return params
+
+
+def _run_stage(model, params, optimizer, opt_state, step, train_data,
+               config, encode_image, pad_id, validation_data, log_metrics,
+               preemption, step_fn, t_start, saver):
+  """All epochs of one stage (factored so the async saver scope wraps it)."""
   for _ in range(config.num_epochs):
     epoch_data = (
         contextlib.closing(
@@ -118,7 +140,7 @@ def train_loop(
       params, opt_state, step, finished = _run_epoch(
           model, params, optimizer, opt_state, step, epoch_iter, config,
           encode_image, pad_id, validation_data, log_metrics, preemption,
-          step_fn, t_start,
+          step_fn, t_start, saver,
       )
     if finished:
       return params
@@ -127,7 +149,7 @@ def train_loop(
 
 def _run_epoch(model, params, optimizer, opt_state, step, epoch_iter,
                config, encode_image, pad_id, validation_data, log_metrics,
-               preemption, step_fn, t_start):
+               preemption, step_fn, t_start, saver=None):
   """One epoch; returns (params, opt_state, step, stop_training)."""
   for skip, batch in enumerate(epoch_iter):
     if config.resume_from and skip < step:
@@ -171,9 +193,11 @@ def _run_epoch(model, params, optimizer, opt_state, step, epoch_iter,
         and config.checkpoint_dir
         and step % config.checkpoint_every_n == 0
     ):
-      checkpoint_io.save_train_state(
-          f"{config.checkpoint_dir}/step_{step}", params, opt_state, step
-      )
+      path = f"{config.checkpoint_dir}/step_{step}"
+      if saver is not None:
+        saver.save(path, params, opt_state, step)
+      else:
+        checkpoint_io.save_train_state(path, params, opt_state, step)
 
     if config.max_steps is not None and step >= config.max_steps:
       return params, opt_state, step, True

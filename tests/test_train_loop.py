@@ -190,3 +190,27 @@ class TestPrefetch:
       np.testing.assert_allclose(
           losses["sync"], losses["prefetch"], rtol=1e-6
       )
+
+
+class TestAsyncCheckpoints:
+
+  def test_async_periodic_checkpoints_resumable(self, setup):
+    """Background saves survive buffer donation and restore exactly."""
+    vocab, _, model, params = setup
+    with tempfile.TemporaryDirectory() as d:
+      ckdir = os.path.join(d, "ck")
+      cfg = train_loop.TrainingConfig(
+          learning_rate=1e-3, max_steps=4, eval_every_n=100,
+          checkpoint_every_n=2, checkpoint_dir=ckdir,
+          async_checkpoints=True,
+      )
+      train_loop.train_loop(
+          model, jax.tree_util.tree_map(jnp.copy, params),
+          _dataset(vocab, d, n=8), cfg, pad_id=vocab.pad_id(),
+      )
+      # The context manager waited for the writes; both must be durable.
+      for step in (2, 4):
+        rp, ro, rs = checkpoint_io.load_train_state(
+            os.path.join(ckdir, f"step_{step}")
+        )
+        assert rs == step
