@@ -92,6 +92,14 @@ class TestGsm8kParsing:
     acc = gsm8k_eval.evaluate(s, problems, steps=6, batch_size=2)
     assert 0.0 <= acc <= 1.0
 
+    # The --speculative path drives the same harness (attention window 4
+    # bounds the draft length on this tiny config).
+    from cadence_gemma_tpu.inference import speculative
+
+    spec = speculative.SpeculativeSampler(s, draft_len=2, ngram=2)
+    acc_spec = gsm8k_eval.evaluate(spec, problems, steps=6, batch_size=2)
+    assert acc_spec == acc
+
 
 class TestProfiling:
 
