@@ -273,6 +273,7 @@ class SpeculativeSampler:
       input_strings: Sequence[str],
       total_generation_steps: int,
       prefix_state: sampler_lib.PrefixState | None = None,
+      img_embed=None,
   ) -> SamplerOutput:
     """Greedy generation; emits the same tokens as ``Sampler.__call__``.
 
@@ -286,15 +287,35 @@ class SpeculativeSampler:
     draft lookup then covers only the continuation + generated tokens (the
     prefix cache stores model state, not token ids), which costs a little
     acceptance on prefix-quoting workloads but nothing in correctness.
+
+    ``img_embed`` ([b, vision_tokens, vision_width] fused features)
+    splices into the prefill exactly as in the plain sampler; the decode
+    loop is text-only, so speculation composes with multimodal prompts at
+    no cost (the visual tokens live in the cache, not the lookup history;
+    positions carry the offset). Incompatible with ``prefix_state``.
     """
     s = self.sampler
     if total_generation_steps < 1:
       raise ValueError("total_generation_steps must be >= 1.")
+    if img_embed is not None and prefix_state is not None:
+      raise ValueError(
+          "img_embed cannot be combined with prefix_state (the image "
+          "splices in after BOS, which lives in the prefix)."
+      )
 
     if prefix_state is None:
       all_ids = [s.tokenize(t) for t in input_strings]
-      lengths = jnp.asarray([len(i) for i in all_ids])
-      tokens = s._get_padded_tokens(all_ids)
+      lengths_list = [len(i) for i in all_ids]
+      if img_embed is not None and len(set(lengths_list)) != 1:
+        raise ValueError(
+            "Multimodal sampling requires equal-length prompts per batch "
+            f"(got lengths {lengths_list})."
+        )
+      lengths = jnp.asarray(lengths_list)
+      if img_embed is not None:
+        tokens = jnp.stack(all_ids, axis=0)
+      else:
+        tokens = s._get_padded_tokens(all_ids)
       prompt_len = tokens.shape[1]
       valid_from = (prompt_len - lengths).astype(jnp.int32)
       cache, start = None, None
@@ -314,7 +335,8 @@ class SpeculativeSampler:
     )
 
     state = s.prompt_processing_fn(
-        s.params, tokens, None, lengths, 1, False, False, None, cache, start
+        s.params, tokens, None, lengths, 1, False, False, img_embed, cache,
+        start,
     )
     first_token = state.tokens_buffer[:, 0]
     hist = hist.at[:, prompt_len].set(first_token)

@@ -271,3 +271,31 @@ class TestSpeculativeSampler:
     assert _trim_to_eos(want.tokens[0].tolist(), eos) == _trim_to_eos(
         got.tokens[0].tolist(), eos
     )
+
+  def test_multimodal_img_embed_matches_plain(self):
+    model, vocab, params = tiny_model()
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    spec = speculative.SpeculativeSampler(plain, draft_len=3, ngram=2)
+    img = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (1, model.config.vision_tokens, model.config.vision_width),
+    )
+    want = plain(["alpha beta"], total_generation_steps=8, img_embed=img)
+    got = spec(["alpha beta"], total_generation_steps=8, img_embed=img)
+    eos = vocab.eos_id()
+    assert _trim_to_eos(want.tokens[0].tolist(), eos) == _trim_to_eos(
+        got.tokens[0].tolist(), eos
+    )
+
+  def test_img_embed_with_prefix_raises(self):
+    model, vocab, params = tiny_model()
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    spec = speculative.SpeculativeSampler(plain, draft_len=2)
+    pstate = plain.prefill_prefix("alpha")
+    img = jnp.zeros((1, model.config.vision_tokens,
+                     model.config.vision_width))
+    with pytest.raises(ValueError, match="img_embed"):
+      spec(["beta"], total_generation_steps=4, prefix_state=pstate,
+           img_embed=img)
