@@ -348,9 +348,16 @@ class GriffinConfig(NamedTuple):
     )
 
 
+# Gemma IT chat-template fragments. Single source of truth: the sampler's
+# prefix caching splits the template across prefix and continuation
+# (prefill_prefix emits IT_USER_OPEN; encode_continuation appends
+# IT_TURN_CLOSE + IT_MODEL_OPEN), and prefix + continuation must tokenize
+# like apply_it_formatter of the concatenated text.
+IT_USER_OPEN = "<start_of_turn>user\n"
+IT_TURN_CLOSE = "<end_of_turn>\n"
+IT_MODEL_OPEN = "<start_of_turn>model\n"
+
+
 def apply_it_formatter(input_string: str) -> str:
   """Wraps a prompt in the Gemma instruction-tuned chat template."""
-  return (
-      f"<start_of_turn>user\n{input_string}<end_of_turn>\n"
-      "<start_of_turn>model\n"
-  )
+  return f"{IT_USER_OPEN}{input_string}{IT_TURN_CLOSE}{IT_MODEL_OPEN}"

@@ -314,7 +314,9 @@ def lift(fn: Callable[..., Any]) -> Callable[..., Any]:
 
   @functools.wraps(fn)
   def wrapped(*args: Any, **kwargs: Any) -> Any:
-    if not any(_has_complex(a) for a in args):
+    if not any(_has_complex(a) for a in args) and not any(
+        _has_complex(v) for v in kwargs.values()
+    ):
       return fn(*args, **kwargs)
 
     def operand(x, part):
@@ -325,15 +327,22 @@ def lift(fn: Callable[..., Any]) -> Callable[..., Any]:
         # reusing it in the imaginary call would corrupt that component
         # (add(cx, x) must be Complex(r + x, i), pad(cx, 1.0, ...) must
         # pad the imaginary part with 0). Ints/shapes/axes pass through:
-        # integer positional args are structural parameters, not data.
+        # integer args are treated as STRUCTURAL parameters (axes, split
+        # counts) — pass data operands as floats or arrays.
         if isinstance(x, (jax.Array, np.ndarray)):
           return jnp.zeros_like(x)
         if isinstance(x, float):
           return 0.0
       return x
 
-    real_out = fn(*(operand(a, "real") for a in args), **kwargs)
-    imag_out = fn(*(operand(a, "imag") for a in args), **kwargs)
+    real_out = fn(
+        *(operand(a, "real") for a in args),
+        **{k: operand(v, "real") for k, v in kwargs.items()},
+    )
+    imag_out = fn(
+        *(operand(a, "imag") for a in args),
+        **{k: operand(v, "imag") for k, v in kwargs.items()},
+    )
     return _rebuild(real_out, imag_out)
 
   return wrapped

@@ -599,7 +599,7 @@ class Sampler(Generic[Cache]):
     if self._is_it_model:
       ids = jnp.asarray(
           [self.vocab.bos_id()]
-          + self.vocab.EncodeAsIds("<start_of_turn>user\n" + prefix),
+          + self.vocab.EncodeAsIds(common.IT_USER_OPEN + prefix),
           jnp.int32,
       )
     else:
@@ -659,8 +659,11 @@ class Sampler(Generic[Cache]):
         vision_width] spliced into the prompt on device.
       prefix_state: Optional cached context (:meth:`prefill_prefix` or a
         previous call's ``return_state=True`` output); ``input_strings``
-        are then continuations encoded WITHOUT BOS/template, must be
-        equal-length per batch, and ``echo`` covers only the continuation.
+        are then continuations: encoded without BOS, equal-length per
+        batch, ``echo`` covers only the continuation. Pass RAW text — for
+        IT models the sampler itself appends the turn markers (closing
+        the prefix's open user turn, or wrapping a fresh user turn after
+        a previous reply); do NOT pre-wrap continuations.
         Incompatible with ``img_embed`` (the image splice needs the
         in-call BOS).
       return_state: Attach the post-generation :class:`PrefixState` to the
@@ -827,12 +830,12 @@ class Sampler(Generic[Cache]):
     if self._is_it_model:
       if prefix_state.pending_token is not None:
         input_strings = [
-            "<end_of_turn>\n" + common.apply_it_formatter(s)
+            common.IT_TURN_CLOSE + common.apply_it_formatter(s)
             for s in input_strings
         ]
       else:
         input_strings = [
-            f"{s}<end_of_turn>\n<start_of_turn>model\n"
+            f"{s}{common.IT_TURN_CLOSE}{common.IT_MODEL_OPEN}"
             for s in input_strings
         ]
     ids = [

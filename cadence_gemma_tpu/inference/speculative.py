@@ -282,8 +282,9 @@ class SpeculativeSampler:
 
     ``prefix_state`` continues from cached context (a shared system prompt
     via :meth:`Sampler.prefill_prefix`, or a previous turn's state) with
-    the same contract as the plain sampler: continuations are encoded
-    WITHOUT BOS/template and must be equal-length per batch. The n-gram
+    the same contract as the plain sampler: pass raw continuation text
+    (no BOS; for IT models the sampler appends the turn markers itself),
+    equal-length per batch. The n-gram
     draft lookup then covers only the continuation + generated tokens (the
     prefix cache stores model state, not token ids), which costs a little
     acceptance on prefix-quoting workloads but nothing in correctness.

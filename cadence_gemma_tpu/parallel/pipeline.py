@@ -320,37 +320,13 @@ class GriffinPipeline:
       n_img = hidden.shape[1] - targets.shape[1]
       targets = jnp.pad(targets, ((0, 0), (n_img, 0)))
       target_mask = jnp.pad(target_mask, ((0, 0), (n_img, 0)))
-    norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
-
-    batch, t, width = hidden.shape
-    chunk = min(trainer._VOCAB_CHUNK, t)
-    pad = -t % chunk
-    if pad:
-      hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
-      targets = jnp.pad(targets, ((0, 0), (0, pad)))
-      target_mask = jnp.pad(target_mask, ((0, 0), (0, pad)))
-    n_chunks = (t + pad) // chunk
     variables = {"params": shared}
-
-    def chunk_nll(args):
-      h, tgt, m = args
-      logits = self.model.apply(
-          variables, h, method="decode_hidden"
-      ).astype(jnp.float32)
-      logp = jax.nn.log_softmax(logits)
-      picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-      return -jnp.sum(picked * m.astype(picked.dtype))
-
-    xs = (
-        hidden.reshape(batch, n_chunks, chunk, width).swapaxes(0, 1),
-        targets.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
-        target_mask.reshape(batch, n_chunks, chunk).swapaxes(0, 1),
+    return trainer.chunked_masked_nll(
+        hidden,
+        targets,
+        target_mask,
+        lambda h: self.model.apply(variables, h, method="decode_hidden"),
     )
-    if n_chunks == 1:
-      total = chunk_nll(jax.tree_util.tree_map(lambda x: x[0], xs))
-    else:
-      total = jnp.sum(jax.lax.map(jax.checkpoint(chunk_nll), xs))
-    return total * norm
 
   def make_train_step(self, optimizer: optax.GradientTransformation):
     """A jitted SFT step over (stacked, shared) params.

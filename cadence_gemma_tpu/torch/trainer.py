@@ -203,6 +203,7 @@ def train_epoch(
     batches: Iterable,
     img_embeds: Optional[Iterable] = None,
     accumulation_steps: int = 1,
+    grad_clip_norm: Optional[float] = 1.0,
 ) -> list[float]:
   """Drives :func:`train_step` over an iterable of (tokens, mask) batches.
 
@@ -222,6 +223,7 @@ def train_epoch(
         tokens,
         mask,
         img_embed=img,
+        grad_clip_norm=grad_clip_norm,
         accumulation_steps=accumulation_steps,
         accumulation_index=last_index,
     )
@@ -230,9 +232,10 @@ def train_epoch(
     # Flush the partial tail group: its microbatches averaged with the
     # full-group divisor, which slightly underweights them — acceptable
     # for a tail shorter than one group; dropping them entirely is not.
-    torch.nn.utils.clip_grad_norm_(
-        (p for p in model.parameters() if p.requires_grad), 1.0
-    )
+    if grad_clip_norm is not None:
+      torch.nn.utils.clip_grad_norm_(
+          (p for p in model.parameters() if p.requires_grad), grad_clip_norm
+      )
     optimizer.step()
     optimizer.zero_grad(set_to_none=True)
   return losses

@@ -91,6 +91,29 @@ def forward_and_loss_fn(
     targets = jnp.pad(targets, ((0, 0), (n_img, 0)))
     target_mask = jnp.pad(target_mask, ((0, 0), (n_img, 0)))
 
+  return chunked_masked_nll(
+      hidden,
+      targets,
+      target_mask,
+      lambda h: model.apply({"params": params}, h, method="decode_hidden"),
+      vocab_chunk_size=vocab_chunk_size,
+  )
+
+
+def chunked_masked_nll(
+    hidden: jax.Array,
+    targets: jax.Array,
+    target_mask: jax.Array,
+    decode_fn,
+    vocab_chunk_size: int | None = None,
+) -> jax.Array:
+  """Masked mean NLL with the vocabulary projection run per time-chunk.
+
+  ``decode_fn``: [b, c, width] hidden → [b, c, vocab] logits. The full
+  [b, t, vocab] tensor is never materialized; ``lax.map`` + remat keep
+  loss memory at O(b * chunk * vocab). Shared by the single-host trainer
+  and the pipeline-parallel trainer (``parallel/pipeline.py``).
+  """
   norm = 1.0 / (jnp.sum(target_mask) + 1e-8)
 
   batch, t, width = hidden.shape
@@ -104,9 +127,7 @@ def forward_and_loss_fn(
 
   def chunk_nll(args):
     h, tgt, m = args
-    logits = model.apply(
-        {"params": params}, h, method="decode_hidden"
-    ).astype(jnp.float32)
+    logits = decode_fn(h).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits)
     picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return -jnp.sum(picked * m.astype(picked.dtype))

@@ -204,7 +204,7 @@ class TestAsyncCheckpoints:
           checkpoint_every_n=2, checkpoint_dir=ckdir,
           async_checkpoints=True,
       )
-      train_loop.train_loop(
+      final = train_loop.train_loop(
           model, jax.tree_util.tree_map(jnp.copy, params),
           _dataset(vocab, d, n=8), cfg, pad_id=vocab.pad_id(),
       )
@@ -214,3 +214,10 @@ class TestAsyncCheckpoints:
             os.path.join(ckdir, f"step_{step}")
         )
         assert rs == step
+      # The step-4 save ran while subsequent work donated buffers; its
+      # VALUES must equal the params train_loop returned at max_steps=4
+      # (garbage here would mean the snapshot raced the donation).
+      for a, b in zip(
+          jax.tree_util.tree_leaves(final), jax.tree_util.tree_leaves(rp)
+      ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
