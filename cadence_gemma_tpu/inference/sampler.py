@@ -139,6 +139,7 @@ class Sampler(Generic[Cache]):
       temperature: float = 1.0,
       top_k: int | None = None,
       top_p: float | None = None,
+      stop_token_ids: Sequence[int] | None = None,
   ):
     """See the class docstring.
 
@@ -179,6 +180,10 @@ class Sampler(Generic[Cache]):
         cumulative probability reaches ``top_p`` (None = off). Applied
         after ``temperature`` and ``top_k``, matching the conventional
         filter order.
+      stop_token_ids: Additional token ids that end a sequence exactly
+        like EOS (when ``end_sampling_at_eos_token``) — e.g. the
+        ``<end_of_turn>`` id for IT chat serving. The reference stops on
+        EOS only.
     """
     self.model = model
     self.vocab = vocab
@@ -203,6 +208,13 @@ class Sampler(Generic[Cache]):
     self.temperature = float(temperature)
     self.top_k = top_k
     self.top_p = top_p
+    # Sampling halts on ANY of these ids (EOS always included) when
+    # end_sampling_at_eos_token — e.g. <end_of_turn> for IT chat serving.
+    # The reference stops on EOS only (``jax/sampler.py:380``).
+    stop_ids = {int(vocab.eos_id())} | set(
+        int(i) for i in (stop_token_ids or ())
+    )
+    self._stop_ids = jnp.asarray(sorted(stop_ids), jnp.int32)
     self.deterministic_sampling = deterministic_sampling
     self.jit_compile = jit_compile
     self.bucket_prompt_lengths = bucket_prompt_lengths
@@ -338,6 +350,14 @@ class Sampler(Generic[Cache]):
       logits = jnp.where(logits < min_kept, neg_inf, logits)
     return logits
 
+  def _is_stop_token(
+      self, tokens: jt.Integer[jt.Array, "*b"]
+  ) -> jt.Bool[jt.Array, "*b"]:
+    """True where ``tokens`` is EOS or a configured stop token."""
+    if self._stop_ids.shape[0] == 1:
+      return jnp.equal(tokens, self._stop_ids[0])
+    return jnp.any(tokens[..., None] == self._stop_ids, axis=-1)
+
   def _sample_step(
       self,
       params: at.Params,
@@ -362,7 +382,7 @@ class Sampler(Generic[Cache]):
       logits_buffer = logits_buffer.at[:, state.step + 1].set(logits[:, 0])
 
     if end_sampling_at_eos_token:
-      done_now = jnp.equal(next_token, self.vocab.eos_id())
+      done_now = self._is_stop_token(next_token)
     else:
       done_now = False
 
@@ -393,7 +413,7 @@ class Sampler(Generic[Cache]):
           state.tokens_buffer, state.step, axis=1, keepdims=False
       )
       state = state.replace(
-          done=state.done | jnp.equal(first_token, self.vocab.eos_id())
+          done=state.done | self._is_stop_token(first_token)
       )
 
     def body(s):

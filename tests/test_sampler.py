@@ -720,3 +720,41 @@ class TestITPrefixTemplate:
     # turn's pending token.
     assert out.tokens[0].shape == (2 + steps,)
     assert out.logits[0].shape[0] == 2 + steps
+
+
+class TestStopTokens:
+
+  def test_custom_stop_token_halts_like_eos(self, setup):
+    model, vocab, params = setup
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    ref = plain(["hello world"], total_generation_steps=8)
+    # Use the first generated token as the stop token: generation must
+    # stop immediately after emitting it.
+    stop_id = int(ref.tokens[0][0])
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            stop_token_ids=[stop_id])
+    out = s(["hello world"], total_generation_steps=8)
+    toks = out.tokens[0].tolist()
+    assert toks[0] == stop_id
+    # done was set at prefill; the decode loop must not have advanced.
+    assert len([t for t in toks if t == stop_id]) >= 1
+
+  def test_stop_mid_decode(self, setup):
+    model, vocab, params = setup
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    ref = plain(["the quick brown"], total_generation_steps=8,
+                end_sampling_at_eos_token=False)
+    ref_toks = ref.tokens[0].tolist()
+    # Stop on the token emitted at step 3.
+    stop_id = int(ref_toks[3])
+    first_idx = ref_toks.index(stop_id)
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            stop_token_ids=[stop_id])
+    out = s(["the quick brown"], total_generation_steps=8)
+    toks = out.tokens[0].tolist()
+    # Same prefix up to and including the stop token, then frozen buffer.
+    assert toks[: first_idx + 1] == ref_toks[: first_idx + 1]
