@@ -2,7 +2,7 @@
 
 The reference has no speculative decoding; this subsystem is TPU-native
 original work. The correctness bar for the cache commit: a
-verify pass over ``t`` draft tokens with ``cache_commit_idx=j`` must leave
+verify pass over ``t`` draft tokens committed at index ``j`` must leave
 every layer cache equal (fp32, to fma-fusion tolerance — XLA contracts
 ``a*h+x`` differently across programs) to processing only the first
 ``j+1`` tokens the ordinary way — RG-LRU state (fp32 scan carries),
