@@ -140,6 +140,7 @@ class Sampler(Generic[Cache]):
       top_k: int | None = None,
       top_p: float | None = None,
       stop_token_ids: Sequence[int] | None = None,
+      repetition_penalty: float = 1.0,
   ):
     """See the class docstring.
 
@@ -184,6 +185,13 @@ class Sampler(Generic[Cache]):
         like EOS (when ``end_sampling_at_eos_token``) — e.g. the
         ``<end_of_turn>`` id for IT chat serving. The reference stops on
         EOS only.
+      repetition_penalty: > 1 penalizes tokens already GENERATED this
+        call (HF semantics: positive logits divide by the penalty,
+        negative multiply), discouraging loops; 1.0 = off. Applies to
+        greedy and categorical alike, inside the compiled decode loop
+        (the seen-set is a scatter over the token buffer). The first
+        (prefill-sampled) token is never penalized — nothing has been
+        generated yet.
     """
     self.model = model
     self.vocab = vocab
@@ -215,6 +223,11 @@ class Sampler(Generic[Cache]):
         int(i) for i in (stop_token_ids or ())
     )
     self._stop_ids = jnp.asarray(sorted(stop_ids), jnp.int32)
+    if repetition_penalty <= 0.0:
+      raise ValueError(
+          f"repetition_penalty must be > 0 (got {repetition_penalty})."
+      )
+    self.repetition_penalty = float(repetition_penalty)
     self.deterministic_sampling = deterministic_sampling
     self.jit_compile = jit_compile
     self.bucket_prompt_lengths = bucket_prompt_lengths
@@ -350,6 +363,29 @@ class Sampler(Generic[Cache]):
       logits = jnp.where(logits < min_kept, neg_inf, logits)
     return logits
 
+  def _apply_repetition_penalty(
+      self,
+      logits: jt.Float[jt.Array, "*b v"],
+      tokens_buffer: jt.Integer[jt.Array, "*b l"],
+      step: jt.Integer[jt.Array, ""],
+  ) -> jt.Float[jt.Array, "*b v"]:
+    """HF-style repetition penalty over the tokens emitted so far.
+
+    ``seen`` is one boolean scatter of the buffer prefix (positions
+    <= step); with ``echo`` the buffer starts with the prompt, so the
+    prompt counts as seen there (matching HF, which penalizes the full
+    input_ids).
+    """
+    p = self.repetition_penalty
+    b, length = tokens_buffer.shape
+    written = jnp.arange(length)[None] <= step
+    rows = jnp.arange(b)[:, None]
+    seen = jnp.zeros(logits.shape, jnp.bool_).at[rows, tokens_buffer].max(
+        written
+    )
+    penalized = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen, penalized, logits)
+
   def _is_stop_token(
       self, tokens: jt.Integer[jt.Array, "*b"]
   ) -> jt.Bool[jt.Array, "*b"]:
@@ -374,7 +410,12 @@ class Sampler(Generic[Cache]):
         return_logits=True,
         return_cache=True,
     )
-    next_token, rng = self._sample_from_logits(state.rng, logits[:, 0])
+    step_logits = logits[:, 0]
+    if self.repetition_penalty != 1.0:
+      step_logits = self._apply_repetition_penalty(
+          step_logits, state.tokens_buffer, state.step
+      )
+    next_token, rng = self._sample_from_logits(state.rng, step_logits)
     tokens_buffer = state.tokens_buffer.at[:, state.step + 1].set(next_token)
 
     logits_buffer = state.logits_buffer

@@ -758,3 +758,41 @@ class TestStopTokens:
     toks = out.tokens[0].tolist()
     # Same prefix up to and including the stop token, then frozen buffer.
     assert toks[: first_idx + 1] == ref_toks[: first_idx + 1]
+
+
+class TestRepetitionPenalty:
+
+  def test_penalty_breaks_repetition_loop(self, setup):
+    model, vocab, params = setup
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    ref = plain(["hello world"], total_generation_steps=10,
+                end_sampling_at_eos_token=False)
+    ref_toks = ref.tokens[0].tolist()
+    # The tiny random model loops on one token; a strong penalty must
+    # change the sequence after the first emission of that token.
+    assert len(set(ref_toks)) < len(ref_toks), ref_toks
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            repetition_penalty=1000.0)
+    out = s(["hello world"], total_generation_steps=10,
+            end_sampling_at_eos_token=False)
+    toks = out.tokens[0].tolist()
+    assert toks != ref_toks
+    assert toks[0] == ref_toks[0]  # prefill token is never penalized
+
+  def test_penalty_one_is_identity(self, setup):
+    model, vocab, params = setup
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            repetition_penalty=1.0)
+    a = plain(["the quick"], total_generation_steps=8)
+    b = s(["the quick"], total_generation_steps=8)
+    assert a.tokens[0].tolist() == b.tokens[0].tolist()
+
+  def test_validation(self, setup):
+    model, vocab, params = setup
+    with pytest.raises(ValueError):
+      sampler_lib.Sampler(model, vocab, params, repetition_penalty=0.0)
