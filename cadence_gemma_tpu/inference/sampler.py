@@ -367,18 +367,18 @@ class Sampler(Generic[Cache]):
       self,
       logits: jt.Float[jt.Array, "*b v"],
       tokens_buffer: jt.Integer[jt.Array, "*b l"],
-      step: jt.Integer[jt.Array, ""],
+      written: jt.Bool[jt.Array, "*b l"],
   ) -> jt.Float[jt.Array, "*b v"]:
     """HF-style repetition penalty over the tokens emitted so far.
 
-    ``seen`` is one boolean scatter of the buffer prefix (positions
-    <= step); with ``echo`` the buffer starts with the prompt, so the
+    ``seen`` is one boolean scatter of the buffer positions flagged in
+    ``written``; with ``echo`` the buffer starts with the prompt, so the
     prompt counts as seen there (matching HF, which penalizes the full
-    input_ids).
+    input_ids). The continuous batcher reuses this with its per-slot
+    write_idx mask.
     """
     p = self.repetition_penalty
-    b, length = tokens_buffer.shape
-    written = jnp.arange(length)[None] <= step
+    b = tokens_buffer.shape[0]
     rows = jnp.arange(b)[:, None]
     seen = jnp.zeros(logits.shape, jnp.bool_).at[rows, tokens_buffer].max(
         written
@@ -412,8 +412,12 @@ class Sampler(Generic[Cache]):
     )
     step_logits = logits[:, 0]
     if self.repetition_penalty != 1.0:
+      written = jnp.broadcast_to(
+          jnp.arange(state.tokens_buffer.shape[1])[None] <= state.step,
+          state.tokens_buffer.shape,
+      )
       step_logits = self._apply_repetition_penalty(
-          step_logits, state.tokens_buffer, state.step
+          step_logits, state.tokens_buffer, written
       )
     next_token, rng = self._sample_from_logits(state.rng, step_logits)
     tokens_buffer = state.tokens_buffer.at[:, state.step + 1].set(next_token)

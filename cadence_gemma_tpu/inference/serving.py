@@ -95,12 +95,26 @@ class ContinuousBatcher:
         raise ValueError(
             "Speculative decoding in the batcher requires greedy sampling."
         )
+      if sampler.repetition_penalty != 1.0:
+        raise ValueError(
+            "Speculative decoding does not support repetition_penalty "
+            "(see speculative.SpeculativeSampler)."
+        )
       window = getattr(sampler.model.config, "attention_window_size", None)
       if window is not None and draft_len + 1 > window:
         raise ValueError(
             f"draft_len + 1 ({draft_len + 1}) exceeds the attention "
             f"window ({window})."
         )
+    if sampler.prefill_chunk_size is not None:
+      import warnings
+
+      warnings.warn(
+          "ContinuousBatcher admission prefills single-shot; the "
+          "sampler's prefill_chunk_size is not applied to admitted "
+          "prompts (long-prompt activation memory is unbounded here).",
+          stacklevel=2,
+      )
     self._requests: dict[int, _Request] = {}  # slot -> request
     self._next_id = 0
     self._buffer_len = sampler_lib._next_bucket(max_steps_default)
@@ -161,7 +175,7 @@ class ContinuousBatcher:
     first_token = prefill_state.tokens_buffer[0, 0]
     out_row = jnp.zeros((state["out"].shape[1],), jnp.int32)
     out_row = out_row.at[0].set(first_token)
-    eos = first_token == self.sampler.vocab.eos_id()
+    eos = self.sampler._is_stop_token(first_token)
     upd = lambda arr, v: arr.at[slot].set(v)  # noqa: E731
     rng = state["rng"]
     if prefill_state.rng is not None:
@@ -205,8 +219,6 @@ class ContinuousBatcher:
 
   def _step_n(self, params, state, n):
     """Advances every slot ``n`` decode (or verify) steps in one program."""
-    eos_id = self.sampler.vocab.eos_id()
-
     if self.draft_len:
 
       def spec_body(_, s):
@@ -224,7 +236,8 @@ class ContinuousBatcher:
         )
         st = speculative.prompt_lookup_spec_step(
             self.sampler.model, params, st,
-            draft_len=self.draft_len, ngram=self.ngram, eos_id=eos_id,
+            draft_len=self.draft_len, ngram=self.ngram,
+            stop_ids=self.sampler._stop_ids,
         )
         eos_hit = st.pop("eos_hit")
         return {
@@ -253,8 +266,17 @@ class ContinuousBatcher:
           return_cache=True,
       )
       rng = s["rng"]
+      step_logits = logits[:, 0]
+      if self.sampler.repetition_penalty != 1.0:
+        # Same scope as a solo non-echo run: tokens this request emitted.
+        written = (
+            jnp.arange(s["out"].shape[1])[None] < s["write_idx"][:, None]
+        )
+        step_logits = self.sampler._apply_repetition_penalty(
+            step_logits, s["out"], written
+        )
       if self.sampler.deterministic_sampling:
-        sampled = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+        sampled = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
       else:
         # Independent per-slot chains: a slot's key advances only on its
         # own live steps, so a request's tokens are a function of its rng
@@ -264,7 +286,7 @@ class ContinuousBatcher:
         # rng produces the same chain.
         split = jax.vmap(lambda key: jax.random.split(key, 2))(rng)
         next_keys, step_keys = split[:, 0], split[:, 1]
-        filtered = self.sampler._filter_logits(logits[:, 0])
+        filtered = self.sampler._filter_logits(step_logits)
         sampled = jax.vmap(jax.random.categorical)(
             step_keys, filtered
         ).astype(jnp.int32)
@@ -277,7 +299,11 @@ class ContinuousBatcher:
       )
       write_idx = s["write_idx"] + live
       done = s["done"] | (
-          live & ((next_token == eos_id) | (write_idx >= s["budget"]))
+          live
+          & (
+              self.sampler._is_stop_token(next_token)
+              | (write_idx >= s["budget"])
+          )
       )
       return {
           "cache": cache,
@@ -322,7 +348,10 @@ class ContinuousBatcher:
       raise ValueError(
           "rng must be provided per request for categorical sampling."
       )
-    max_steps = max_steps or self.max_steps_default
+    if max_steps is None:
+      max_steps = self.max_steps_default
+    if max_steps < 1:
+      raise ValueError(f"max_steps must be >= 1 (got {max_steps}).")
     slot = next(
         i for i in range(self.num_slots) if i not in self._requests
     )
@@ -380,8 +409,10 @@ class ContinuousBatcher:
   def pop_finished(self) -> list[tuple[int, list[int], str]]:
     """Returns ``(request_id, token_ids, text)`` for each completed
     request and frees their slots."""
-    done = jax.device_get(self._state["done"])
-    write_idx = jax.device_get(self._state["write_idx"])
+    # One fused host fetch (each device_get on this relay costs ~30 ms).
+    done, write_idx = jax.device_get(
+        (self._state["done"], self._state["write_idx"])
+    )
     out = None
     finished = []
     for slot, req in list(self._requests.items()):
@@ -407,4 +438,9 @@ class ContinuousBatcher:
         return results
       self.step(step_size)
       results.extend(self.pop_finished())
-    raise RuntimeError("max_ticks exceeded before the batch drained.")
+    err = RuntimeError(
+        f"max_ticks exceeded before the batch drained; {len(results)} "
+        "completed results are attached as .results."
+    )
+    err.results = results
+    raise err

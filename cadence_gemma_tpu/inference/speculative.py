@@ -55,7 +55,7 @@ def prompt_lookup_spec_step(
     *,
     draft_len: int,
     ngram: int,
-    eos_id: int,
+    stop_ids,
 ) -> dict[str, Any]:
   """One draft → verify → accept → commit step over a batch of rows.
 
@@ -69,7 +69,8 @@ def prompt_lookup_spec_step(
     bit-frozen), out [b, L] int32, write_idx [b], budget [b].
 
   Returns the updated state plus ``eos_hit`` [b] — the caller folds that
-  (and budget exhaustion) into its own liveness bookkeeping.
+  (and budget exhaustion) into its own liveness bookkeeping. ``stop_ids``
+  is the sampler's stop set (EOS + any ``stop_token_ids``).
   """
   k, n = draft_len, ngram
   hist = state["hist"]
@@ -135,7 +136,10 @@ def prompt_lookup_spec_step(
   # -- accept: drafts agreeing with the model's own greedy choices.
   agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
   j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
-  is_eos = greedy == eos_id
+  if stop_ids.shape[0] == 1:
+    is_eos = greedy == stop_ids[0]
+  else:
+    is_eos = jnp.any(greedy[..., None] == stop_ids, axis=-1)
   eos_pos = jnp.argmax(is_eos, axis=1)
   j = jnp.where(jnp.any(is_eos, axis=1), jnp.minimum(j, eos_pos), j)
 
@@ -199,8 +203,23 @@ class SpeculativeSampler:
           "Speculative decoding is exact only for greedy sampling "
           "(deterministic_sampling=True)."
       )
+    if sampler.repetition_penalty != 1.0:
+      raise ValueError(
+          "Speculative decoding does not support repetition_penalty: the "
+          "verify pass scores all draft positions in one forward, but the "
+          "penalty depends on which earlier chunk tokens are accepted."
+      )
     if draft_len < 1 or ngram < 1:
       raise ValueError(f"draft_len/ngram must be >= 1, got {draft_len}/{ngram}")
+    if sampler.prefill_chunk_size is not None:
+      import warnings
+
+      warnings.warn(
+          "SpeculativeSampler prefills single-shot; the sampler's "
+          "prefill_chunk_size is not applied (long-prompt activation "
+          "memory is unbounded here).",
+          stacklevel=2,
+      )
     window = getattr(sampler.model.config, "attention_window_size", None)
     if window is not None and draft_len + 1 > window:
       raise ValueError(
@@ -230,7 +249,6 @@ class SpeculativeSampler:
   ):
     """The whole speculative generation as one XLA while-loop program."""
     s = self.sampler
-    eos = s.vocab.eos_id()
     b = hist.shape[0]
 
     out = jnp.full((b, total_steps), s.vocab.pad_id(), jnp.int32)
@@ -241,7 +259,7 @@ class SpeculativeSampler:
         cur_len=cur_len,
         cache=cache,
         positions=positions,
-        live=(first_token != eos) & (total_steps > 1),
+        live=~s._is_stop_token(first_token) & (total_steps > 1),
         out=out,
         write_idx=jnp.ones((b,), jnp.int32),
         budget=jnp.full((b,), total_steps, jnp.int32),
@@ -255,7 +273,8 @@ class SpeculativeSampler:
       st, steps = c
       st = prompt_lookup_spec_step(
           s.model, params, st,
-          draft_len=self.draft_len, ngram=self.ngram, eos_id=eos,
+          draft_len=self.draft_len, ngram=self.ngram,
+          stop_ids=s._stop_ids,
       )
       eos_hit = st.pop("eos_hit")
       st["live"] = (

@@ -268,3 +268,48 @@ def test_categorical_matches_batch1_solo(setup):
   rid = batcher.add_request("beta gamma", rng=key)
   got = dict((r, t) for r, t, _ in batcher.run_until_drained(4))[rid]
   _check(got, np.asarray(solo.tokens[0]), 8, vocab.eos_id())
+
+
+class TestSamplerControlsInBatcher:
+  """The batcher honors the sampler's stop tokens and repetition penalty."""
+
+  def test_stop_token_matches_solo(self, setup):
+    sampler, vocab = setup
+    ref = _solo(sampler, "alpha beta", 8)
+    stop_id = int(ref[2])  # a token the solo run emits mid-stream
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, stop_token_ids=[stop_id],
+        bucket_prompt_lengths=False,
+    )
+    solo = s2(["alpha beta"], total_generation_steps=8)
+    batcher = serving.ContinuousBatcher(s2, num_slots=2,
+                                        max_steps_default=8)
+    rid = batcher.add_request("alpha beta", max_steps=8)
+    got = dict((r, t) for r, t, _ in batcher.run_until_drained(4))[rid]
+    assert got[-1] == stop_id
+    assert got == solo.tokens[0].tolist()[: len(got)]
+
+  def test_repetition_penalty_matches_solo(self, setup):
+    sampler, vocab = setup
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, repetition_penalty=5.0,
+        bucket_prompt_lengths=False,
+    )
+    solo = s2(["alpha beta"], total_generation_steps=8,
+              end_sampling_at_eos_token=True)
+    batcher = serving.ContinuousBatcher(s2, num_slots=2,
+                                        max_steps_default=8)
+    rid = batcher.add_request("alpha beta", max_steps=8)
+    got = dict((r, t) for r, t, _ in batcher.run_until_drained(4))[rid]
+    _check(got, np.asarray(solo.tokens[0]), 8, vocab.eos_id())
+
+  def test_spec_rejects_penalty_and_validates_steps(self, setup):
+    sampler, vocab = setup
+    s2 = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, repetition_penalty=1.5
+    )
+    with pytest.raises(ValueError, match="repetition_penalty"):
+      serving.ContinuousBatcher(s2, num_slots=1, draft_len=2)
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1)
+    with pytest.raises(ValueError, match="max_steps"):
+      batcher.add_request("alpha", max_steps=0)

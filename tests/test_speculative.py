@@ -299,3 +299,30 @@ class TestSpeculativeSampler:
     with pytest.raises(ValueError, match="img_embed"):
       spec(["beta"], total_generation_steps=4, prefix_state=pstate,
            img_embed=img)
+
+  def test_stop_tokens_match_plain(self):
+    model, vocab, params = tiny_model()
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    ref = plain(["alpha beta"], total_generation_steps=10,
+                end_sampling_at_eos_token=False)
+    stop_id = int(ref.tokens[0][2])
+    s2 = sampler_lib.Sampler(model, vocab, params,
+                             stop_token_ids=[stop_id],
+                             bucket_prompt_lengths=False)
+    want = s2(["alpha beta"], total_generation_steps=10)
+    spec = speculative.SpeculativeSampler(s2, draft_len=3, ngram=2)
+    got = spec(["alpha beta"], total_generation_steps=10)
+    stop_pos = want.tokens[0].tolist().index(stop_id)
+    assert got.tokens[0].tolist()[: stop_pos + 1] == want.tokens[
+        0
+    ].tolist()[: stop_pos + 1]
+    # The spec buffer is pad-filled after the stop.
+    assert all(t == vocab.pad_id()
+               for t in got.tokens[0].tolist()[stop_pos + 1 :])
+
+  def test_rejects_repetition_penalty(self):
+    model, vocab, params = tiny_model()
+    s2 = sampler_lib.Sampler(model, vocab, params, repetition_penalty=2.0)
+    with pytest.raises(ValueError, match="repetition_penalty"):
+      speculative.SpeculativeSampler(s2)
