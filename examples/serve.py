@@ -63,7 +63,15 @@ def main(argv):
   model = cg.Griffin(config, quantized=_INT8.value,
                      gradient_checkpointing=False)
   vocab = cg.load_sentencepiece(_TOKENIZER.value)
-  sampler = cg.Sampler(model, vocab, params, is_it_model=_IT.value)
+  stop_ids = None
+  if _IT.value:
+    # Chat serving should stop at the end of the model's turn, not only
+    # at EOS (Gemma's tokenizer encodes <end_of_turn> as one piece).
+    eot = vocab.EncodeAsIds("<end_of_turn>")
+    if len(eot) == 1:
+      stop_ids = eot
+  sampler = cg.Sampler(model, vocab, params, is_it_model=_IT.value,
+                       stop_token_ids=stop_ids)
 
   if _SYSTEM.value:
     t0 = time.perf_counter()
