@@ -146,8 +146,15 @@ def prompt_lookup_spec_step(
   emit_n = jnp.minimum(j + 1, state["budget"] - state["write_idx"])
   emit_n = jnp.where(live, emit_n, 0)
 
-  # -- cache: commit the accepted prefix; frozen rows keep their cache.
-  committed = modules.commit_pending_cache(state["cache"], pend_cache, j)
+  # -- cache: commit exactly the EMITTED prefix; frozen rows keep their
+  # cache. When the budget truncates (emit_n < j + 1), committing the
+  # full accepted prefix would leave the cache ahead of the emitted
+  # tokens — that state is exposed via return_state, so keep them
+  # aligned. Live rows always have emit_n >= 1.
+  commit_idx = jnp.maximum(emit_n - 1, 0)
+  committed = modules.commit_pending_cache(
+      state["cache"], pend_cache, commit_idx
+  )
   new_cache = jax.tree_util.tree_map(
       lambda old, new: jnp.where(
           live.reshape((b,) + (1,) * (new.ndim - 1)), new, old
@@ -283,7 +290,14 @@ class SpeculativeSampler:
       return (st, steps + 1)
 
     final, steps = jax.lax.while_loop(cond, body, carry)
-    return final["out"], final["write_idx"], steps
+    st = final
+    # The last emitted token was never fed to the model; it leads the
+    # next turn (PrefixState.pending_token semantics).
+    pending = jnp.take_along_axis(st["hist"], st["cur_len"][:, None] - 1, 1)
+    return (
+        st["out"], st["write_idx"], steps, st["cache"],
+        st["positions"][:, 0], pending,
+    )
 
   # -- host API ----------------------------------------------------------------
 
@@ -293,6 +307,7 @@ class SpeculativeSampler:
       total_generation_steps: int,
       prefix_state: sampler_lib.PrefixState | None = None,
       img_embed=None,
+      return_state: bool = False,
   ) -> SamplerOutput:
     """Greedy generation; emits the same tokens as ``Sampler.__call__``.
 
@@ -307,6 +322,11 @@ class SpeculativeSampler:
     draft lookup then covers only the continuation + generated tokens (the
     prefix cache stores model state, not token ids), which costs a little
     acceptance on prefix-quoting workloads but nothing in correctness.
+
+    ``return_state`` attaches a :class:`PrefixState` for the next turn —
+    per-row exact here (each row's cache froze at its own stop, unlike
+    the plain sampler's batched decode, which keeps stepping early-EOS
+    rows until the whole batch stops).
 
     ``img_embed`` ([b, vision_tokens, vision_width] fused features)
     splices into the prefill exactly as in the plain sampler; the decode
@@ -362,10 +382,15 @@ class SpeculativeSampler:
     hist = hist.at[:, prompt_len].set(first_token)
     cur_len = jnp.full(lengths.shape, prompt_len + 1, jnp.int32)
 
-    out, emitted, steps = self._loop_fn(
+    out, emitted, steps, final_cache, final_pos, pending = self._loop_fn(
         s.params, state.cache, state.positions, hist, valid_from, cur_len,
         first_token, total_generation_steps,
     )
+    next_state = None
+    if return_state:
+      next_state = sampler_lib.PrefixState(
+          cache=final_cache, length=final_pos, pending_token=pending
+      )
     emitted_h = jax.device_get(emitted)
     steps_h = int(jax.device_get(steps))
     spec_tokens = float(emitted_h.sum() - len(emitted_h))  # minus prefill T0
@@ -384,4 +409,5 @@ class SpeculativeSampler:
         ],
         tokens=token_rows,
         logits=[],
+        state=next_state,
     )

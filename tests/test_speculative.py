@@ -326,3 +326,30 @@ class TestSpeculativeSampler:
     s2 = sampler_lib.Sampler(model, vocab, params, repetition_penalty=2.0)
     with pytest.raises(ValueError, match="repetition_penalty"):
       speculative.SpeculativeSampler(s2)
+
+  def test_return_state_continues_like_plain(self):
+    """spec turn1 -> (plain|spec) turn2 == plain turn1 -> plain turn2."""
+    model, vocab, params = tiny_model()
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    spec = speculative.SpeculativeSampler(plain, draft_len=3, ngram=2)
+
+    p_t1 = plain(["alpha beta"], total_generation_steps=4,
+                 return_state=True, end_sampling_at_eos_token=False)
+    want = plain(["gamma"], total_generation_steps=6,
+                 prefix_state=p_t1.state)
+
+    s_t1 = spec(["alpha beta"], total_generation_steps=4,
+                return_state=True)
+    assert s_t1.tokens[0].tolist() == p_t1.tokens[0][:4].tolist()
+    got_plain = plain(["gamma"], total_generation_steps=6,
+                      prefix_state=s_t1.state)
+    got_spec = spec(["gamma"], total_generation_steps=6,
+                    prefix_state=s_t1.state)
+    eos = vocab.eos_id()
+    assert _trim_to_eos(got_plain.tokens[0].tolist(), eos) == _trim_to_eos(
+        want.tokens[0].tolist(), eos
+    )
+    assert _trim_to_eos(got_spec.tokens[0].tolist(), eos) == _trim_to_eos(
+        want.tokens[0].tolist(), eos
+    )
