@@ -341,7 +341,8 @@ class TestSpeculativeSampler:
 
     s_t1 = spec(["alpha beta"], total_generation_steps=4,
                 return_state=True)
-    assert s_t1.tokens[0].tolist() == p_t1.tokens[0][:4].tolist()
+    assert _trim_to_eos(s_t1.tokens[0].tolist(), vocab.eos_id()) == \
+        _trim_to_eos(p_t1.tokens[0][:4].tolist(), vocab.eos_id())
     got_plain = plain(["gamma"], total_generation_steps=6,
                       prefix_state=s_t1.state)
     got_spec = spec(["gamma"], total_generation_steps=6,
@@ -351,5 +352,49 @@ class TestSpeculativeSampler:
         want.tokens[0].tolist(), eos
     )
     assert _trim_to_eos(got_spec.tokens[0].tolist(), eos) == _trim_to_eos(
+        want.tokens[0].tolist(), eos
+    )
+
+  def test_return_state_exact_under_budget_truncation(self):
+    """The cache commits only the EMITTED prefix when the budget cuts a
+    verify chunk short, so the returned state continues exactly."""
+    model, vocab, params = tiny_model()
+    plain = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    spec = speculative.SpeculativeSampler(plain, draft_len=4, ngram=2)
+    prompt = " ".join(["alpha beta gamma delta"] * 5)
+    s1 = spec([prompt], total_generation_steps=3, return_state=True)
+    # The fixed weights loop on one token, so the single verify step
+    # accepts more drafts than the budget allows — the truncation branch
+    # (commit_idx = emit_n - 1 < j) is genuinely exercised. If a weight
+    # change breaks this precondition, retune the prompt/budget.
+    assert spec.last_stats["verify_steps"] == 1
+    assert spec.last_stats["tokens_emitted"] == 3
+
+    p1 = plain([prompt], total_generation_steps=3, return_state=True,
+               end_sampling_at_eos_token=False)
+    assert s1.tokens[0].tolist() == p1.tokens[0].tolist()
+    want = plain(["eps"], total_generation_steps=6, prefix_state=p1.state)
+    got = plain(["eps"], total_generation_steps=6, prefix_state=s1.state)
+    assert got.tokens[0].tolist() == want.tokens[0].tolist()
+
+  def test_return_state_after_stop_token(self):
+    """A stop-token-terminated turn round-trips: pending = stop token."""
+    model, vocab, params = tiny_model()
+    probe = sampler_lib.Sampler(model, vocab, params,
+                                bucket_prompt_lengths=False)
+    ref = probe(["alpha beta"], total_generation_steps=6,
+                end_sampling_at_eos_token=False)
+    stop_id = int(ref.tokens[0][2])
+    s2 = sampler_lib.Sampler(model, vocab, params,
+                             stop_token_ids=[stop_id],
+                             bucket_prompt_lengths=False)
+    spec = speculative.SpeculativeSampler(s2, draft_len=3, ngram=2)
+    p1 = s2(["alpha beta"], total_generation_steps=6, return_state=True)
+    s1 = spec(["alpha beta"], total_generation_steps=6, return_state=True)
+    want = s2(["gamma"], total_generation_steps=5, prefix_state=p1.state)
+    got = s2(["gamma"], total_generation_steps=5, prefix_state=s1.state)
+    eos = vocab.eos_id()
+    assert _trim_to_eos(got.tokens[0].tolist(), eos) == _trim_to_eos(
         want.tokens[0].tolist(), eos
     )
