@@ -244,20 +244,77 @@ def bench_ours():
       qmodel, _BenchVocab(), qparams, bucket_prompt_lengths=False
   )
   make_args_text.extra = make_extra
-  tps_int8, ttft_mm_int8 = _bench_sampler(
-      sq, make_args_text, "ours int8 (multimodal prefill)", overhead
+  tps_int8, ttft_mm_int8_wo = _bench_sampler(
+      sq, make_args_text, "ours int8 weight-only (multimodal prefill)",
+      overhead,
   )
 
-  # int8 text prefill: a 128-token prefill is dominated by streaming the
-  # weights once (bf16: ~5 GB / 820 GB/s ≈ 6.2 ms of the ~8 ms TTFT), so
-  # int8 weights cut TTFT roughly in half — decode and TTFT quantize alike.
   def make_args_text_only(seed):
     return (_rand_tokens(seed),)
 
-  _, ttft_text_int8 = _bench_sampler(
-      sq, make_args_text_only, "ours int8 (text prefill)", overhead
+  _, ttft_text_int8_wo = _bench_sampler(
+      sq, make_args_text_only, "ours int8 weight-only (text prefill)",
+      overhead,
   )
-  return tps, ttft_mm, ttft_text, tps_int8, ttft_mm_int8, ttft_text_int8
+
+  # int8 *activation* prefill (int8 x int8 MXU matmuls): prefill of a long
+  # (especially multimodal, 857-token) prompt is MXU-compute-bound at bf16
+  # peak; int8 doubles the MXU rate. Decode steps inside the same sampler
+  # stay weight-only (bandwidth-bound).
+  del sq
+  sq_act = sampler_lib.Sampler(
+      qmodel, _BenchVocab(), qparams, bucket_prompt_lengths=False,
+      prefill_act_quant=True,
+  )
+  make_args_text2 = lambda seed: (_rand_tokens(seed),)
+  make_args_text2.extra = make_extra
+  _, ttft_mm_int8 = _bench_sampler(
+      sq_act, make_args_text2, "ours int8+act (multimodal prefill)", overhead
+  )
+  _, ttft_text_int8 = _bench_sampler(
+      sq_act, make_args_text_only, "ours int8+act (text prefill)", overhead
+  )
+
+  # Accuracy delta of the act-quant prefill: first-token logits vs the
+  # weight-only int8 prefill and vs bf16, same prompt/params.
+  toks = _rand_tokens(999)
+  pos = jnp.tile(jnp.arange(PROMPT_LEN)[None], (BATCH, 1))
+
+  def first_logits(m, p):
+    f = jax.jit(
+        lambda p_, t: m.apply(
+            {"params": p_}, t, pos, return_cache=False,
+            last_logits_only=True,
+        )[0]
+    )
+    return np.asarray(jax.device_get(f(p, toks)), np.float32)
+
+  l_bf16 = first_logits(model, params)
+  l_int8 = first_logits(qmodel, qparams)
+  l_act = first_logits(qmodel.clone(act_quant=True), qparams)
+  scale_ref = float(np.abs(l_bf16).max()) or 1.0
+  acc = {
+      "int8_logit_rel_err": round(
+          float(np.abs(l_int8 - l_bf16).max()) / scale_ref, 5
+      ),
+      "act_quant_logit_rel_err": round(
+          float(np.abs(l_act - l_bf16).max()) / scale_ref, 5
+      ),
+      "act_quant_vs_int8_logit_rel_err": round(
+          float(np.abs(l_act - l_int8).max()) / scale_ref, 5
+      ),
+  }
+  return {
+      "tps": tps,
+      "ttft_mm": ttft_mm,
+      "ttft_text": ttft_text,
+      "tps_int8": tps_int8,
+      "ttft_mm_int8": ttft_mm_int8,
+      "ttft_mm_int8_weightonly": ttft_mm_int8_wo,
+      "ttft_text_int8": ttft_text_int8,
+      "ttft_text_int8_weightonly": ttft_text_int8_wo,
+      **acc,
+  }
 
 
 def bench_speculative_ours():
@@ -354,14 +411,13 @@ def main():
     kernel_results = {
         "kernel_numerics_ok": False, "kernel_check_error": repr(e)[:200]
     }
-  (
-      ours_tps,
-      ours_ttft_ms,
-      ours_text_ttft_ms,
-      int8_tps,
-      int8_ttft_ms,
-      int8_text_ttft_ms,
-  ) = bench_ours()
+  ours = bench_ours()
+  ours_tps = ours["tps"]
+  ours_ttft_ms = ours["ttft_mm"]
+  ours_text_ttft_ms = ours["ttft_text"]
+  int8_tps = ours["tps_int8"]
+  int8_ttft_ms = ours["ttft_mm_int8"]
+  int8_text_ttft_ms = ours["ttft_text_int8"]
   try:
     ref_tps, ref_ttft_ms = bench_reference()
   except Exception as e:  # Reference may not run in this environment.
@@ -403,6 +459,17 @@ def main():
           if ref_ttft_ms and int8_text_ttft_ms
           else None
       ),
+      "ttft_ms_int8_weightonly": round(
+          ours["ttft_mm_int8_weightonly"], 2
+      ),
+      "ttft_text_ms_int8_weightonly": round(
+          ours["ttft_text_int8_weightonly"], 2
+      ),
+      "int8_logit_rel_err": ours["int8_logit_rel_err"],
+      "act_quant_logit_rel_err": ours["act_quant_logit_rel_err"],
+      "act_quant_vs_int8_logit_rel_err": ours[
+          "act_quant_vs_int8_logit_rel_err"
+      ],
       "notes": (
           "vs_baseline compares our best serving path (int8 weight-only, a "
           "capability the reference lacks) to the reference at bf16; the "
@@ -419,7 +486,12 @@ def main():
           "(prompt-lookup drafts, exact outputs); its speedup equals the "
           "measured acceptance (spec_tokens_per_verify_step) and is "
           "workload-dependent — the benchmarked prompt is n-gram "
-          "predictable, so it shows the mechanism's ceiling."
+          "predictable, so it shows the mechanism's ceiling. "
+          "ttft_ms_int8 / ttft_text_ms_int8 run the int8-ACTIVATION "
+          "prefill (int8 x int8 MXU matmuls, decode weight-only); "
+          "*_weightonly are the r2-comparable weight-only-int8 prefills. "
+          "The *_logit_rel_err fields are the measured first-token logit "
+          "deltas of each quantization mode vs bf16 on the same prompt."
       ),
   }
   result.update(kernel_results)

@@ -56,18 +56,25 @@ def _bench_amortized(fn, make_args, n=16):
 
 
 def bench_vision_encoder():
-  """Config #2: image pixels → fused features → projected visual tokens."""
+  """Config #2: image pixels → fused features → projected visual tokens.
+
+  Sweeps the tower execution variants (the VERDICT r2 top item): bf16
+  einsum attention (the r2 path), bf16 + flash MHA kernel, int8 weights,
+  and int8 weights+activations; also reports per-tower times for the best
+  variant. Times are amortized over enqueued calls (CLAUDE.md gotcha #2).
+  """
   from cadence_gemma_tpu import common
   from cadence_gemma_tpu.models import modules, vit
+  from cadence_gemma_tpu.ops import quantization
 
-  encoder = vit.DinoSigLIPEncoder()
-  pixels = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 384, 384))
+  pixels0 = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 384, 384))
   shapes = jax.eval_shape(
-      lambda: encoder.init(jax.random.PRNGKey(1), pixels)
+      lambda: vit.DinoSigLIPEncoder().init(jax.random.PRNGKey(1), pixels0)
   )
   params = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), shapes
   )["params"]
+  qparams = jax.jit(quantization.quantize_params)(params)
 
   connector = modules.VisionLanguageConnector(
       width=2560, expanded_width=common.DEFAULT_VL_EXPANDED_WIDTH
@@ -81,23 +88,62 @@ def bench_vision_encoder():
       lambda s: jnp.zeros(s.shape, s.dtype), cshapes
   )["params"]
 
-  @jax.jit
-  def encode_and_project(px):
-    feats = encoder.apply({"params": params}, px)
-    return connector.apply({"params": cparams}, feats)
-
   def make_args(seed):
     return (jax.random.uniform(jax.random.PRNGKey(seed), (1, 3, 384, 384)),)
 
-  dt = _bench(encode_and_project, make_args)
-  out = encode_and_project(*make_args(99))
+  variants = {
+      "bf16_einsum": (dict(use_flash_attention=False), params),
+      "bf16_flash": (dict(), params),
+      "int8_flash": (dict(quantized=True), qparams),
+      "int8_act_flash": (dict(quantized=True, act_quant=True), qparams),
+  }
+  results = {}
+  for name, (kwargs, p) in variants.items():
+    encoder = vit.DinoSigLIPEncoder(**kwargs)
+
+    @jax.jit
+    def encode_and_project(px, _encoder=encoder, _p=p):
+      feats = _encoder.apply({"params": _p}, px)
+      return connector.apply({"params": cparams}, feats)
+
+    dt = _bench_amortized(encode_and_project, make_args, n=8)
+    results[f"{name}_ms"] = round(dt * 1e3, 2)
+
+  # Per-tower breakdown for the int8+act variant (and bf16 for contrast).
+  for tower, tcfg in (("dino", vit.DINOV2_LARGE_REG4_384),
+                      ("siglip", vit.SIGLIP_SO400M_384)):
+    for label, kwargs, p in (
+        ("bf16", dict(use_flash_attention=False), params),
+        ("int8_act", dict(quantized=True, act_quant=True), qparams),
+    ):
+      tower_model = vit.VisionTransformer(tcfg, **kwargs)
+      tp = p[tower]
+
+      @jax.jit
+      def run_tower(px, _m=tower_model, _tp=tp, _t=tower):
+        mean = vit.DINO_MEAN if _t == "dino" else vit.SIGLIP_MEAN
+        std = vit.DINO_STD if _t == "dino" else vit.SIGLIP_STD
+        return _m.apply({"params": _tp}, vit.preprocess(px, mean, std))
+
+      dt = _bench_amortized(run_tower, make_args, n=8)
+      results[f"tower_{tower}_{label}_ms"] = round(dt * 1e3, 2)
+
+  out = jax.jit(
+      lambda px: connector.apply(
+          {"params": cparams},
+          vit.DinoSigLIPEncoder().apply({"params": params}, px),
+      )
+  )(*make_args(99))
   print(json.dumps({
       "metric": "vision_encode_project_ms",
-      "value": round(dt * 1e3, 2),
-      "unit": "ms/image",
+      "value": results["int8_act_flash_ms"],
+      "unit": "ms/image (best variant: int8 weights+activations, flash MHA)",
       "output_shape": list(out.shape),
+      **results,
       "notes": "pixels->DinoSigLIP(block22)->VL projection, one jit program "
-               "on device; the reference runs this on host PyTorch.",
+               "on device; the reference runs this on host PyTorch. "
+               "Variants isolate the flash-MHA kernel win (vs fp32-softmax "
+               "einsum) and the int8 weight/activation wins.",
   }))
 
 
@@ -297,11 +343,17 @@ def bench_sft_step(batch=1, seq_len=512):
   }))
 
 
-def bench_fused_image_ttft(prompt_len=128, reps=6):
-  """North-star: raw pixels + prompt → first sampled token, one program."""
+def bench_fused_image_ttft(prompt_len=128, reps=6, int8=False):
+  """North-star: raw pixels + prompt → first sampled token, one program.
+
+  ``int8=True`` runs the serving configuration: int8 weights everywhere,
+  int8 activations through the compute-bound prefill (towers + Griffin);
+  decode stays weight-only.
+  """
   from cadence_gemma_tpu import common
   from cadence_gemma_tpu.inference import modal_sampler as modal_lib
   from cadence_gemma_tpu.models import griffin, vit
+  from cadence_gemma_tpu.ops import quantization
 
   class Vocab:
     def pad_id(self):
@@ -322,28 +374,41 @@ def bench_fused_image_ttft(prompt_len=128, reps=6):
   config = common.GriffinConfig.from_preset(
       common.Preset.RECURRENT_GEMMA_2B_V1
   )
-  model = griffin.Griffin(config, gradient_checkpointing=False)
+  base_model = griffin.Griffin(config, gradient_checkpointing=False)
   tokens0 = jnp.ones((1, 8), jnp.int32)
   lm_shapes = jax.eval_shape(
-      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+      lambda: base_model.init(
+          jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None]
+      )
   )
   lm_params = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), lm_shapes
   )["params"]
 
-  encoder = vit.DinoSigLIPEncoder()
   px0 = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 384, 384))
   v_shapes = jax.eval_shape(
-      lambda: encoder.init(jax.random.PRNGKey(2), px0)
+      lambda: vit.DinoSigLIPEncoder().init(jax.random.PRNGKey(2), px0)
   )
   v_params = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), v_shapes
   )["params"]
 
+  if int8:
+    lm_params = jax.jit(quantization.quantize_params)(lm_params)
+    v_params = jax.jit(quantization.quantize_params)(v_params)
+    model = griffin.Griffin(
+        config, gradient_checkpointing=False, quantized=True
+    )
+    encoder = vit.DinoSigLIPEncoder(quantized=True, act_quant=True)
+  else:
+    model = base_model
+    encoder = vit.DinoSigLIPEncoder()
+
   s = modal_lib.ModalSampler(
       model, Vocab(), lm_params,
       vision_encoder=encoder, vision_params=v_params,
       bucket_prompt_lengths=False,
+      prefill_act_quant=int8,
   )
   prompt = " ".join(["word"] * (prompt_len - 1))
   ids = [s.tokenize(prompt)]
@@ -375,14 +440,17 @@ def bench_fused_image_ttft(prompt_len=128, reps=6):
   _sync(states[-1].tokens_buffer)
   dt = (time.perf_counter() - t0) / reps
   print(json.dumps({
-      "metric": "fused_image_ttft_ms",
+      "metric": "fused_image_ttft_ms" + ("_int8" if int8 else ""),
       "value": round(dt * 1e3, 2),
       "unit": f"ms (pixels + {prompt_len}-token prompt -> first token, "
               "one XLA program)",
       "notes": "preprocess + DinoSigLIP towers + VL projection + 2B "
                "Griffin prefill + first-token sample, fully on device. The "
-               "reference runs the vision half on host PyTorch per image.",
+               "reference runs the vision half on host PyTorch per image."
+               + (" int8 weights; int8 activations through the prefill "
+                  "(decode weight-only)." if int8 else ""),
   }))
+  return dt * 1e3
 
 
 def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
@@ -825,6 +893,8 @@ if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"
   if which in ("all", "fused"):
     bench_fused_image_ttft()
+  if which in ("all", "fused_int8"):
+    bench_fused_image_ttft(int8=True)
   if which in ("all", "vision"):
     bench_vision_encoder()
   if which in ("all", "batched"):

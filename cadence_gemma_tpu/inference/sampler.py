@@ -141,6 +141,7 @@ class Sampler(Generic[Cache]):
       top_p: float | None = None,
       stop_token_ids: Sequence[int] | None = None,
       repetition_penalty: float = 1.0,
+      prefill_act_quant: bool = False,
   ):
     """See the class docstring.
 
@@ -185,6 +186,15 @@ class Sampler(Generic[Cache]):
         like EOS (when ``end_sampling_at_eos_token``) — e.g. the
         ``<end_of_turn>`` id for IT chat serving. The reference stops on
         EOS only.
+      prefill_act_quant: Run the *prefill* forward with int8 activations
+        as well as int8 weights (int8 x int8 MXU matmuls — 2x the bf16
+        MXU throughput on v5e, which is what the compute-bound prefill of
+        long/multimodal prompts is limited by). Decode steps stay
+        weight-only int8 (they are bandwidth-bound; activation
+        quantization would add error for no speed). Requires a
+        ``quantized=True`` model; the same parameter tree serves both
+        phases. Off by default — it changes logits slightly (measured
+        in ``benchmarks/multimodal_bench.py``).
       repetition_penalty: > 1 penalizes tokens already GENERATED this
         call (HF semantics: positive logits divide by the penalty,
         negative multiply), discouraging loops; 1.0 = off. Applies to
@@ -194,6 +204,16 @@ class Sampler(Generic[Cache]):
         generated yet.
     """
     self.model = model
+    if prefill_act_quant:
+      if not getattr(model, "quantized", False):
+        raise ValueError(
+            "prefill_act_quant requires a quantized=True model (the int8 "
+            "MXU path contracts against int8 weights)."
+        )
+      self._prefill_model = model.clone(act_quant=True)
+    else:
+      self._prefill_model = model
+    self.prefill_act_quant = prefill_act_quant
     self.vocab = vocab
     if mesh is not None:
       from cadence_gemma_tpu.parallel import partitioning
@@ -282,13 +302,17 @@ class Sampler(Generic[Cache]):
       return_cache: bool,
       img_embed: at.Image | None = None,
       last_logits_only: bool = False,
+      prefill: bool = False,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     kwargs = {}
     if img_embed is not None:
       kwargs["image"] = img_embed
     if last_logits_only:
       kwargs["last_logits_only"] = True
-    return self.model.apply(
+    # Prefill may run a different (int8-activation) variant of the model;
+    # both variants read the same parameter tree.
+    model = self._prefill_model if prefill else self.model
+    return model.apply(
         {"params": params},
         tokens=tokens,
         segment_pos=segment_pos,
@@ -490,6 +514,7 @@ class Sampler(Generic[Cache]):
         cache=cache,
         return_logits=return_logits,
         return_cache=True,
+        prefill=True,
     )
     return logits, cache
 
@@ -539,6 +564,7 @@ class Sampler(Generic[Cache]):
           return_logits=return_logits and echo,
           return_cache=False,
           img_embed=img_embed,
+          prefill=True,
       )
       logits = None
     elif prompt_length == 1:
@@ -553,6 +579,7 @@ class Sampler(Generic[Cache]):
           return_logits=True,
           return_cache=True,
           img_embed=img_embed,
+          prefill=True,
       )
       if img_embed is not None:
         # Only the last position's logits seed decoding.
@@ -572,6 +599,7 @@ class Sampler(Generic[Cache]):
           return_cache=True,
           img_embed=img_embed,
           last_logits_only=not want_prompt_logits,
+          prefill=True,
       )
       if want_prompt_logits:
         if img_embed is not None:

@@ -47,6 +47,10 @@ class Griffin(nn.Module):
   scan_sharding_spec: scan.ShardingSpec | None = None
   gradient_checkpointing: bool = True
   quantized: bool = False
+  # int8 activations too (int8 x int8 MXU matmuls): the compute-bound
+  # prefill mode. Requires ``quantized``; adds no parameters, so samplers
+  # can run act_quant prefill and weight-only decode on one param tree.
+  act_quant: bool = False
   use_flash_attention: bool | None = None  # None = auto (t > window on TPU)
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.bfloat16
@@ -77,6 +81,7 @@ class Griffin(nn.Module):
             scan_type=self.config.scan_type,
             final_w_init_variance_scale=2.0 / self.config.num_layers,
             quantized=self.quantized,
+            act_quant=self.act_quant,
             scan_sharding_spec=self.scan_sharding_spec,
             use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
@@ -93,6 +98,7 @@ class Griffin(nn.Module):
         vision_width=self.config.vision_width,
         final_w_init_variance_scale=1.0,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="vl_connector",
         dtype=self.dtype,
         param_dtype=self.param_dtype,

@@ -42,6 +42,13 @@ class QuantizableDense(nn.Module):
   produced by :func:`cadence_gemma_tpu.ops.quantization.quantize_params`;
   the dequantizing multiply fuses into the matmul so int8 is what streams
   from HBM — the point of the exercise for bandwidth-bound decode.
+
+  ``act_quant=True`` (requires ``quantized``) additionally quantizes the
+  *activations* per row at runtime so the contraction runs as a native
+  int8xint8→int32 MXU matmul — double the MXU throughput of bf16 on v5e,
+  which is what compute-bound prefill wants (weight-only int8 still
+  multiplies in bf16). Costs one absmax+round pass over the activations;
+  adds no parameters, so the same quantized checkpoint serves both modes.
   """
 
   features: int
@@ -50,6 +57,7 @@ class QuantizableDense(nn.Module):
       nn.initializers.lecun_normal()
   )
   quantized: bool = False
+  act_quant: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -88,14 +96,26 @@ class QuantizableDense(nn.Module):
         else None
     )
     if self.quantized:
-      # Contract against int8 weights (the int8->compute-dtype convert fuses
-      # into the dot's operand read) and apply the per-output-channel scale
-      # AFTER the contraction — it commutes, and this way only int8 weight
-      # bytes ever cross HBM.
       compute_dtype = self.dtype or x.dtype
-      x = x.astype(compute_dtype)
-      y = x @ q.astype(compute_dtype)
-      y = y * scale.astype(compute_dtype)
+      if self.act_quant:
+        # int8 x int8 → int32 on the MXU (2x bf16 throughput on v5e).
+        # Per-row activation scales and per-column weight scales commute
+        # with the contraction, so they apply to the int32 result.
+        xq, x_scale = quantization.quantize_activations(x)
+        y = jax.lax.dot_general(
+            xq, q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * x_scale * scale
+        y = y.astype(compute_dtype)
+      else:
+        # Contract against int8 weights (the int8->compute-dtype convert
+        # fuses into the dot's operand read) and apply the per-output-
+        # channel scale AFTER the contraction — it commutes, and this way
+        # only int8 weight bytes ever cross HBM.
+        x = x.astype(compute_dtype)
+        y = x @ q.astype(compute_dtype)
+        y = y * scale.astype(compute_dtype)
       if bias is not None:
         y = y + bias.astype(y.dtype)
       return y
@@ -465,6 +485,7 @@ class Einsum(nn.Module):
   eqn: str
   w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -486,6 +507,14 @@ class Einsum(nn.Module):
           self.param_dtype,
       )
       compute_dtype = self.dtype or x.dtype
+      if self.act_quant:
+        # int8 x int8 → int32 MXU contraction; the per-row activation
+        # scale [..., t, 1] broadcasts against the c...tD output from the
+        # right, the per-(c, D) weight scale from both ends.
+        xq, x_scale = quantization.quantize_activations(x)
+        y = jnp.einsum(self.eqn, xq, q, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * x_scale * scale[:, None, None, :]
+        return (y + b.astype(jnp.float32)).astype(compute_dtype)
       y = jnp.einsum(self.eqn, x.astype(compute_dtype), q.astype(compute_dtype))
       # Output layout is c...tD; scale broadcasts as (c, 1, 1, D).
       scale = scale[:, None, None, :].astype(compute_dtype)

@@ -354,6 +354,7 @@ class LocalAttentionBlock(nn.Module):
   window_size: int
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   use_flash_attention: bool | None = None
   sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
@@ -377,6 +378,7 @@ class LocalAttentionBlock(nn.Module):
         use_bias=bias,
         kernel_init=init,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name=name,
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -502,6 +504,7 @@ class RecurrentBlock(nn.Module):
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -520,6 +523,7 @@ class RecurrentBlock(nn.Module):
         features=lru_width,
         kernel_init=proj_init,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="linear_y",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -528,6 +532,7 @@ class RecurrentBlock(nn.Module):
         features=lru_width,
         kernel_init=proj_init,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="linear_x",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -536,6 +541,7 @@ class RecurrentBlock(nn.Module):
         features=self.width,
         kernel_init=out_init,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="linear_out",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -615,6 +621,7 @@ class MLPBlock(nn.Module):
   expanded_width: int
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -624,6 +631,7 @@ class MLPBlock(nn.Module):
         b_shape=(2, 1, 1, self.expanded_width),
         eqn="...td,cdD->c...tD",
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -637,6 +645,7 @@ class MLPBlock(nn.Module):
             distribution="normal",
         ),
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -662,6 +671,7 @@ class VisionLanguageConnector(nn.Module):
   vision_width: int = common.DEFAULT_VISION_WIDTH
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -671,6 +681,7 @@ class VisionLanguageConnector(nn.Module):
         b_shape=(1, 1, 1, self.expanded_width),
         eqn="...td,rdD->r...tD",
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -684,6 +695,7 @@ class VisionLanguageConnector(nn.Module):
             distribution="normal",
         ),
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -707,6 +719,7 @@ class ResidualBlock(nn.Module):
   conv1d_temporal_width: int = 4
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
+  act_quant: bool = False
   scan_sharding_spec: scan.ShardingSpec | None = None
   use_flash_attention: bool | None = None
   dtype: at.dtype | None = None
@@ -725,6 +738,7 @@ class ResidualBlock(nn.Module):
           scan_type=self.scan_type,
           final_w_init_variance_scale=self.final_w_init_variance_scale,
           quantized=self.quantized,
+          act_quant=self.act_quant,
           name="recurrent_block",
           scan_sharding_spec=self.scan_sharding_spec,
           dtype=self.dtype,
@@ -737,6 +751,7 @@ class ResidualBlock(nn.Module):
           window_size=self.attention_window_size,
           final_w_init_variance_scale=self.final_w_init_variance_scale,
           quantized=self.quantized,
+          act_quant=self.act_quant,
           use_flash_attention=self.use_flash_attention,
           sharding_spec=self.scan_sharding_spec,
           name="attention_block",
@@ -751,6 +766,7 @@ class ResidualBlock(nn.Module):
         expanded_width=self.mlp_expanded_width,
         final_w_init_variance_scale=self.final_w_init_variance_scale,
         quantized=self.quantized,
+        act_quant=self.act_quant,
         name="mlp_block",
         dtype=self.dtype,
         param_dtype=self.param_dtype,

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cadence_gemma_tpu import array_typing as at
+from cadence_gemma_tpu.models import layers
+from cadence_gemma_tpu.ops import pallas_attention
 
 # Preprocessing constants (timm data configs for the two models).
 SIGLIP_MEAN = (0.5, 0.5, 0.5)
@@ -88,12 +90,27 @@ DINOV2_LARGE_REG4_384 = ViTConfig(
 )
 
 
+def _should_use_flash_mha(override: bool | None) -> bool:
+  """Auto-dispatch for the bidirectional MHA kernel: on for real TPUs.
+
+  At 729 tokens the einsum path round-trips ~34 MB of fp32 logits through
+  HBM per block; the kernel keeps the softmax in VMEM. On CPU (tests) the
+  einsum path is the reference oracle, so flash stays off unless forced.
+  """
+  if override is not None:
+    return override
+  return jax.local_devices()[0].platform == "tpu"
+
+
 class ViTBlock(nn.Module):
   """Pre-norm transformer block with optional LayerScale (DINOv2)."""
 
   config: ViTConfig
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.float32
+  quantized: bool = False
+  act_quant: bool = False
+  use_flash_attention: bool | None = None
 
   @nn.compact
   def __call__(self, x: jax.Array) -> jax.Array:
@@ -109,30 +126,36 @@ class ViTBlock(nn.Module):
       )
       return value * gamma.astype(value.dtype)
 
+    dense = lambda feats, name: layers.QuantizableDense(
+        features=feats,
+        quantized=self.quantized,
+        act_quant=self.act_quant,
+        dtype=self.dtype,
+        param_dtype=self.param_dtype,
+        name=name,
+    )
+
     # Attention.
     h = nn.LayerNorm(
         epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
         name="norm1",
     )(x)
-    qkv = nn.Dense(
-        3 * cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="attn_qkv",
-    )(h)
+    qkv = dense(3 * cfg.embed_dim, "attn_qkv")(h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     split_heads = lambda t: t.reshape(
         t.shape[0], t.shape[1], cfg.num_heads, head_dim
     )
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    logits = jnp.einsum(
-        "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
-    ) * (head_dim**-0.5)
-    probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-    out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
+    if _should_use_flash_mha(self.use_flash_attention):
+      out = pallas_attention.flash_mha_attention(q, k, v)
+    else:
+      logits = jnp.einsum(
+          "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
+      ) * (head_dim**-0.5)
+      probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+      out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
     out = out.reshape(out.shape[0], out.shape[1], cfg.embed_dim)
-    out = nn.Dense(
-        cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="attn_proj",
-    )(out)
+    out = dense(cfg.embed_dim, "attn_proj")(out)
     x = x + layer_scale("ls1", out)
 
     # MLP.
@@ -140,24 +163,27 @@ class ViTBlock(nn.Module):
         epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
         name="norm2",
     )(x)
-    h = nn.Dense(
-        cfg.mlp_hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="mlp_fc1",
-    )(h)
+    h = dense(cfg.mlp_hidden_dim, "mlp_fc1")(h)
     h = nn.gelu(h, approximate=cfg.gelu_approximate)
-    h = nn.Dense(
-        cfg.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="mlp_fc2",
-    )(h)
+    h = dense(cfg.embed_dim, "mlp_fc2")(h)
     return x + layer_scale("ls2", h)
 
 
 class VisionTransformer(nn.Module):
-  """timm-compatible ViT returning an intermediate layer's patch tokens."""
+  """timm-compatible ViT returning an intermediate layer's patch tokens.
+
+  ``quantized`` serves int8 weights (``kernel_q``/``kernel_scale`` leaves
+  from :func:`cadence_gemma_tpu.ops.quantization.quantize_params`);
+  ``act_quant`` additionally runs the block matmuls as int8xint8 on the
+  MXU. The patch-embed conv and LayerNorms stay in bf16/f32 (tiny).
+  """
 
   config: ViTConfig
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.float32
+  quantized: bool = False
+  act_quant: bool = False
+  use_flash_attention: bool | None = None
 
   @nn.compact
   def __call__(self, pixels: at.ImagePixels) -> at.Image:
@@ -204,6 +230,8 @@ class VisionTransformer(nn.Module):
     for i in range(output_layer + 1):
       x = ViTBlock(
           cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+          quantized=self.quantized, act_quant=self.act_quant,
+          use_flash_attention=self.use_flash_attention,
           name=f"block{i}",
       )(x)
 
@@ -261,6 +289,9 @@ class DinoSigLIPEncoder(nn.Module):
   siglip_config: ViTConfig = SIGLIP_SO400M_384
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.float32
+  quantized: bool = False
+  act_quant: bool = False
+  use_flash_attention: bool | None = None
 
   @nn.compact
   def __call__(self, pixels: at.ImagePixels) -> at.Image:
@@ -268,14 +299,14 @@ class DinoSigLIPEncoder(nn.Module):
     size = self.dino_config.image_size
     dino_in = preprocess(pixels, DINO_MEAN, DINO_STD, size)
     siglip_in = preprocess(pixels, SIGLIP_MEAN, SIGLIP_STD, size)
-    dino_out = VisionTransformer(
-        self.dino_config, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="dino",
-    )(dino_in)
-    siglip_out = VisionTransformer(
-        self.siglip_config, dtype=self.dtype, param_dtype=self.param_dtype,
-        name="siglip",
-    )(siglip_in)
+    tower = lambda cfg, name: VisionTransformer(
+        cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+        quantized=self.quantized, act_quant=self.act_quant,
+        use_flash_attention=self.use_flash_attention,
+        name=name,
+    )
+    dino_out = tower(self.dino_config, "dino")(dino_in)
+    siglip_out = tower(self.siglip_config, "siglip")(siglip_in)
     return jnp.concatenate([dino_out, siglip_out], axis=-1)
 
   @property

@@ -620,6 +620,180 @@ def _flash_window_backward(
   return dq, dk, dv
 
 
+def _mha_kernel(
+    q_ref,       # [1, 1, bq, h]
+    k_ref,       # [1, 1, bk, h]
+    v_ref,       # [1, 1, bk, h]
+    o_ref,       # [1, 1, bq, h]
+    m_scr,       # [bq, 1] f32 running max
+    l_scr,       # [bq, 1] f32 running normalizer
+    acc_scr,     # [bq, h] f32 accumulator
+    *,
+    scale: float,
+    kv_len: int,
+    num_kv_steps: int,
+    out_dtype,
+):
+  """Bidirectional multi-head flash attention (ViT towers).
+
+  Much simpler than the windowed Griffin kernel: every key is visible to
+  every query except right-padding (``kp >= kv_len``), so the only mask is
+  one iota compare per tile. KV is per-head (full MHA, not MQA).
+  """
+  kv_step = pl.program_id(3)
+  k_start = kv_step * _BLOCK_K
+
+  @pl.when(kv_step == 0)
+  def _init():
+    m_scr[...] = jnp.full_like(m_scr, _MIN_LOGITS_VALUE)
+    l_scr[...] = jnp.zeros_like(l_scr)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+  q = q_ref[0, 0]
+  k = k_ref[0, 0]
+  v = v_ref[0, 0]
+
+  logits = jax.lax.dot_general(
+      q, k, (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ) * scale
+  kp_row = k_start + jax.lax.broadcasted_iota(
+      jnp.int32, (_BLOCK_Q, _BLOCK_K), 1
+  )
+  mask = kp_row < kv_len
+  logits = jnp.where(mask, logits, _MIN_LOGITS_VALUE)
+
+  m_prev = m_scr[...]
+  m_cur = jnp.max(logits, axis=1, keepdims=True)
+  m_new = jnp.maximum(m_prev, m_cur)
+  m_safe = jnp.where(m_new <= _MIN_LOGITS_VALUE / 2, 0.0, m_new)
+  p = jnp.exp(logits - m_safe)
+  p = jnp.where(mask, p, 0.0)
+  correction = jnp.where(
+      m_prev <= _MIN_LOGITS_VALUE / 2, 0.0, jnp.exp(m_prev - m_safe)
+  )
+  m_scr[...] = m_new
+  l_scr[...] = l_scr[...] * correction + jnp.sum(p, axis=1, keepdims=True)
+  acc_scr[...] = acc_scr[...] * correction + jax.lax.dot_general(
+      p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )
+
+  @pl.when(kv_step == num_kv_steps - 1)
+  def _finalize():
+    l = l_scr[...]
+    l = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
+
+
+def _flash_mha_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+  """[b, t, n, h] q/k/v → [b, t, n, h] full bidirectional attention."""
+  batch, seq_len, num_heads, head_dim = q.shape
+  out_dtype = q.dtype
+  scale = head_dim**-0.5
+
+  t_pad = _round_up(seq_len, max(_BLOCK_Q, _BLOCK_K))
+  pad_t = t_pad - seq_len
+  h_pad = _round_up(head_dim, 128) - head_dim
+  if pad_t or h_pad:
+    pad = ((0, 0), (0, pad_t), (0, 0), (0, h_pad))
+    q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+  hd = q.shape[-1]
+
+  qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
+  kh = jnp.transpose(k, (0, 2, 1, 3))
+  vh = jnp.transpose(v, (0, 2, 1, 3))
+  num_kv_steps = t_pad // _BLOCK_K
+  grid = (batch, num_heads, t_pad // _BLOCK_Q, num_kv_steps)
+
+  out = pl.pallas_call(
+      functools.partial(
+          _mha_kernel,
+          scale=scale,
+          kv_len=seq_len,
+          num_kv_steps=num_kv_steps,
+          out_dtype=out_dtype,
+      ),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((1, 1, _BLOCK_Q, hd),
+                       lambda b, n, i, j: (b, n, i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, n, j, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 1, _BLOCK_K, hd),
+                       lambda b, n, i, j: (b, n, j, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec(
+          (1, 1, _BLOCK_Q, hd), lambda b, n, i, j: (b, n, i, 0),
+          memory_space=pltpu.VMEM,
+      ),
+      out_shape=jax.ShapeDtypeStruct(
+          (batch, num_heads, t_pad, hd), out_dtype
+      ),
+      scratch_shapes=[
+          pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
+          pltpu.VMEM((_BLOCK_Q, 1), jnp.float32),
+          pltpu.VMEM((_BLOCK_Q, hd), jnp.float32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary",
+                               "arbitrary"),
+      ),
+  )(qh, kh, vh)
+
+  out = jnp.transpose(out, (0, 2, 1, 3))
+  return out[:, :seq_len, :, :head_dim]
+
+
+def _reference_mha(q, k, v):
+  """Einsum formulation (identical to the ViT block's XLA path)."""
+  head_dim = q.shape[-1]
+  logits = jnp.einsum(
+      "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
+  ) * (head_dim**-0.5)
+  probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+  return jnp.einsum("bnqk,bknh->bqnh", probs, v)
+
+
+@jax.custom_vjp
+def flash_mha_attention(q: jax.Array, k: jax.Array, v: jax.Array):
+  """Bidirectional full-MHA flash attention for the vision towers.
+
+  Streams KV tiles through VMEM with an online softmax, never
+  materializing the [b, n, t, t] fp32 logits the einsum path round-trips
+  through HBM (~34 MB/block at 729 tokens — the dominant non-matmul cost
+  of the ViT forward, SURVEY §7 hard part 5). Forward is Pallas; the
+  backward recomputes through the einsum formulation (the towers are
+  frozen in the reference training recipe, dino_siglip.py:69-79, so the
+  gradient path is cold).
+
+  Args:
+    q, k, v: [b, t, n, h] per-head queries/keys/values. Every key attends
+      to every query (no causal mask); tile-alignment padding is added and
+      masked internally, so any ``t`` works.
+
+  Returns:
+    [b, t, n, h] attention outputs in ``q.dtype``.
+  """
+  return _flash_mha_forward(q, k, v)
+
+
+def _mha_fwd(q, k, v):
+  return _flash_mha_forward(q, k, v), (q, k, v)
+
+
+def _mha_bwd(residuals, g):
+  q, k, v = residuals
+  _, vjp = jax.vjp(_reference_mha, q, k, v)
+  return vjp(g)
+
+
+flash_mha_attention.defvjp(_mha_fwd, _mha_bwd)
+
+
 def _reference_attention(q, k, v, segment_pos, window):
   """The einsum formulation (identical to models/modules.py) — used for
   the backward pass and as the numerical oracle in tests."""

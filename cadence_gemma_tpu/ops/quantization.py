@@ -75,6 +75,21 @@ def dequantize_tensor(
   return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
+def quantize_activations(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+  """Dynamic symmetric per-row int8 activation quantization.
+
+  Returns ``(q, scale)`` with ``q`` int8 of ``x``'s shape and ``scale``
+  float32 of shape ``x.shape[:-1] + (1,)`` such that ``q * scale ≈ x``.
+  Used by ``act_quant`` layers to feed the MXU's native int8 path; the
+  absmax/round pass is pure VPU work that XLA fuses with the producer.
+  """
+  x32 = x.astype(jnp.float32)
+  absmax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+  scale = jnp.maximum(absmax, 1e-12) / 127.0
+  q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+  return q, scale
+
+
 def quantize_params(params: Any) -> Any:
   """Quantizes all heavy matmul weights of a Griffin parameter tree.
 

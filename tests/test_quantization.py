@@ -121,3 +121,79 @@ class TestQuantizedModel:
     bf16_bytes = quantization.quantized_bytes(bf16)
     q_bytes = quantization.quantized_bytes(qparams)
     assert q_bytes < 0.7 * bf16_bytes
+
+
+class TestActQuantModel:
+  """int8-activation (MXU int8 x int8) prefill mode."""
+
+  def test_act_quant_logits_close_to_weight_only(self, setup):
+    config, model, _, params, qparams = setup
+    aqmodel = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, quantized=True, act_quant=True,
+    )
+    tokens = jnp.arange(12).reshape(2, 6) % config.vocab_size
+    pos = jnp.tile(jnp.arange(6)[None], (2, 1))
+    ref, _ = model.apply(
+        {"params": params}, tokens, pos, return_cache=False
+    )
+    aq, _ = aqmodel.apply(
+        {"params": qparams}, tokens, pos, return_cache=False
+    )
+    assert aq.shape == ref.shape
+    # Logits are tanh-capped to (-30, 30); per-row int8 activations add a
+    # little error on top of the weight-only path but stay close.
+    err = np.abs(np.asarray(aq) - np.asarray(ref)).max()
+    assert err < 1.5, err
+
+  def test_act_quant_adds_no_params(self, setup):
+    config, _, qmodel, _, qparams = setup
+    aqmodel = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, quantized=True, act_quant=True,
+    )
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    a = jax.eval_shape(
+        lambda: aqmodel.init(jax.random.PRNGKey(0), tokens,
+                             jnp.arange(4)[None])
+    )
+    b = jax.eval_shape(
+        lambda: qmodel.init(jax.random.PRNGKey(0), tokens,
+                            jnp.arange(4)[None])
+    )
+    assert jax.tree_util.tree_structure(a) == jax.tree_util.tree_structure(b)
+    # Same param tree: the quantized checkpoint serves both modes; the
+    # act_quant forward runs on the exact qparams fixture.
+    aqmodel.apply({"params": qparams}, tokens, jnp.arange(4)[None],
+                  return_cache=False)
+
+
+class TestPrefillActQuantSampler:
+
+  def test_sampler_runs_and_close_to_weight_only(self, setup):
+    config, _, qmodel, _, qparams = setup
+    vocab = SimpleVocab(["hello", "world", "test"])
+    base = sampler_lib.Sampler(
+        qmodel, vocab, qparams, jit_compile=False,
+        bucket_prompt_lengths=False,
+    )
+    aq = sampler_lib.Sampler(
+        qmodel, vocab, qparams, jit_compile=False,
+        bucket_prompt_lengths=False, prefill_act_quant=True,
+    )
+    out_base = base(["hello world test"], total_generation_steps=4,
+                    return_logits=True)
+    out_aq = aq(["hello world test"], total_generation_steps=4,
+                return_logits=True)
+    assert len(out_aq.tokens[0]) == len(out_base.tokens[0])
+    # The act_quant prefill perturbs the first-token logits only slightly.
+    a = np.asarray(out_aq.logits[0][0], np.float32)
+    b = np.asarray(out_base.logits[0][0], np.float32)
+    assert np.abs(a - b).max() < 1.5
+
+  def test_requires_quantized_model(self, setup):
+    config, model, _, params, _ = setup
+    with pytest.raises(ValueError, match="prefill_act_quant"):
+      sampler_lib.Sampler(
+          model, SimpleVocab(["a"]), params, prefill_act_quant=True,
+      )

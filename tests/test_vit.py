@@ -184,3 +184,46 @@ class TestTimmConversion:
     flax_style = x @ np.asarray(params["block0"]["attn_qkv"]["kernel"]) + (
         np.asarray(params["block0"]["attn_qkv"]["bias"]))
     np.testing.assert_allclose(torch_style, flax_style, atol=1e-5)
+
+
+class TestQuantizedViT:
+  """int8 weight-only + int8-activation tower variants vs the fp tower."""
+
+  def _tower_and_params(self):
+    from cadence_gemma_tpu.ops import quantization
+
+    cfg = tiny_cfg(num_prefix_tokens=2, use_layer_scale=True)
+    model = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32
+    )
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16, 16))
+    params = model.init(jax.random.PRNGKey(1), pixels)["params"]
+    qparams = quantization.quantize_params(params)
+    return cfg, pixels, params, qparams
+
+  def test_quantize_params_maps_vit_tree(self):
+    cfg, _, params, qparams = self._tower_and_params()
+    blk = qparams["block0"]
+    for mod in ("attn_qkv", "attn_proj", "mlp_fc1", "mlp_fc2"):
+      assert "kernel_q" in blk[mod] and "kernel_scale" in blk[mod]
+      assert blk[mod]["kernel_q"].dtype == jnp.int8
+      assert "bias" in blk[mod]
+    # Norms, LayerScale, pos embed, and the 4-D patch conv stay untouched.
+    assert "kernel" in qparams["patch_embed"]
+    assert "ls1" in blk and "scale" in blk["norm1"]
+    assert "pos_embed" in qparams and "prefix_tokens" in qparams
+
+  @pytest.mark.parametrize("act_quant", [False, True])
+  def test_quantized_tower_close_to_fp(self, act_quant):
+    cfg, pixels, params, qparams = self._tower_and_params()
+    fp = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32
+    ).apply({"params": params}, pixels)
+    q = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+        quantized=True, act_quant=act_quant,
+    ).apply({"params": qparams}, pixels)
+    assert q.shape == fp.shape
+    denom = np.abs(np.asarray(fp)).max()
+    err = np.abs(np.asarray(q) - np.asarray(fp)).max() / denom
+    assert err < (0.05 if act_quant else 0.02), err

@@ -109,6 +109,27 @@ def check_flash_attention(t=1024, window=256, heads=2, head_dim=128):
   return ok, max(errs)
 
 
+def check_flash_mha(t=729, heads=16, head_dim=72):
+  """Bidirectional MHA kernel (ViT towers) vs the einsum reference.
+
+  729 tokens / head_dim 72 are the real SigLIP shapes — non-multiples of
+  the 128 tiles, so internal padding + key masking are exercised.
+  """
+  from cadence_gemma_tpu.ops import pallas_attention as fa
+
+  key = jax.random.PRNGKey(5)
+  shape = (1, t, heads, head_dim)
+  q = jax.random.normal(key, shape, jnp.float32)
+  k = jax.random.normal(jax.random.fold_in(key, 1), shape, jnp.float32)
+  v = jax.random.normal(jax.random.fold_in(key, 2), shape, jnp.float32)
+
+  with jax.default_matmul_precision("float32"):
+    out_k = _get(jax.jit(fa.flash_mha_attention)(q, k, v))
+    out_n = _get(jax.jit(fa._reference_mha)(q, k, v))
+  err = np.abs(out_k - out_n).max()
+  return err < 5e-4, err
+
+
 def run() -> dict:
   """Runs all checks; returns {'kernel_numerics_ok': bool, ...details}."""
   results = {}
@@ -116,6 +137,7 @@ def run() -> dict:
       ("lru_fp32", lambda: check_lru(jnp.float32)),
       ("lru_bf16", lambda: check_lru(jnp.bfloat16)),
       ("flash_attention", check_flash_attention),
+      ("flash_mha", check_flash_mha),
   ]
   all_ok = True
   for name, fn in checks:
