@@ -56,6 +56,9 @@ class SamplingState(Generic[Cache]):
     cache: Per-layer model cache.
     done: Per-sequence EOS flags.
     logits_buffer: Optional logits accumulator, [b, steps, vocab].
+    gen_start: First buffer index holding a GENERATED token (0 without
+      echo, the prompt length with echo). Keeps the repetition-penalty
+      scope generated-only regardless of the echo output format.
   """
 
   tokens_buffer: jt.Integer[jt.Array, "*b l"]
@@ -66,6 +69,7 @@ class SamplingState(Generic[Cache]):
   cache: Cache
   done: jt.Bool[jt.Array, "*b"]
   logits_buffer: jt.Float[jt.Array, "*b l v"] | None = None
+  gen_start: jt.Integer[jt.Array, ""] | int = 0
 
 
 @struct.dataclass
@@ -396,9 +400,11 @@ class Sampler(Generic[Cache]):
     """HF-style repetition penalty over the tokens emitted so far.
 
     ``seen`` is one boolean scatter of the buffer positions flagged in
-    ``written``; with ``echo`` the buffer starts with the prompt, so the
-    prompt counts as seen there (matching HF, which penalizes the full
-    input_ids). The continuous batcher reuses this with its per-slot
+    ``written`` — the decode loop flags [gen_start, step], i.e. generated
+    tokens only, so one sampler config yields one token stream regardless
+    of the ``echo`` output-format flag (HF penalizes the prompt too; we
+    deliberately match the batcher's generated-only semantics instead —
+    one fixed scope). The continuous batcher reuses this with its per-slot
     write_idx mask.
     """
     p = self.repetition_penalty
@@ -436,8 +442,12 @@ class Sampler(Generic[Cache]):
     )
     step_logits = logits[:, 0]
     if self.repetition_penalty != 1.0:
+      # Generated tokens only — the scope is independent of ``echo`` (the
+      # echoed prompt occupies [0, gen_start) of the buffer and is not
+      # penalized, matching the echo=False behavior and the batcher's).
+      idx = jnp.arange(state.tokens_buffer.shape[1])[None]
       written = jnp.broadcast_to(
-          jnp.arange(state.tokens_buffer.shape[1])[None] <= state.step,
+          (idx >= state.gen_start) & (idx <= state.step),
           state.tokens_buffer.shape,
       )
       step_logits = self._apply_repetition_penalty(
@@ -464,6 +474,7 @@ class Sampler(Generic[Cache]):
         cache=cache,
         done=state.done | done_now,
         logits_buffer=logits_buffer,
+        gen_start=state.gen_start,
     )
 
   def _sample_fn(
@@ -664,6 +675,7 @@ class Sampler(Generic[Cache]):
         cache=cache,
         done=jnp.zeros((batch_size,), dtype=jnp.bool_),
         logits_buffer=logits_buffer,
+        gen_start=step,
     )
 
   # -- prefix caching ---------------------------------------------------------
@@ -698,14 +710,40 @@ class Sampler(Generic[Cache]):
     else:
       ids = self.tokenize(prefix)
     tokens = jnp.tile(ids[None], (batch_size, 1))
-    positions = jnp.tile(
-        jnp.arange(tokens.shape[1], dtype=jnp.int32)[None], (batch_size, 1)
-    )
+    real_len = int(tokens.shape[1])
     cache = self.model.init_cache(batch_size, self.dtype)
-    _, cache = self._compiled_chunk_fn(
-        self.params, tokens, positions, cache, False
-    )
-    return PrefixState(cache=cache, length=int(tokens.shape[1]))
+    chunk = self.prefill_chunk_size
+    if chunk is not None and real_len > chunk:
+      # Same chunking as __call__: left-pad to a chunk multiple (padded
+      # positions carry the -1 sentinel) and stream fixed-size chunks
+      # through the O(1) cache, bounding a very long system prompt's
+      # activation memory like any other long prompt.
+      extra = -real_len % chunk
+      if extra:
+        tokens = jnp.pad(
+            tokens, ((0, 0), (extra, 0)),
+            constant_values=self.vocab.pad_id(),
+        )
+      positions = jnp.maximum(
+          jnp.arange(tokens.shape[1], dtype=jnp.int32)[None] - extra, -1
+      )
+      positions = jnp.tile(positions, (batch_size, 1))
+      for start in range(0, tokens.shape[1], chunk):
+        _, cache = self._compiled_chunk_fn(
+            self.params,
+            tokens[:, start : start + chunk],
+            positions[:, start : start + chunk],
+            cache,
+            False,
+        )
+    else:
+      positions = jnp.tile(
+          jnp.arange(real_len, dtype=jnp.int32)[None], (batch_size, 1)
+      )
+      _, cache = self._compiled_chunk_fn(
+          self.params, tokens, positions, cache, False
+      )
+    return PrefixState(cache=cache, length=real_len)
 
   def _continue_from_prefix(
       self, prefix_state: PrefixState, batch_size: int
@@ -922,8 +960,32 @@ class Sampler(Generic[Cache]):
     """
     if self._is_it_model:
       if prefix_state.pending_token is not None:
+        # If the previous turn already EMITTED the stop/<end_of_turn>
+        # token (the recommended chat setup stops there), that pending
+        # token closes the model turn in-band — prepending IT_TURN_CLOSE
+        # again would put a double <end_of_turn> in the stream. Only the
+        # newline that follows it in the canonical template is added.
+        # Mixed batches (some rows stopped, some budget-truncated) would
+        # need per-row templates of different lengths; reject them.
+        import numpy as np
+
+        pending = np.asarray(
+            jax.device_get(prefix_state.pending_token)
+        ).reshape(-1)
+        stop_ids = np.asarray(self._stop_ids)
+        closed = np.isin(pending, stop_ids)
+        if closed.all():
+          turn_close = "\n"
+        elif closed.any():
+          raise ValueError(
+              "Mixed conversational batch: some rows ended on a stop "
+              "token and some were budget-truncated; their continuation "
+              "templates differ in length. Split the batch."
+          )
+        else:
+          turn_close = common.IT_TURN_CLOSE
         input_strings = [
-            common.IT_TURN_CLOSE + common.apply_it_formatter(s)
+            turn_close + common.apply_it_formatter(s)
             for s in input_strings
         ]
       else:

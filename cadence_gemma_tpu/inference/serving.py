@@ -10,10 +10,20 @@ byte budget regardless of how long its sequence runs.
 
 Design (static shapes throughout, host orchestrates, device computes):
   * A :class:`ContinuousBatcher` owns ``num_slots`` cache rows. Admission
-    prefills ONE prompt (batch-1 jitted program, prompt-length bucketing
-    bounds compiles) and scatters its cache row / position / first token
-    into the slot — one jitted ``dynamic_update_index_in_dim`` over the
-    state tree.
+    QUEUES the prompt host-side; its prefill (one batch-1 jitted program
+    per chunk, prompt-length bucketing bounds compiles) runs at the start
+    of subsequent ``step`` ticks and the result scatters into the slot —
+    one jitted ``dynamic_update_index_in_dim`` over the state tree. With
+    ``prefill_chunk_size`` set on the sampler, admission prefill is
+    chunked, and ``admission_chunks_per_tick`` bounds how much prefill
+    work any one tick performs — so a long newcomer prompt stalls the
+    running slots' decode by at most one chunk per tick instead of its
+    whole prefill (and its activation memory is bounded by the chunk).
+  * Admission can continue from a :class:`~sampler.PrefixState` (a shared
+    system prompt prefilled ONCE via ``Sampler.prefill_prefix``): the
+    prefix cache broadcasts into the slot and only the per-request
+    continuation tokens prefill — the prefix cost leaves every request's
+    admission entirely (the solo sampler's prefix semantics, in-batch).
   * ``step(n)`` advances ALL slots ``n`` decode steps as one jitted
     ``lax.fori_loop``: rows feed their own last token at their own
     position; finished/empty rows still compute (no data-dependent
@@ -21,7 +31,10 @@ Design (static shapes throughout, host orchestrates, device computes):
     masked. Their cache rows take garbage — harmless, because admission
     overwrites the whole row.
   * ``pop_finished()`` returns completed requests (EOS or per-request
-    step budget) and frees their slots.
+    step budget) and frees their slots. For incremental consumption, a
+    ``stream_callback`` receives each request's newly decoded tokens
+    after every tick (one fused host fetch per tick, amortized over the
+    tick's ``n`` decode steps).
 
 Correctness bar (tested): a request's tokens are bit-identical to a solo
 ``Sampler.__call__`` run no matter when it joins, how many neighbors it
@@ -52,6 +65,28 @@ class _Request:
   slot: int
   max_steps: int
   prompt: str
+  started: bool = False   # prefill inserted into the slot yet?
+  emitted: int = 0        # tokens already delivered via stream_callback
+
+
+@dataclasses.dataclass
+class _Pending:
+  """A queued admission: prefill work that future ticks will perform.
+
+  ``chunks`` is a list of (tokens, positions) slices still to be fed
+  through the cache-only chunk program; the final element runs through the
+  full prompt-processing program (which also samples the first token) and
+  then scatters into the slot.
+  """
+
+  request: _Request
+  chunks: list[tuple[jax.Array, jax.Array]]
+  input_length: int
+  cache: Any          # running prefill cache (None until first chunk)
+  start: jax.Array | None  # per-row start positions for the final chunk
+  rng: Any
+  prompt_tokens: jax.Array | None   # speculative history seed
+  prompt_length: Any
 
 
 class ContinuousBatcher:
@@ -71,9 +106,11 @@ class ContinuousBatcher:
       (continuous batching × speculation): every ``step`` is one
       ``draft_len + 1``-token verify pass per slot via
       :func:`speculative.prompt_lookup_spec_step`, so each slot can emit
-      several tokens per weights read. Greedy samplers only; tokens match
-      solo plain-greedy runs (exactly up to cross-program fma numerics —
-      a near-tie argmax can flip, see speculative.py).
+      several tokens per weights read. Greedy samplers match solo
+      plain-greedy runs (exactly up to cross-program fma numerics — a
+      near-tie argmax can flip, see speculative.py); categorical
+      samplers use stochastic speculative sampling per slot, which is
+      distribution-equal (not stream-equal) to plain categorical.
     ngram: Longest-suffix lookup window for speculative drafting.
   """
 
@@ -84,17 +121,39 @@ class ContinuousBatcher:
       max_steps_default: int = 256,
       draft_len: int = 0,
       ngram: int = 4,
+      stream_callback: Any | None = None,
+      admission_chunks_per_tick: int | None = None,
   ):
+    """See the class docstring.
+
+    Args:
+      sampler: (documented on the class).
+      num_slots: (documented on the class).
+      max_steps_default: (documented on the class).
+      draft_len / ngram: (documented on the class).
+      stream_callback: Optional ``f(request_id, new_token_ids, done)``
+        called after every tick with the tokens each live request emitted
+        since the last call (and once more with ``done=True`` from
+        ``pop_finished``). Costs one fused host fetch per tick.
+      admission_chunks_per_tick: Bound on how many admission-prefill
+        programs one ``step`` tick runs before decoding (None = drain all
+        pending admissions). With the sampler's ``prefill_chunk_size``
+        set, this caps the decode stall any newcomer can inflict on
+        running requests at one chunk's prefill time per tick.
+    """
     self.sampler = sampler
     self.num_slots = num_slots
     self.max_steps_default = max_steps_default
     self.draft_len = draft_len
     self.ngram = ngram
+    self.stream_callback = stream_callback
+    if admission_chunks_per_tick is not None and admission_chunks_per_tick < 1:
+      raise ValueError(
+          f"admission_chunks_per_tick must be >= 1 or None (got "
+          f"{admission_chunks_per_tick})."
+      )
+    self.admission_chunks_per_tick = admission_chunks_per_tick
     if draft_len:
-      if not sampler.deterministic_sampling:
-        raise ValueError(
-            "Speculative decoding in the batcher requires greedy sampling."
-        )
       if sampler.repetition_penalty != 1.0:
         raise ValueError(
             "Speculative decoding does not support repetition_penalty "
@@ -106,16 +165,8 @@ class ContinuousBatcher:
             f"draft_len + 1 ({draft_len + 1}) exceeds the attention "
             f"window ({window})."
         )
-    if sampler.prefill_chunk_size is not None:
-      import warnings
-
-      warnings.warn(
-          "ContinuousBatcher admission prefills single-shot; the "
-          "sampler's prefill_chunk_size is not applied to admitted "
-          "prompts (long-prompt activation memory is unbounded here).",
-          stacklevel=2,
-      )
     self._requests: dict[int, _Request] = {}  # slot -> request
+    self._pending: list[_Pending] = []        # FIFO admission queue
     self._next_id = 0
     self._buffer_len = sampler_lib._next_bucket(max_steps_default)
     self._hist_len = sampler_lib._next_bucket(self._buffer_len + 64)
@@ -221,6 +272,8 @@ class ContinuousBatcher:
     """Advances every slot ``n`` decode (or verify) steps in one program."""
     if self.draft_len:
 
+      categorical = not self.sampler.deterministic_sampling
+
       def spec_body(_, s):
         live = s["active"] & ~s["done"]
         st = dict(
@@ -234,10 +287,19 @@ class ContinuousBatcher:
             write_idx=s["write_idx"],
             budget=s["budget"],
         )
+        if categorical:
+          # Stochastic speculative sampling per slot: each slot's chain
+          # advances on its own live steps only. Distribution-equal to
+          # plain categorical serving (not stream-equal — acceptance
+          # consumes randomness differently than one-draw-per-token).
+          st["rng"] = s["rng"]
         st = speculative.prompt_lookup_spec_step(
             self.sampler.model, params, st,
             draft_len=self.draft_len, ngram=self.ngram,
             stop_ids=self.sampler._stop_ids,
+            logits_filter=(
+                self.sampler._filter_logits if categorical else None
+            ),
         )
         eos_hit = st.pop("eos_hit")
         return {
@@ -248,6 +310,7 @@ class ContinuousBatcher:
             "cur_len": st["cur_len"],
             "out": st["out"],
             "write_idx": st["write_idx"],
+            "rng": st.get("rng", s["rng"]),
             "done": s["done"]
             | eos_hit
             | (live & (st["write_idx"] >= s["budget"])),
@@ -330,15 +393,27 @@ class ContinuousBatcher:
     return len(self._requests) < self.num_slots
 
   def add_request(
-      self, prompt: str, max_steps: int | None = None, rng=None
+      self,
+      prompt: str,
+      max_steps: int | None = None,
+      rng=None,
+      prefix_state: sampler_lib.PrefixState | None = None,
   ) -> int:
-    """Admits a prompt into a free slot; returns a request id.
+    """Queues a prompt for admission into a free slot; returns a request id.
 
-    The new request's prefill runs now (one batch-1 program); it starts
-    decoding on the next :meth:`step` alongside whatever is already
-    running. ``rng`` seeds the request's own sampling chain (required for
-    a categorical sampler; its tokens are then reproducible independent
-    of batch composition).
+    Host-side only: tokenization happens here, the prefill programs run at
+    the start of subsequent :meth:`step` ticks (chunked when the sampler
+    has ``prefill_chunk_size``; ``admission_chunks_per_tick`` bounds the
+    per-tick work). The request starts decoding on the tick after its
+    prefill completes. ``rng`` seeds the request's own sampling chain
+    (required for a categorical sampler; its tokens are then reproducible
+    independent of batch composition).
+
+    ``prefix_state`` continues from cached context (a shared system
+    prompt from ``Sampler.prefill_prefix``, or a prior conversational
+    state): the prefix cache broadcasts into the slot and only the
+    continuation tokens prefill, exactly like the solo sampler's
+    ``prefix_state=`` path (IT turn templating included).
     """
     if not self.has_capacity:
       raise RuntimeError(
@@ -356,55 +431,169 @@ class ContinuousBatcher:
         i for i in range(self.num_slots) if i not in self._requests
     )
     s = self.sampler
-    ids = s.tokenize(prompt)
-    tokens = s._get_padded_tokens([ids])
-    prompt_tokens = prompt_length = None
-    if self.draft_len:
-      # The prefill program donates `tokens`; keep a copy to seed the
-      # slot's drafting history.
-      prompt_tokens = jnp.array(tokens, copy=True)
-      prompt_length = jnp.int32(len(ids))
+    chunk = s.prefill_chunk_size
+
+    if prefix_state is not None:
+      # Continuation admission: no padding (pads after real prefix content
+      # would corrupt the caches); chunk boundaries fall on real tokens
+      # and the (variable-length) remainder is the final chunk.
+      tokens, cache, start_arr = s.encode_continuation([prompt], prefix_state)
+      length = int(tokens.shape[1])
+      positions = start_arr[:, None] + jnp.arange(length, dtype=jnp.int32)
+      n_mid = (length - 1) // chunk if chunk is not None else 0
+      chunks = [
+          (tokens[:, i * chunk : (i + 1) * chunk],
+           positions[:, i * chunk : (i + 1) * chunk])
+          for i in range(n_mid)
+      ]
+      mid_len = n_mid * chunk if n_mid else 0
+      chunks.append((tokens[:, mid_len:], None))
+      start = (start_arr + mid_len).astype(jnp.int32)
+      input_length = length
+      prompt_tokens = (
+          jnp.array(tokens, copy=True) if self.draft_len else None
+      )
+      prompt_length = jnp.int32(length) if self.draft_len else None
+    else:
+      ids = s.tokenize(prompt)
+      tokens = s._get_padded_tokens([ids])
+      input_length = len(ids)
+      total_len = int(tokens.shape[1])
+      if chunk is not None and total_len > chunk:
+        # Same scheme as Sampler.__call__'s chunked path: left-pad to a
+        # chunk multiple (-1 position sentinel), stream cache-only chunks,
+        # finish with the sampling prefill continuing from `start`.
+        extra = -total_len % chunk
+        if extra:
+          tokens = jnp.pad(
+              tokens, ((0, 0), (extra, 0)),
+              constant_values=s.vocab.pad_id(),
+          )
+          total_len += extra
+        positions = jnp.maximum(
+            jnp.arange(total_len, dtype=jnp.int32)[None]
+            - total_len + input_length,
+            -1,
+        )
+        num_chunks = total_len // chunk
+        chunks = [
+            (tokens[:, i * chunk : (i + 1) * chunk],
+             positions[:, i * chunk : (i + 1) * chunk])
+            for i in range(num_chunks - 1)
+        ]
+        chunks.append((tokens[:, -chunk:], None))
+        start = jnp.asarray(
+            [(num_chunks - 1) * chunk - total_len + input_length], jnp.int32
+        )
+        cache = s.model.init_cache(1, s.dtype)
+      else:
+        chunks = [(tokens, None)]
+        start = None
+        cache = None
+      prompt_tokens = (
+          jnp.array(tokens, copy=True) if self.draft_len else None
+      )
+      prompt_length = jnp.int32(input_length) if self.draft_len else None
+
     if rng is not None:
       # The prefill program donates its rng argument; keep the caller's
       # key alive (reproducibility tests reuse one key across batchers).
       rng = jnp.array(rng, copy=True)
+    request_id = self._next_id
+    self._next_id += 1
+    req = _Request(
+        request_id=request_id, slot=slot, max_steps=max_steps,
+        prompt=prompt,
+    )
+    self._requests[slot] = req
+    self._pending.append(_Pending(
+        request=req, chunks=chunks, input_length=input_length,
+        cache=cache, start=start, rng=rng,
+        prompt_tokens=prompt_tokens, prompt_length=prompt_length,
+    ))
+    return request_id
+
+  def _finish_admission(self, p: _Pending) -> None:
+    """Runs a pending request's final prefill chunk and fills its slot."""
+    s = self.sampler
+    final_tokens, _ = p.chunks.pop(0)
     prefill = s.prompt_processing_fn(
         s.params,
-        tokens,
-        rng,
-        jnp.asarray([len(ids)]),
+        final_tokens,
+        p.rng,
+        jnp.asarray([p.input_length]),
         1,  # buffers here only seed the first token; ours are per-slot
         False,
         False,
         None,
+        p.cache,
+        p.start,
     )
     grow_to = None
-    need = sampler_lib._next_bucket(max_steps)
+    need = sampler_lib._next_bucket(p.request.max_steps)
     if need > self._buffer_len:
       self._buffer_len = grow_to = need
     grow_hist_to = None
     if self.draft_len:
       hist_need = sampler_lib._next_bucket(
-          prompt_tokens.shape[1] + max(need, self._buffer_len) + 1
+          p.prompt_tokens.shape[1] + max(need, self._buffer_len) + 1
       )
       if hist_need > self._hist_len:
         self._hist_len = grow_hist_to = hist_need
     self._state = self._insert_fn(
-        self._state, prefill, slot, jnp.int32(max_steps), grow_to,
-        prompt_tokens, prompt_length, grow_hist_to,
+        self._state, prefill, p.request.slot,
+        jnp.int32(p.request.max_steps), grow_to,
+        p.prompt_tokens, p.prompt_length, grow_hist_to,
     )
-    request_id = self._next_id
-    self._next_id += 1
-    self._requests[slot] = _Request(
-        request_id=request_id, slot=slot, max_steps=max_steps,
-        prompt=prompt,
+    p.request.started = True
+
+  def _drain_admissions(self) -> None:
+    """Runs up to ``admission_chunks_per_tick`` prefill programs (FIFO)."""
+    budget = self.admission_chunks_per_tick
+    s = self.sampler
+    while self._pending and (budget is None or budget > 0):
+      p = self._pending[0]
+      while len(p.chunks) > 1 and (budget is None or budget > 0):
+        tokens_c, pos_c = p.chunks.pop(0)
+        _, p.cache = s._compiled_chunk_fn(
+            s.params, tokens_c, pos_c, p.cache, False
+        )
+        if budget is not None:
+          budget -= 1
+      if len(p.chunks) == 1 and (budget is None or budget > 0):
+        self._finish_admission(p)
+        self._pending.pop(0)
+        if budget is not None:
+          budget -= 1
+      else:
+        return
+
+  def _stream(self) -> None:
+    """Delivers newly decoded tokens to the stream callback (one fetch)."""
+    if self.stream_callback is None:
+      return
+    live = [r for r in self._requests.values() if r.started]
+    if not live:
+      return
+    out, write_idx = jax.device_get(
+        (self._state["out"], self._state["write_idx"])
     )
-    return request_id
+    for r in live:
+      upto = int(write_idx[r.slot])
+      if upto > r.emitted:
+        self.stream_callback(
+            r.request_id, out[r.slot, r.emitted : upto].tolist(), False
+        )
+        r.emitted = upto
 
   def step(self, n: int = 8) -> None:
-    """Advances all running requests ``n`` decode steps (one program)."""
-    if self._requests:
+    """One tick: admission prefill work, then ``n`` decode steps, then
+    streaming delivery. All device work; the only host fetch is the
+    optional streaming one."""
+    self._drain_admissions()
+    if any(r.started for r in self._requests.values()):
       self._state = self._step_fn(self.sampler.params, self._state, n)
+    self._stream()
 
   def pop_finished(self) -> list[tuple[int, list[int], str]]:
     """Returns ``(request_id, token_ids, text)`` for each completed
@@ -416,11 +605,17 @@ class ContinuousBatcher:
     out = None
     finished = []
     for slot, req in list(self._requests.items()):
-      if not done[slot]:
+      # A freshly reserved slot may still carry the previous occupant's
+      # done flag until its prefill inserts; skip unstarted requests.
+      if not req.started or not done[slot]:
         continue
       if out is None:
         out = jax.device_get(self._state["out"])
       tokens = out[slot, : int(write_idx[slot])].tolist()
+      if self.stream_callback is not None:
+        self.stream_callback(
+            req.request_id, tokens[req.emitted :], True
+        )
       finished.append(
           (req.request_id, tokens, self.sampler.vocab.DecodeIds(tokens))
       )

@@ -56,6 +56,7 @@ def prompt_lookup_spec_step(
     draft_len: int,
     ngram: int,
     stop_ids,
+    logits_filter=None,
 ) -> dict[str, Any]:
   """One draft → verify → accept → commit step over a batch of rows.
 
@@ -66,7 +67,17 @@ def prompt_lookup_spec_step(
   ``state`` keys (b = rows, H = history capacity, L = output capacity):
     hist [b, H] int32, valid_from [b], cur_len [b], cache (model decode
     caches), positions [b, 1], live [b] bool (rows to advance; others are
-    bit-frozen), out [b, L] int32, write_idx [b], budget [b].
+    bit-frozen), out [b, L] int32, write_idx [b], budget [b]. With an
+    ``rng`` key ([b, 2] per-row PRNG keys) present, acceptance is the
+    STOCHASTIC speculative-sampling rule instead of greedy agreement:
+    the prompt-lookup draft is a one-hot proposal q, so draft token x is
+    accepted with probability ``min(1, p(x)/q(x)) = p(x)`` and a
+    rejection resamples from the residual ``norm(max(p - q, 0))`` — by
+    the standard speculative-sampling theorem the emitted tokens are
+    distributed EXACTLY as p (the temperature/top-k/top-p-filtered
+    softmax given by ``logits_filter``), draft quality only affects
+    speed. ``logits_filter`` maps raw logits to filtered logits
+    (identity when None).
 
   Returns the updated state plus ``eos_hit`` [b] — the caller folds that
   (and budget exhaustion) into its own liveness bookkeeping. ``stop_ids``
@@ -131,15 +142,53 @@ def prompt_lookup_spec_step(
       return_cache=True,
       pending_cache=True,
   )
-  greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
-
-  # -- accept: drafts agreeing with the model's own greedy choices.
-  agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
-  j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
-  if stop_ids.shape[0] == 1:
-    is_eos = greedy == stop_ids[0]
+  new_rng = None
+  if "rng" in state:
+    # -- stochastic acceptance (categorical serving). The draft proposal
+    # is one-hot, so accept d_i with prob p_i(d_i); the first rejection at
+    # position j resamples from norm(max(p_j - onehot(d_j), 0)); if all k
+    # drafts are accepted, the bonus token samples from p_k directly.
+    filtered = logits if logits_filter is None else logits_filter(logits)
+    probs = jax.nn.softmax(filtered.astype(jnp.float32), axis=-1)
+    split = jax.vmap(lambda kk: jax.random.split(kk, 3))(state["rng"])
+    next_keys, ukeys, ckeys = split[:, 0], split[:, 1], split[:, 2]
+    d = chunk[:, 1:]  # [b, k] drafted tokens for positions 0..k-1
+    p_draft = jnp.take_along_axis(
+        probs[:, :k], d[..., None], axis=-1
+    )[..., 0]
+    u = jax.vmap(lambda kk: jax.random.uniform(kk, (k,)))(ukeys)
+    accept = (u < p_draft).astype(jnp.int32)
+    j = jnp.sum(jnp.cumprod(accept, axis=1), axis=1)  # [b] in [0, k]
+    onehot = jax.nn.one_hot(d, probs.shape[-1], dtype=probs.dtype)
+    resid = jnp.maximum(probs[:, :k] - onehot, 0.0)
+    resid_sum = jnp.sum(resid, axis=-1, keepdims=True)
+    # All-zero residual (p IS the one-hot) can't be hit by a rejection
+    # (accept prob was 1), but keep the categorical well-defined.
+    resid = jnp.where(
+        resid_sum > 0, resid / jnp.maximum(resid_sum, 1e-20), probs[:, :k]
+    )
+    cand = jnp.concatenate([resid, probs[:, k:]], axis=1)  # [b, k+1, v]
+    resampled = jax.vmap(
+        lambda kk, pr: jax.random.categorical(
+            kk, jnp.log(jnp.maximum(pr, 1e-30)), axis=-1
+        )
+    )(ckeys, cand).astype(jnp.int32)
+    d_ext = jnp.concatenate([d, d[:, -1:]], axis=1)
+    # Position i emits the accepted draft below j, the rejection resample
+    # (or the all-accepted bonus sample) at j; beyond j is masked off.
+    emit_tok = jnp.where(offs < j[:, None], d_ext, resampled)
+    new_rng = jnp.where(live[:, None], next_keys, state["rng"])
   else:
-    is_eos = jnp.any(greedy[..., None] == stop_ids, axis=-1)
+    # -- greedy acceptance: drafts agreeing with the model's own argmax.
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b, k+1]
+    agree = (chunk[:, 1:] == greedy[:, :-1]).astype(jnp.int32)
+    j = jnp.sum(jnp.cumprod(agree, axis=1), axis=1)  # [b] in [0, k]
+    emit_tok = greedy
+
+  if stop_ids.shape[0] == 1:
+    is_eos = emit_tok == stop_ids[0]
+  else:
+    is_eos = jnp.any(emit_tok[..., None] == stop_ids, axis=-1)
   eos_pos = jnp.argmax(is_eos, axis=1)
   j = jnp.where(jnp.any(is_eos, axis=1), jnp.minimum(j, eos_pos), j)
 
@@ -169,11 +218,11 @@ def prompt_lookup_spec_step(
   # write order is undefined.
   emit_mask = offs < emit_n[:, None]
   widx = jnp.where(emit_mask, state["write_idx"][:, None] + offs, out_len)
-  new_out = state["out"].at[rows, widx].set(greedy, mode="drop")
+  new_out = state["out"].at[rows, widx].set(emit_tok, mode="drop")
   hidx = jnp.where(emit_mask, state["cur_len"][:, None] + offs, hist_len)
-  new_hist = hist.at[rows, hidx].set(greedy, mode="drop")
+  new_hist = hist.at[rows, hidx].set(emit_tok, mode="drop")
 
-  return dict(
+  result = dict(
       hist=new_hist,
       valid_from=state["valid_from"],
       cur_len=state["cur_len"] + emit_n,
@@ -185,14 +234,27 @@ def prompt_lookup_spec_step(
       budget=state["budget"],
       eos_hit=jnp.any(is_eos & emit_mask, axis=1),
   )
+  if new_rng is not None:
+    result["rng"] = new_rng
+  return result
 
 
 class SpeculativeSampler:
-  """Greedy sampler with prompt-lookup speculative decoding.
+  """Prompt-lookup speculative decoding, greedy or categorical.
+
+  With a greedy sampler the emitted tokens match plain decode exactly
+  (up to cross-program fma numerics). With a categorical sampler
+  (``deterministic_sampling=False``) acceptance follows the stochastic
+  speculative-sampling rule, so the emitted tokens are distributed
+  exactly as plain categorical sampling under the same
+  temperature/top-k/top-p filters (distribution-level, not
+  stream-level: the accept/resample draws consume randomness
+  differently than plain decode, so a shared seed does not reproduce
+  the same stream — only the same distribution).
 
   Args:
-    sampler: A deterministic (greedy) :class:`Sampler`; its model, params,
-      vocab, and prefill programs are reused.
+    sampler: A :class:`Sampler`; its model, params, vocab, filters, and
+      prefill programs are reused.
     draft_len: Tokens drafted per verify step (the chunk is draft_len + 1).
     ngram: MAXIMUM match length for the longest-suffix history lookup —
       candidates are ranked by how many of the last ``ngram`` tokens they
@@ -205,11 +267,6 @@ class SpeculativeSampler:
       draft_len: int = 7,
       ngram: int = 4,
   ):
-    if not sampler.deterministic_sampling:
-      raise ValueError(
-          "Speculative decoding is exact only for greedy sampling "
-          "(deterministic_sampling=True)."
-      )
     if sampler.repetition_penalty != 1.0:
       raise ValueError(
           "Speculative decoding does not support repetition_penalty: the "
@@ -218,15 +275,6 @@ class SpeculativeSampler:
       )
     if draft_len < 1 or ngram < 1:
       raise ValueError(f"draft_len/ngram must be >= 1, got {draft_len}/{ngram}")
-    if sampler.prefill_chunk_size is not None:
-      import warnings
-
-      warnings.warn(
-          "SpeculativeSampler prefills single-shot; the sampler's "
-          "prefill_chunk_size is not applied (long-prompt activation "
-          "memory is unbounded here).",
-          stacklevel=2,
-      )
     window = getattr(sampler.model.config, "attention_window_size", None)
     if window is not None and draft_len + 1 > window:
       raise ValueError(
@@ -239,7 +287,7 @@ class SpeculativeSampler:
     self.last_stats: dict[str, Any] = {}
     # Params enter as an argument: closing over them would bake a
     # weights-sized constant block into the lowered program.
-    self._loop_fn = jax.jit(self._spec_loop, static_argnums=(7,))
+    self._loop_fn = jax.jit(self._spec_loop, static_argnums=(8,))
 
   # -- device program ----------------------------------------------------------
 
@@ -252,6 +300,7 @@ class SpeculativeSampler:
       valid_from,
       cur_len,
       first_token,
+      rng,
       total_steps: int,
   ):
     """The whole speculative generation as one XLA while-loop program."""
@@ -271,6 +320,10 @@ class SpeculativeSampler:
         write_idx=jnp.ones((b,), jnp.int32),
         budget=jnp.full((b,), total_steps, jnp.int32),
     )
+    if rng is not None:
+      # Per-row keys → independent chains; presence of the key selects
+      # the stochastic acceptance rule in prompt_lookup_spec_step.
+      state["rng"] = jax.random.split(rng, b)
     carry = (state, jnp.zeros((), jnp.int32))
 
     def cond(c):
@@ -282,6 +335,7 @@ class SpeculativeSampler:
           s.model, params, st,
           draft_len=self.draft_len, ngram=self.ngram,
           stop_ids=s._stop_ids,
+          logits_filter=None if rng is None else s._filter_logits,
       )
       eos_hit = st.pop("eos_hit")
       st["live"] = (
@@ -308,8 +362,11 @@ class SpeculativeSampler:
       prefix_state: sampler_lib.PrefixState | None = None,
       img_embed=None,
       return_state: bool = False,
+      rng=None,
   ) -> SamplerOutput:
-    """Greedy generation; emits the same tokens as ``Sampler.__call__``.
+    """Speculative generation (greedy: same tokens as ``Sampler.__call__``;
+    categorical: same distribution — ``rng`` required then, as in the
+    plain sampler).
 
     The output buffer is padded with ``pad_id`` after a row's EOS (the
     plain sampler leaves post-EOS buffer contents unspecified).
@@ -342,7 +399,17 @@ class SpeculativeSampler:
           "img_embed cannot be combined with prefix_state (the image "
           "splices in after BOS, which lives in the prefix)."
       )
+    if not s.deterministic_sampling and rng is None:
+      raise ValueError(
+          "rng must be provided when sampling non-deterministically."
+      )
+    prefill_rng = loop_rng = None
+    if rng is not None and not s.deterministic_sampling:
+      # Split once: the prefill's first-token draw and the loop's
+      # accept/resample chains consume independent streams.
+      prefill_rng, loop_rng = jax.random.split(rng)
 
+    chunk = s.prefill_chunk_size
     if prefix_state is None:
       all_ids = [s.tokenize(t) for t in input_strings]
       lengths_list = [len(i) for i in all_ids]
@@ -356,27 +423,77 @@ class SpeculativeSampler:
         tokens = jnp.stack(all_ids, axis=0)
       else:
         tokens = s._get_padded_tokens(all_ids)
+      cache, start = None, None
+      if chunk is not None and tokens.shape[1] > chunk and img_embed is None:
+        # Chunked prefill (same scheme as Sampler.__call__): bound the
+        # long-prompt activation memory; the image splice cannot cross
+        # chunks, so multimodal prompts stay single-shot.
+        extra = -int(tokens.shape[1]) % chunk
+        if extra:
+          tokens = jnp.pad(
+              tokens, ((0, 0), (extra, 0)),
+              constant_values=s.vocab.pad_id(),
+          )
+        total_len = int(tokens.shape[1])
+        positions = jnp.maximum(
+            jnp.arange(total_len, dtype=jnp.int32)[None]
+            - total_len + lengths[:, None],
+            -1,
+        )
+        cache = s.model.init_cache(tokens.shape[0], s.dtype)
+        num_chunks = total_len // chunk
+        for i in range(num_chunks - 1):
+          _, cache = s._compiled_chunk_fn(
+              s.params,
+              tokens[:, i * chunk : (i + 1) * chunk],
+              positions[:, i * chunk : (i + 1) * chunk],
+              cache,
+              False,
+          )
+        start = ((num_chunks - 1) * chunk - total_len + lengths).astype(
+            jnp.int32
+        )
+        final_tokens = tokens[:, -chunk:]
+      else:
+        final_tokens = tokens
       prompt_len = tokens.shape[1]
       valid_from = (prompt_len - lengths).astype(jnp.int32)
-      cache, start = None, None
     else:
       tokens, cache, start = s.encode_continuation(
           input_strings, prefix_state
       )
       batch = tokens.shape[0]
-      prompt_len = tokens.shape[1]
+      prompt_len = int(tokens.shape[1])
       lengths = jnp.full((batch,), prompt_len, jnp.int32)
       valid_from = jnp.zeros((batch,), jnp.int32)
+      if chunk is not None and prompt_len > chunk:
+        # No padding (pads after real prefix content would corrupt the
+        # caches): full-size middle chunks + a variable-size remainder.
+        positions = start[:, None] + jnp.arange(prompt_len, dtype=jnp.int32)
+        n_mid = (prompt_len - 1) // chunk
+        for i in range(n_mid):
+          _, cache = s._compiled_chunk_fn(
+              s.params,
+              tokens[:, i * chunk : (i + 1) * chunk],
+              positions[:, i * chunk : (i + 1) * chunk],
+              cache,
+              False,
+          )
+        start = (start + n_mid * chunk).astype(jnp.int32)
+        final_tokens = tokens[:, n_mid * chunk :]
+      else:
+        final_tokens = tokens
 
-    # History buffer BEFORE prefill: prompt_processing_fn donates `tokens`.
+    # History buffer BEFORE prefill: prompt_processing_fn donates its
+    # token argument.
     hist = jnp.pad(
         tokens, ((0, 0), (0, total_generation_steps)),
         constant_values=s.vocab.pad_id(),
     )
 
     state = s.prompt_processing_fn(
-        s.params, tokens, None, lengths, 1, False, False, img_embed, cache,
-        start,
+        s.params, final_tokens, prefill_rng, lengths, 1, False, False,
+        img_embed, cache, start,
     )
     first_token = state.tokens_buffer[:, 0]
     hist = hist.at[:, prompt_len].set(first_token)
@@ -384,7 +501,7 @@ class SpeculativeSampler:
 
     out, emitted, steps, final_cache, final_pos, pending = self._loop_fn(
         s.params, state.cache, state.positions, hist, valid_from, cur_len,
-        first_token, total_generation_steps,
+        first_token, loop_rng, total_generation_steps,
     )
     next_state = None
     if return_state:

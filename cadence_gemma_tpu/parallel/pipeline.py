@@ -20,12 +20,16 @@ Design notes:
     selection; ``jnp.where`` routes zero cotangents around them in the
     backward pass, so gradients are exact (tested against the unpipelined
     model).
-  * Requires ``num_layers % num_stages == 0`` and the per-stage block-type
-    pattern to repeat identically across stages (e.g. a ``(R, R, A)`` cycle
-    split at multiples of 3), so every device runs the same traced stage
-    body. The 2B preset's 26 blocks split as 2 stages x 13 do NOT align —
-    PP targets pattern-aligned configs (any ``3k`` blocks per stage for the
-    RECURRENT_GEMMA cycle); it composes with DP over a second mesh axis.
+  * Every device runs one traced stage body, so the per-stage block-type
+    pattern must repeat identically across stages. Models whose depth does
+    not split that way (the 2B preset's 26 blocks: the (R, R, A) cycle
+    admits no uniform 2- or 4-way split) pipeline their largest
+    pattern-aligned PREFIX (24 of 26 blocks at 2 or 4 stages) and run the
+    short tail unpipelined after the pipeline, replicated across devices
+    like the final norm. Results are exact — the tail is ordinary
+    sequential block application — and the memory story holds to within
+    the tail fraction (2/26 ≈ 8% for the 2B preset). PP composes with DP
+    over a second mesh axis.
 
 Embedding, the VL connector splice, the final norm, and the vocabulary
 projection run outside the pipeline (they belong to no stage); XLA
@@ -54,27 +58,45 @@ STAGE_AXIS = "stage"
 Params = Any
 
 
+def _is_uniform(
+    block_types: tuple[common.TemporalBlockType, ...], num_stages: int
+) -> bool:
+  per_stage = len(block_types) // num_stages
+  pattern = block_types[:per_stage]
+  return all(
+      block_types[s * per_stage : (s + 1) * per_stage] == pattern
+      for s in range(1, num_stages)
+  )
+
+
+def pipelined_prefix_length(
+    block_types: tuple[common.TemporalBlockType, ...], num_stages: int
+) -> int:
+  """Largest ``m`` so blocks [0, m) split into identical-pattern stages.
+
+  Blocks [m, num_layers) become the unpipelined tail. For cyclic patterns
+  (the RECURRENT_GEMMA (R, R, A) cycle) this is the largest multiple of
+  ``num_stages * cycle_length`` that fits — 24 of the 2B preset's 26
+  blocks at 2 or 4 stages.
+  """
+  if num_stages < 1:
+    raise ValueError(f"num_stages must be >= 1, got {num_stages}.")
+  n = len(block_types)
+  for m in range(n - n % num_stages, 0, -num_stages):
+    if _is_uniform(block_types[:m], num_stages):
+      return m
+  raise ValueError(
+      f"No prefix of {block_types} splits into {num_stages} "
+      "identical-pattern stages."
+  )
+
+
 def stage_block_types(
     block_types: tuple[common.TemporalBlockType, ...], num_stages: int
 ) -> tuple[common.TemporalBlockType, ...]:
-  """The per-stage block-type pattern; raises if stages are not uniform."""
-  num_layers = len(block_types)
-  if num_stages < 1 or num_layers % num_stages:
-    raise ValueError(
-        f"{num_layers} blocks cannot split into {num_stages} equal stages."
-    )
-  per_stage = num_layers // num_stages
-  pattern = block_types[:per_stage]
-  for s in range(1, num_stages):
-    chunk = block_types[s * per_stage : (s + 1) * per_stage]
-    if chunk != pattern:
-      raise ValueError(
-          "Pipeline stages must have identical block-type patterns so every "
-          f"device runs one traced stage body; stage 0 is {pattern} but "
-          f"stage {s} is {chunk}. Choose num_stages so the block cycle "
-          "repeats per stage (multiples of the cycle length)."
-      )
-  return pattern
+  """The per-stage block-type pattern of the pipelined prefix."""
+  m = pipelined_prefix_length(block_types, num_stages)
+  return block_types[: m // num_stages]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,8 +124,22 @@ class GriffinPipeline:
     return self.mesh.shape[self.axis_name]
 
   @property
+  def pipelined_layers(self) -> int:
+    """Blocks [0, pipelined_layers) run in the pipeline; the rest is tail."""
+    return pipelined_prefix_length(
+        self.model.config.block_types, self.num_stages
+    )
+
+  @property
   def layers_per_stage(self) -> int:
-    return self.model.config.num_layers // self.num_stages
+    return self.pipelined_layers // self.num_stages
+
+  @property
+  def tail_layers(self) -> tuple[int, ...]:
+    """Indices of the unpipelined tail blocks (often empty)."""
+    return tuple(
+        range(self.pipelined_layers, self.model.config.num_layers)
+    )
 
   def __post_init__(self):
     stage_block_types(self.model.config.block_types, self.num_stages)
@@ -116,7 +152,9 @@ class GriffinPipeline:
     The stacked tree is keyed ``layer_{j}`` for in-stage slot ``j``; each
     leaf gains a leading ``[num_stages]`` axis (slot ``j`` of stage ``s``
     holds checkpoint ``blocks.{s * layers_per_stage + j}``). Place it with
-    :meth:`stage_sharding` so each device stores only its stage.
+    :meth:`stage_sharding` so each device stores only its stage. Tail
+    blocks (beyond the pattern-aligned prefix) stay in ``shared`` under
+    their checkpoint names and run unpipelined.
     """
     lps = self.layers_per_stage
     stacked = {
@@ -129,9 +167,10 @@ class GriffinPipeline:
         )
         for j in range(lps)
     }
-    shared = {
-        k: v for k, v in params.items() if not k.startswith("blocks.")
+    pipelined = {
+        f"blocks.{i}" for i in range(self.pipelined_layers)
     }
+    shared = {k: v for k, v in params.items() if k not in pipelined}
     return stacked, shared
 
   def unstack_params(self, stacked: Params, shared: Params) -> Params:
@@ -152,26 +191,29 @@ class GriffinPipeline:
 
   # -- stage body -------------------------------------------------------
 
-  def _stage_blocks(self) -> list[modules.ResidualBlock]:
+  def _make_block(self, block_type) -> modules.ResidualBlock:
     cfg = self.model.config
-    pattern = stage_block_types(cfg.block_types, self.num_stages)
-    return [
-        modules.ResidualBlock(
-            width=cfg.width,
-            mlp_expanded_width=cfg.mlp_expanded_width,
-            num_heads=cfg.num_heads,
-            lru_width=cfg.lru_width,
-            attention_window_size=cfg.attention_window_size,
-            temporal_block_type=block_type,
-            scan_type=cfg.scan_type,
-            final_w_init_variance_scale=2.0 / cfg.num_layers,
-            quantized=self.model.quantized,
-            use_flash_attention=self.model.use_flash_attention,
-            dtype=self.model.dtype,
-            param_dtype=self.model.param_dtype,
-        )
-        for block_type in pattern
-    ]
+    return modules.ResidualBlock(
+        width=cfg.width,
+        mlp_expanded_width=cfg.mlp_expanded_width,
+        num_heads=cfg.num_heads,
+        lru_width=cfg.lru_width,
+        attention_window_size=cfg.attention_window_size,
+        temporal_block_type=block_type,
+        scan_type=cfg.scan_type,
+        final_w_init_variance_scale=2.0 / cfg.num_layers,
+        quantized=self.model.quantized,
+        act_quant=getattr(self.model, "act_quant", False),
+        use_flash_attention=self.model.use_flash_attention,
+        dtype=self.model.dtype,
+        param_dtype=self.model.param_dtype,
+    )
+
+  def _stage_blocks(self) -> list[modules.ResidualBlock]:
+    pattern = stage_block_types(
+        self.model.config.block_types, self.num_stages
+    )
+    return [self._make_block(block_type) for block_type in pattern]
 
   # -- pipelined forward over the block stack --------------------------------
 
@@ -284,6 +326,13 @@ class GriffinPipeline:
           method=lambda m, *a: m._splice_image(*a),
       )
     x = self.apply_blocks(stacked, x, segment_pos)
+    # Unpipelined tail: blocks beyond the pattern-aligned prefix run
+    # sequentially, replicated like the final norm (see module docstring).
+    for i in self.tail_layers:
+      block = self._make_block(self.model.config.block_types[i])
+      x, _ = block.apply(
+          {"params": shared[f"blocks.{i}"]}, x, segment_pos, None, False
+      )
     x = model.apply(variables, x, method=lambda m, h: m.final_norm(h))
     if return_hidden:
       return x

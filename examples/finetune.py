@@ -16,6 +16,7 @@ import cadence_gemma_tpu as cg
 from cadence_gemma_tpu.models import vit as vit_lib
 from cadence_gemma_tpu.training import data as data_lib
 from cadence_gemma_tpu.training import train_loop
+from cadence_gemma_tpu.utils import logging as logging_lib
 
 _CHECKPOINT = flags.DEFINE_string("checkpoint_path", None, "LM checkpoint.")
 _VISION_CKPT = flags.DEFINE_string("vision_checkpoint", None,
@@ -33,6 +34,13 @@ _STEPS1 = flags.DEFINE_integer("stage1_steps", 1000, "Frozen-stage steps.")
 _STEPS2 = flags.DEFINE_integer("stage2_steps", 4000, "Full-stage steps.")
 _PRESET = flags.DEFINE_enum_class(
     "preset", cg.Preset.RECURRENT_GEMMA_2B_V1, cg.Preset, "Preset.")
+_METRICS = flags.DEFINE_enum(
+    "metrics", "stdout", ["stdout", "jsonl", "mlflow", "wandb"],
+    "Metric-logging backend (utils/logging.py adapters; the reference "
+    "hard-wires mlflow in train_jax.py:615,765).")
+_METRICS_TARGET = flags.DEFINE_string(
+    "metrics_target", "",
+    "Backend target: mlflow tracking URI, wandb project, or jsonl path.")
 
 
 def main(argv):
@@ -81,10 +89,20 @@ def main(argv):
       learning_rate=_LR2.value, max_steps=_STEPS2.value,
       batch_size=_BATCH.value, checkpoint_dir=_OUTPUT.value,
   )
+  backend = _METRICS.value
+  target = _METRICS_TARGET.value
+  log_kwargs = {
+      "jsonl": {"path": target or f"{_OUTPUT.value}/metrics.jsonl"},
+      "mlflow": {"tracking_uri": target or None, "run_name": "sft"},
+      "wandb": {"project": target or "cadence-gemma-tpu"},
+      "stdout": {},
+  }[backend]
+  log_metrics = logging_lib.make_logger(backend, **log_kwargs)
+
   params = train_loop.two_stage_sft(
       model, params, make_data, stage1, stage2,
       validation_data=val, encode_image=encode,
-      pad_id=vocab.pad_id(),
+      pad_id=vocab.pad_id(), log_metrics=log_metrics,
   )
   cg.save_parameters(f"{_OUTPUT.value}/final", params)
 

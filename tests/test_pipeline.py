@@ -72,13 +72,24 @@ def _batch(b=4, t=6):
 
 class TestStagePartitioning:
 
-  def test_misaligned_pattern_raises(self):
-    with pytest.raises(ValueError, match="identical block-type patterns"):
-      pp.stage_block_types((R, R, A, R), 2)
+  def test_misaligned_pattern_pipelines_prefix(self):
+    # (R, R, A, R) over 2 stages: the largest uniform split is the (R,)|(R,)
+    # prefix; blocks 2-3 become the unpipelined tail.
+    assert pp.pipelined_prefix_length((R, R, A, R), 2) == 2
+    assert pp.stage_block_types((R, R, A, R), 2) == (R,)
 
-  def test_indivisible_raises(self):
-    with pytest.raises(ValueError, match="equal stages"):
-      pp.stage_block_types((R, R, A), 2)
+  def test_2b_pattern_24_of_26(self):
+    """The real RECURRENT_GEMMA_2B block cycle pipelines at 2 and 4 stages."""
+    types = common.Preset.RECURRENT_GEMMA_2B_V1.config_dict["block_types"]
+    assert len(types) == 26
+    for stages in (2, 4):
+      assert pp.pipelined_prefix_length(types, stages) == 24
+      pattern = pp.stage_block_types(types, stages)
+      assert pattern == types[: 24 // stages]
+
+  def test_no_uniform_prefix_raises(self):
+    with pytest.raises(ValueError, match="identical-pattern"):
+      pp.pipelined_prefix_length((R, A), 2)
 
   def test_stack_round_trip(self, stack):
     _, params, pipe, _, _ = stack
@@ -190,3 +201,78 @@ class TestTrainingParity:
     assert any(
         s.data.shape[0] == 1 for s in leaf.addressable_shards
     )
+
+
+class TestRealPresetPattern:
+  """26-block (R,R,A)-cycle depth — the flagship shape PP must serve.
+
+  24 blocks pipeline over 4 stages; blocks 24-25 run as the unpipelined
+  tail. Logits and gradients must still match the plain model exactly.
+  """
+
+  @pytest.fixture(scope="class")
+  def stack26(self):
+    config = _config(num_layers=24)._replace(
+        block_types=(R, R, A) * 8 + (R, R)
+    )
+    model = griffin_lib.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False,
+    )
+    tokens = jnp.ones((4, 6), jnp.int32)
+    pos = jnp.tile(jnp.arange(6)[None], (4, 1))
+    params = model.init(jax.random.PRNGKey(0), tokens, pos)["params"]
+    pipe = pp.GriffinPipeline(
+        model=model, mesh=_mesh(), num_microbatches=4
+    )
+    stacked, shared = pipe.stack_params(params)
+    stacked = jax.device_put(stacked, pipe.stage_sharding(stacked))
+    return model, params, pipe, stacked, shared
+
+  def test_tail_split(self, stack26):
+    _, _, pipe, stacked, shared = stack26
+    assert pipe.pipelined_layers == 24
+    assert pipe.tail_layers == (24, 25)
+    assert "blocks.24" in shared and "blocks.25" in shared
+    assert "blocks.0" not in shared
+    assert len(stacked) == 6  # 24 / 4 stages
+
+  def test_stack_round_trip(self, stack26):
+    _, params, pipe, _, _ = stack26
+    stacked, shared = pipe.stack_params(params)
+    back = pipe.unstack_params(stacked, shared)
+    assert set(back) == set(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), back, params
+    )
+
+  def test_logits_match_plain_model(self, stack26):
+    model, params, pipe, stacked, shared = stack26
+    tokens, pos, _, _ = _batch()
+    want, _ = model.apply(
+        {"params": params}, tokens, pos, return_cache=False
+    )
+    got = pipe(stacked, shared, tokens, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+  def test_gradients_match_plain_model(self, stack26):
+    model, params, pipe, stacked, shared = stack26
+    tokens, pos, mask, _ = _batch()
+    g_stacked, g_shared = jax.jit(jax.grad(pipe.loss_fn, argnums=(0, 1)))(
+        stacked, shared, tokens, mask, pos
+    )
+    g_pipe = pipe.unstack_params(g_stacked, g_shared)
+    g_plain = jax.grad(jx_trainer.forward_and_loss_fn)(
+        params, model=model, input_tokens=tokens, input_mask=mask,
+        positions=pos,
+    )
+    flat_plain = dict(jax.tree_util.tree_leaves_with_path(g_plain))
+    flat_pipe = jax.tree_util.tree_leaves_with_path(g_pipe)
+    assert len(flat_pipe) == len(flat_plain)
+    for path, leaf in flat_pipe:
+      want = flat_plain[path]
+      scale = max(float(jnp.abs(want).max()), 1e-6)
+      np.testing.assert_allclose(
+          np.asarray(leaf) / scale, np.asarray(want) / scale,
+          atol=1e-4, err_msg=jax.tree_util.keystr(path),
+      )

@@ -796,3 +796,87 @@ class TestRepetitionPenalty:
     model, vocab, params = setup
     with pytest.raises(ValueError):
       sampler_lib.Sampler(model, vocab, params, repetition_penalty=0.0)
+
+
+class TestAdviceFixes:
+  """Round-2 advisor findings: penalty/echo scope, stop-token turn close,
+  chunked prefix prefill."""
+
+  def test_penalty_independent_of_echo(self, setup):
+    """echo is an output-format flag; it must not change the tokens."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params,
+                            bucket_prompt_lengths=False,
+                            repetition_penalty=5.0)
+    no_echo = s(["hello world the"], total_generation_steps=8,
+                end_sampling_at_eos_token=False)
+    echo = s(["hello world the"], total_generation_steps=8, echo=True,
+             end_sampling_at_eos_token=False)
+    prompt_len = 1 + 3
+    assert echo.tokens[0][prompt_len:].tolist() == no_echo.tokens[0].tolist()
+
+  def test_it_stop_token_turn_not_doubled(self, setup):
+    """A turn that ended by emitting the stop token already closed the
+    model turn; the continuation must tokenize like the canonical
+    template, not add a second <end_of_turn>."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params, is_it_model=True,
+                            bucket_prompt_lengths=False)
+    turn1 = s(["hello"], total_generation_steps=4, return_state=True,
+              end_sampling_at_eos_token=True)
+    # Force the pending token to be a stop token (the tiny model rarely
+    # emits EOS naturally): rebuild the state with EOS pending.
+    state = turn1.state
+    eos_state = sampler_lib.PrefixState(
+        cache=state.cache, length=state.length,
+        pending_token=jnp.full_like(state.pending_token, vocab.eos_id()),
+    )
+    tokens, _, _ = s.encode_continuation(["world"], eos_state)
+    ids = tokens[0].tolist()
+    # First token is the pending EOS; the continuation after it must be
+    # "\n<start_of_turn>user\nworld<end_of_turn>\n<start_of_turn>model\n"
+    # — whose encoding contains exactly ONE <end_of_turn> (SimpleVocab
+    # maps each unknown template word to unk, so compare against direct
+    # encoding of the expected template text).
+    want = vocab.EncodeAsIds(
+        "\n" + common.apply_it_formatter("world")
+    )
+    assert ids[0] == vocab.eos_id()
+    assert ids[1:] == want
+
+  def test_it_budget_truncated_turn_still_closed(self, setup):
+    """A non-stop pending token needs the explicit turn close."""
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params, is_it_model=True,
+                            bucket_prompt_lengths=False)
+    state = sampler_lib.PrefixState(
+        cache=s.model.init_cache(1, s.dtype), length=5,
+        pending_token=jnp.asarray([[7]], jnp.int32),  # not a stop id
+    )
+    tokens, _, _ = s.encode_continuation(["world"], state)
+    want = vocab.EncodeAsIds(
+        common.IT_TURN_CLOSE + common.apply_it_formatter("world")
+    )
+    assert tokens[0].tolist()[1:] == want
+
+  def test_prefix_prefill_honors_chunk_size(self, setup):
+    """Chunked prefix prefill == single-shot prefix prefill, exactly."""
+    model, vocab, params = setup
+    s1 = sampler_lib.Sampler(model, vocab, params,
+                             bucket_prompt_lengths=False)
+    s2 = sampler_lib.Sampler(model, vocab, params,
+                             bucket_prompt_lengths=False,
+                             prefill_chunk_size=4)
+    prefix = "the quick brown fox hello world the quick brown fox"
+    p1 = s1.prefill_prefix(prefix)
+    p2 = s2.prefill_prefix(prefix)
+    assert p1.length == p2.length
+    out1 = s1(["hello"], total_generation_steps=6, prefix_state=p1,
+              end_sampling_at_eos_token=False)
+    out2 = s2(["hello"], total_generation_steps=6, prefix_state=p2,
+              end_sampling_at_eos_token=False)
+    assert out1.tokens[0].tolist() == out2.tokens[0].tolist()
+    # And both match the full un-prefixed prompt.
+    full = s1([prefix + " hello"], total_generation_steps=6,
+              end_sampling_at_eos_token=False)
+    assert out1.tokens[0].tolist() == full.tokens[0].tolist()

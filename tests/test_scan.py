@@ -211,3 +211,51 @@ class TestComplexScan:
       h = ac[:, i] * h + xc[:, i]
       np.testing.assert_allclose(y.real[:, i], h.real, atol=1e-5)
       np.testing.assert_allclose(y.imag[:, i], h.imag, atol=1e-5)
+
+  def _complex_inputs(self, b=2, t=16, d=4):
+    from cadence_gemma_tpu import complex_lib
+    k = jax.random.PRNGKey(0)
+    xr = jax.random.normal(k, (b, t, d))
+    xi = jax.random.normal(jax.random.fold_in(k, 1), (b, t, d))
+    ar = jax.nn.sigmoid(jax.random.normal(jax.random.fold_in(k, 2), (b, t, d)))
+    ai = 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (b, t, d))
+    return complex_lib.Complex(xr, xi), complex_lib.Complex(ar, ai)
+
+  def test_pallas_scan_type_falls_back_for_complex(self):
+    """Documented descope: LINEAR_PALLAS + Complex dispatches to the
+    native scan (the kernel is real-valued; no preset uses a complex
+    RG-LRU) and produces the exact native-path numbers."""
+    x, a = self._complex_inputs()
+    y_pallas_req, h_pallas_req = scan.single_shard_rnn_scan(
+        x, a, scan_type=common.ScanType.LINEAR_PALLAS
+    )
+    y_native, h_native = scan.single_shard_rnn_scan(
+        x, a, scan_type=common.ScanType.LINEAR_NATIVE
+    )
+    np.testing.assert_array_equal(y_pallas_req.real, y_native.real)
+    np.testing.assert_array_equal(y_pallas_req.imag, y_native.imag)
+    np.testing.assert_array_equal(h_pallas_req.real, h_native.real)
+
+  def test_complex_sequence_sharded_matches_single_shard(self):
+    """Complex scan under shard_map (8-way sequence sharding + the
+    cross-shard correction) == the unsharded complex scan."""
+    from cadence_gemma_tpu.parallel import sharding as sharding_lib
+
+    x, a = self._complex_inputs(b=1, t=32, d=4)
+    want_y, want_h = scan.single_shard_rnn_scan(
+        x, a, scan_type=common.ScanType.LINEAR_NATIVE
+    )
+    mesh = sharding_lib.make_mesh((8,), ("sequence",), jax.devices()[:8])
+    spec = sharding_lib.ShardingSpec(
+        mesh=mesh, sequence_axis_name="sequence"
+    )
+    got_y, got_h = jax.jit(
+        lambda x, a: scan.linear_scan(
+            x=x, a=a, scan_type=common.ScanType.LINEAR_NATIVE,
+            sharding_spec=spec,
+        )
+    )(x, a)
+    np.testing.assert_allclose(got_y.real, want_y.real, atol=1e-5)
+    np.testing.assert_allclose(got_y.imag, want_y.imag, atol=1e-5)
+    np.testing.assert_allclose(got_h.real, want_h.real, atol=1e-5)
+    np.testing.assert_allclose(got_h.imag, want_h.imag, atol=1e-5)

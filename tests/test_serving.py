@@ -230,13 +230,22 @@ class TestSpeculativeBatching:
     # (1 from prefill + >1 from the verify step).
     assert write_idx > 2, write_idx
 
-  def test_speculative_requires_greedy(self, setup):
+  def test_categorical_speculative_runs(self, setup):
+    """Stochastic speculative acceptance in the batcher: categorical
+    samplers are served speculatively (distribution-equal)."""
     sampler, vocab = setup
     s2 = sampler_lib.Sampler(
-        sampler.model, vocab, sampler.params, deterministic_sampling=False
+        sampler.model, vocab, sampler.params,
+        deterministic_sampling=False, temperature=0.9,
     )
-    with pytest.raises(ValueError, match="greedy"):
-      serving.ContinuousBatcher(s2, num_slots=1, draft_len=2)
+    batcher = serving.ContinuousBatcher(s2, num_slots=2, draft_len=2,
+                                        max_steps_default=6)
+    rid = batcher.add_request("alpha beta", max_steps=6,
+                              rng=jax.random.PRNGKey(5))
+    results = dict((r[0], r[1]) for r in batcher.run_until_drained(2))
+    toks = results[rid]
+    assert 1 <= len(toks) <= 6
+    assert all(0 <= t < vocab.GetPieceSize() for t in toks)
 
   def test_hist_growth_for_long_budget(self, setup):
     sampler, vocab = setup
@@ -313,3 +322,118 @@ class TestSamplerControlsInBatcher:
     batcher = serving.ContinuousBatcher(sampler, num_slots=1)
     with pytest.raises(ValueError, match="max_steps"):
       batcher.add_request("alpha", max_steps=0)
+
+
+class TestProductionAdmission:
+  """Round-3 batcher productionization: prefix-aware admission, chunked
+  off-critical-path prefill, and streaming delivery."""
+
+  def test_prefix_admission_matches_solo_prefix(self, setup):
+    sampler, vocab = setup
+    pstate = sampler.prefill_prefix("alpha beta gamma")
+    solo = sampler(["delta eps"], total_generation_steps=6,
+                   prefix_state=pstate)
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=6)
+    batcher.add_request("zeta", max_steps=6)  # a neighbor without prefix
+    rid = batcher.add_request("delta eps", max_steps=6,
+                              prefix_state=pstate)
+    results = dict(
+        (r[0], r[1]) for r in batcher.run_until_drained(2)
+    )
+    got = results[rid]
+    _check(got, np.asarray(solo.tokens[0]), 6, vocab.eos_id())
+
+  def test_prefix_admission_shared_across_slots(self, setup):
+    """One prefilled prefix serves many concurrent requests."""
+    sampler, vocab = setup
+    pstate = sampler.prefill_prefix("alpha beta")
+    batcher = serving.ContinuousBatcher(sampler, num_slots=3,
+                                        max_steps_default=5)
+    rids = {
+        batcher.add_request(p, max_steps=5, prefix_state=pstate): p
+        for p in ("gamma", "delta eps", "zeta")
+    }
+    results = dict((r[0], r[1]) for r in batcher.run_until_drained(2))
+    for rid, p in rids.items():
+      solo = sampler([p], total_generation_steps=5, prefix_state=pstate)
+      _check(results[rid], np.asarray(solo.tokens[0]), 5, vocab.eos_id())
+
+  def test_chunked_admission_matches_single_shot(self, setup):
+    model = setup[0].model
+    vocab = setup[1]
+    chunked_sampler = sampler_lib.Sampler(
+        model, vocab, setup[0].params, prefill_chunk_size=4,
+        bucket_prompt_lengths=False,
+    )
+    long_prompt = "alpha beta gamma delta eps zeta eta theta alpha beta"
+    solo = _solo(setup[0], long_prompt, 6)
+    for per_tick in (None, 1):
+      batcher = serving.ContinuousBatcher(
+          chunked_sampler, num_slots=2, max_steps_default=6,
+          admission_chunks_per_tick=per_tick,
+      )
+      rid = batcher.add_request(long_prompt, max_steps=6)
+      results = dict((r[0], r[1]) for r in batcher.run_until_drained(2))
+      _check(results[rid], solo, 6, vocab.eos_id())
+
+  def test_bounded_admission_interleaves_with_decode(self, setup):
+    """With admission_chunks_per_tick=1, a long newcomer's prefill spreads
+    over ticks while the running request keeps decoding."""
+    model = setup[0].model
+    vocab = setup[1]
+    chunked_sampler = sampler_lib.Sampler(
+        model, vocab, setup[0].params, prefill_chunk_size=4,
+        bucket_prompt_lengths=False,
+    )
+    batcher = serving.ContinuousBatcher(
+        chunked_sampler, num_slots=2, max_steps_default=8,
+        admission_chunks_per_tick=1,
+    )
+    r1 = batcher.add_request("alpha", max_steps=8)
+    batcher.step(2)  # r1 admitted + decoding
+    long_prompt = "alpha beta gamma delta eps zeta eta theta alpha beta"
+    r2 = batcher.add_request(long_prompt, max_steps=4)
+    # 12 padded tokens -> 3 chunks: two ticks of chunk work before the
+    # newcomer starts; r1 decodes throughout.
+    assert len(batcher._pending) == 1
+    batcher.step(1)
+    assert not batcher._pending[0].request.started
+    batcher.step(1)
+    batcher.step(1)
+    assert not batcher._pending  # admission complete
+    results = dict((r[0], r[1]) for r in batcher.run_until_drained(2))
+    _check(results[r1], _solo(setup[0], "alpha", 8), 8, vocab.eos_id())
+    _check(results[r2], _solo(setup[0], long_prompt, 4), 4, vocab.eos_id())
+
+  def test_stream_callback_delivers_all_tokens_in_order(self, setup):
+    sampler, vocab = setup
+    streamed = {}
+
+    def cb(rid, new_tokens, done):
+      streamed.setdefault(rid, []).extend(new_tokens)
+
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=6, stream_callback=cb,
+    )
+    r1 = batcher.add_request("alpha beta", max_steps=6)
+    r2 = batcher.add_request("gamma", max_steps=6)
+    results = dict((r[0], r[1]) for r in batcher.run_until_drained(2))
+    assert streamed[r1] == results[r1]
+    assert streamed[r2] == results[r2]
+
+  def test_stream_callback_incremental(self, setup):
+    """Tokens arrive across multiple ticks, not only at completion."""
+    sampler, _ = setup
+    deliveries = []
+
+    def cb(rid, new_tokens, done):
+      if new_tokens:
+        deliveries.append((len(new_tokens), done))
+
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=8, stream_callback=cb,
+    )
+    batcher.add_request("alpha beta", max_steps=8)
+    batcher.run_until_drained(2)
+    assert len(deliveries) >= 2  # at least two incremental deliveries
