@@ -91,15 +91,19 @@ DINOV2_LARGE_REG4_384 = ViTConfig(
 
 
 def _should_use_flash_mha(override: bool | None) -> bool:
-  """Auto-dispatch for the bidirectional MHA kernel: on for real TPUs.
+  """Auto-dispatch for the bidirectional MHA kernel: OFF by default.
 
-  At 729 tokens the einsum path round-trips ~34 MB of fp32 logits through
-  HBM per block; the kernel keeps the softmax in VMEM. On CPU (tests) the
-  einsum path is the reference oracle, so flash stays off unless forced.
+  Measured on the v5e (benchmarks/multimodal_bench.py vision, r3): the
+  kernel is ~1.5x SLOWER than XLA's einsum at 729 tokens / batch 1 —
+  the [t, t] fp32 logits it avoids are only ~34 MB/block, while its
+  (b, n, 6, 6) grid of 128-tile matmuls (head_dim 64/72 padded to 128
+  lanes) underutilizes the MXU vs the einsum's large batched contractions.
+  The kernel stays available (``use_flash_attention=True``) for shapes
+  where the logits tensor actually dominates (t >= ~2k).
   """
   if override is not None:
     return override
-  return jax.local_devices()[0].platform == "tpu"
+  return False
 
 
 class ViTBlock(nn.Module):

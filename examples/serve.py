@@ -94,9 +94,20 @@ def main(argv):
     print(f"\n[serve] speculative: {total} tokens, {total / dt:.1f} tok/s")
     return
 
+  def stream(request_id, new_tokens, done):
+    # Incremental delivery: decode and flush each tick's new tokens.
+    piece = vocab.DecodeIds(new_tokens)
+    if piece:
+      print(f"[{request_id}] {piece}", flush=True)
+
   batcher = cg.ContinuousBatcher(
-      sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value
+      sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value,
+      stream_callback=stream,
+      # With a chunked sampler this also bounds how long a newcomer's
+      # prefill can stall running requests each tick.
+      admission_chunks_per_tick=1,
   )
+  shared_prefix = prefix if _SYSTEM.value else None
   pending = list(_REQUESTS.value)
   submitted = {}
   t_start = time.perf_counter()
@@ -104,7 +115,10 @@ def main(argv):
   while pending or batcher.active_count:
     while pending and batcher.has_capacity:
       prompt = pending.pop(0)
-      submitted[batcher.add_request(prompt)] = prompt
+      # Requests join on top of the once-prefilled system prompt.
+      submitted[batcher.add_request(
+          prompt, prefix_state=shared_prefix
+      )] = prompt
     batcher.step(_STEP_CHUNK.value)
     for request_id, tokens, text in batcher.pop_finished():
       generated += len(tokens)
