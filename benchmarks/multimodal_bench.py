@@ -546,32 +546,30 @@ def bench_decode_roofline(int8=True, steps=64):
   )
   cache0 = model.init_cache(1, jnp.bfloat16)
 
-  @jax.jit
-  def stream_loop(p, seed):
-    def body(i, acc):
-      # (i + seed) keeps iterations distinct so XLA cannot hoist the
-      # reads; the adds/reduces are VPU work overlapped with the reads.
-      t = acc
-      for leaf in jax.tree_util.tree_leaves(p):
-        t += jnp.sum(leaf.astype(jnp.float32)) * (1.0 + 1e-9 * i)
-      return t
-    return jax.lax.fori_loop(0, steps, body, jnp.float32(seed))
-
   def decode_loop(return_logits=True, write_cache=True):
     @jax.jit
     def f(p, c, tok):
       def body(i, carry):
-        t, cc = carry
+        t, cc, acc = carry
         logits, new_c = model.apply(
             {"params": p}, t, jnp.full((1, 1), 100 + i, jnp.int32),
             cache=cc, return_logits=return_logits,
             return_cache=True, last_logits_only=True,
         )
-        nxt = (jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
-               if return_logits else t + i % 3)
-        return nxt, (new_c if write_cache else cc)
-      t, cc = jax.lax.fori_loop(0, steps, body, (tok, c))
-      return t, jax.tree_util.tree_leaves(cc)[0][0, 0]
+        # Consume EVERY layer's cache every iteration — without this,
+        # XLA dead-code-eliminates all blocks the output does not depend
+        # on (measured: the no-vocab variant collapsed to block 0 only).
+        probe = sum(
+            jnp.sum(l.astype(jnp.float32)) * 1e-9
+            for l in jax.tree_util.tree_leaves(new_c)
+        )
+        if return_logits:
+          nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+        else:
+          nxt = t + (probe.astype(jnp.int32) % 3)
+        return nxt, (new_c if write_cache else cc), acc + probe
+      t, cc, acc = jax.lax.fori_loop(0, steps, body, (tok, c, 0.0))
+      return t, acc
     return f
 
   def run_once(fn, args):
@@ -582,9 +580,6 @@ def bench_decode_roofline(int8=True, steps=64):
 
   tok = jnp.full((1, 1), 7, jnp.int32)
   results = {}
-  results["stream_ms_per_pass"] = round(
-      run_once(stream_loop, (params, jnp.float32(3))) * 1e3, 3
-  )
   results["decode_step_ms"] = round(
       run_once(decode_loop(), (params, cache0, tok)) * 1e3, 3
   )
@@ -602,13 +597,7 @@ def bench_decode_roofline(int8=True, steps=64):
   results.update(
       param_gib=round(param_bytes / 2**30, 3),
       hbm_floor_ms=round(floor_ms, 3),
-      achieved_stream_gbps=round(
-          param_bytes / (results["stream_ms_per_pass"] * 1e-3) / 1e9, 1
-      ),
       decode_vs_floor=round(results["decode_step_ms"] / floor_ms, 3),
-      decode_vs_stream=round(
-          results["decode_step_ms"] / results["stream_ms_per_pass"], 3
-      ),
       vocab_matmul_ms=round(
           results["decode_step_ms"] - results["decode_step_no_vocab_ms"], 3
       ),
@@ -619,15 +608,17 @@ def bench_decode_roofline(int8=True, steps=64):
   )
   print(json.dumps({
       "metric": "decode_roofline_breakdown" + ("_int8" if int8 else "_bf16"),
-      "value": results["decode_vs_stream"],
-      "unit": "decode step / all-weights stream pass (same-program loops)",
+      "value": results["decode_vs_floor"],
+      "unit": "decode step / theoretical HBM weight-stream floor",
       **results,
-      "notes": "every variant loops inside one program so dispatch "
-               "overhead divides away. stream_ms_per_pass reads every "
-               "parameter byte once; decode_vs_stream isolates what the "
-               "decode step loses beyond weight streaming (cache R/W, "
-               "fusion breaks, the sample argmax); vocab_matmul_ms and "
-               "cache_write_ms are ablation deltas.",
+      "notes": "every variant loops inside one program so the ~1.8 ms "
+               "relay dispatch overhead divides away (the cache probe "
+               "adds ~0.2 ms to every variant equally, and is required: "
+               "without consuming all cache leaves per iteration XLA "
+               "dead-code-eliminates whole layers; a pure weight-READ "
+               "loop gets hoisted entirely, so the floor is computed, "
+               "not measured). vocab_matmul_ms and cache_write_ms are "
+               "ablation deltas.",
   }))
   return results
 
