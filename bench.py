@@ -69,6 +69,84 @@ def measure_sync_overhead() -> float:
 PROMPT_LEN = 128
 DECODE_STEPS = 256
 BATCH = 1
+
+
+def _device_prefill_ms(forward, label):
+  """In-program amortized prefill time (device compute, dispatch excluded).
+
+  Runs ``forward(i)`` — a full prefill whose input content varies with
+  ``i`` — inside ONE jitted ``fori_loop`` and times the delta between a
+  12- and a 4-iteration execution of the same program. Per-execution
+  relay overhead (~1.8 ms measured on this backend: a matmul costs
+  372 us inside a loop program but ~2.2 ms as an individually enqueued
+  execution, BASELINE.md) and the sync round trip are fixed costs that
+  cancel in the delta, so this is the number a local (non-relayed)
+  serving host would see per prefill. Content varies per iteration
+  (dedup-safe, CLAUDE.md gotcha 3) and the accumulator consumes logits
+  and every cache leaf (DCE/hoist-safe).
+  """
+
+  @jax.jit
+  def loop(n, seed0):
+    def body(i, acc):
+      return acc + forward(seed0 + i)
+
+    return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+  _sync(loop(jnp.int32(2), jnp.int32(0)))  # compile
+  deltas = []
+  for rep in range(3):
+    t0 = time.perf_counter()
+    _sync(loop(jnp.int32(4), jnp.int32(1000 + 31 * rep)))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(loop(jnp.int32(12), jnp.int32(5000 + 31 * rep)))
+    t_big = time.perf_counter() - t0
+    deltas.append((t_big - t_small) / 8)
+  ms = max(statistics.median(deltas), 1e-9) * 1e3
+  print(
+      f"[bench] {label}: {ms:.2f} ms/prefill (in-program)", file=sys.stderr
+  )
+  return ms
+
+
+def _prefill_forward(model, params, with_image=False, config=None,
+                     last_logits_only=True):
+  """Builds the per-iteration prefill body for :func:`_device_prefill_ms`.
+
+  ``last_logits_only=False`` reproduces the reference sampler's prefill
+  semantics (full [b, t, vocab] logits, then the last position —
+  ``/root/reference/recurrentgemma/jax/sampler.py:306-325``); ours uses
+  the ``last_logits_only`` fast path.
+  """
+  pos = jnp.tile(jnp.arange(PROMPT_LEN)[None], (BATCH, 1))
+  base = _rand_tokens(777)
+  img_base = None
+  if with_image:
+    img_base = jax.random.normal(
+        jax.random.PRNGKey(4242),
+        (BATCH, config.vision_tokens, config.vision_width),
+        jnp.bfloat16,
+    )
+
+  def forward(i):
+    toks = 3 + (base + i) % 997
+    kwargs = {}
+    if with_image:
+      kwargs["image"] = img_base * (
+          1.0 + 0.001 * i.astype(jnp.bfloat16)
+      )
+    if last_logits_only:
+      kwargs["last_logits_only"] = True
+    logits, cache = model.apply({"params": params}, toks, pos, **kwargs)
+    if not last_logits_only:
+      logits = logits[:, -1]
+    acc = logits.astype(jnp.float32).mean()
+    for leaf in jax.tree_util.tree_leaves(cache):
+      acc = acc + leaf.astype(jnp.float32).mean()
+    return acc
+
+  return forward
 VOCAB_SIZE = 256_000
 
 
@@ -291,7 +369,26 @@ def bench_ours():
 
   l_bf16 = first_logits(model, params)
   l_int8 = first_logits(qmodel, qparams)
-  l_act = first_logits(qmodel.clone(act_quant=True), qparams)
+  act_model = qmodel.clone(act_quant=True)
+  l_act = first_logits(act_model, qparams)
+
+  # Device-compute TTFT (dispatch overhead excluded — see
+  # _device_prefill_ms): the per-prefill time a local serving host sees.
+  dev = {
+      "ttft_text_device_ms": round(_device_prefill_ms(
+          _prefill_forward(model, params),
+          "ours bf16 text prefill (device)",
+      ), 3),
+      "ttft_text_int8_device_ms": round(_device_prefill_ms(
+          _prefill_forward(act_model, qparams),
+          "ours int8+act text prefill (device)",
+      ), 3),
+      "ttft_mm_int8_device_ms": round(_device_prefill_ms(
+          _prefill_forward(act_model, qparams, with_image=True,
+                           config=config),
+          "ours int8+act multimodal prefill (device)",
+      ), 3),
+  }
   scale_ref = float(np.abs(l_bf16).max()) or 1.0
   acc = {
       "int8_logit_rel_err": round(
@@ -313,6 +410,7 @@ def bench_ours():
       "ttft_mm_int8_weightonly": ttft_mm_int8_wo,
       "ttft_text_int8": ttft_text_int8,
       "ttft_text_int8_weightonly": ttft_text_int8_wo,
+      **dev,
       **acc,
   }
 
@@ -395,7 +493,16 @@ def bench_reference():
     def make_args(seed):
       return (_rand_tokens(seed),)
 
-    return _bench_sampler(s, make_args, "reference (text prefill)", measure_sync_overhead())
+    tps, ttft = _bench_sampler(
+        s, make_args, "reference (text prefill)", measure_sync_overhead()
+    )
+    # Same in-program device-time methodology as ours, reproducing the
+    # reference sampler's full-logits prefill semantics.
+    dev_ms = _device_prefill_ms(
+        _prefill_forward(model, params, last_logits_only=False),
+        "reference text prefill (device)",
+    )
+    return tps, ttft, dev_ms
   finally:
     sys.path.remove("/root/reference")
 
@@ -419,10 +526,10 @@ def main():
   int8_ttft_ms = ours["ttft_mm_int8"]
   int8_text_ttft_ms = ours["ttft_text_int8"]
   try:
-    ref_tps, ref_ttft_ms = bench_reference()
+    ref_tps, ref_ttft_ms, ref_dev_ms = bench_reference()
   except Exception as e:  # Reference may not run in this environment.
     print(f"[bench] reference baseline failed: {e!r}", file=sys.stderr)
-    ref_tps, ref_ttft_ms = None, None
+    ref_tps, ref_ttft_ms, ref_dev_ms = None, None, None
   try:
     spec_results = bench_speculative_ours()
   except Exception as e:
@@ -465,6 +572,20 @@ def main():
       "ttft_text_ms_int8_weightonly": round(
           ours["ttft_text_int8_weightonly"], 2
       ),
+      "ttft_text_device_ms": ours["ttft_text_device_ms"],
+      "ttft_text_int8_device_ms": ours["ttft_text_int8_device_ms"],
+      "ttft_mm_int8_device_ms": ours["ttft_mm_int8_device_ms"],
+      "reference_text_ttft_device_ms": (
+          round(ref_dev_ms, 3) if ref_dev_ms else None
+      ),
+      "ttft_text_device_vs_reference": (
+          round(ref_dev_ms / ours["ttft_text_device_ms"], 3)
+          if ref_dev_ms else None
+      ),
+      "ttft_text_int8_device_vs_reference": (
+          round(ref_dev_ms / ours["ttft_text_int8_device_ms"], 3)
+          if ref_dev_ms else None
+      ),
       "int8_logit_rel_err": ours["int8_logit_rel_err"],
       "act_quant_logit_rel_err": ours["act_quant_logit_rel_err"],
       "act_quant_vs_int8_logit_rel_err": ours[
@@ -491,7 +612,15 @@ def main():
           "prefill (int8 x int8 MXU matmuls, decode weight-only); "
           "*_weightonly are the r2-comparable weight-only-int8 prefills. "
           "The *_logit_rel_err fields are the measured first-token logit "
-          "deltas of each quantization mode vs bf16 on the same prompt."
+          "deltas of each quantization mode vs bf16 on the same prompt. "
+          "*_device_ms are in-program loop-amortized prefill times "
+          "(varying content per iteration): the relay's ~1.8 ms "
+          "per-execution dispatch overhead and run-to-run enqueue jitter "
+          "cancel in a 12-vs-4-iteration delta, so these are the "
+          "device-compute times a local host would see; the enqueued "
+          "ttft_* counterparts above are what THIS relayed environment "
+          "delivers end-to-end. The reference device number reproduces "
+          "its full-[b,t,vocab]-logits prefill semantics."
       ),
   }
   result.update(kernel_results)

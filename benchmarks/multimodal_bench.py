@@ -572,24 +572,25 @@ def bench_decode_roofline(int8=True, steps=64):
       return t, acc
     return f
 
-  def run_once(fn, args):
-    _sync(fn(*args))  # compile
+  def run_once(fn, make_args):
+    _sync(fn(*make_args(0)))  # compile
+    args = make_args(1)       # distinct content: byte-identical dispatches
+    for a in jax.tree_util.tree_leaves(args):  # get deduplicated upstream
+      _sync(a)
     t0 = _time.perf_counter()
     _sync(fn(*args))
     return (_time.perf_counter() - t0) / steps
 
-  tok = jnp.full((1, 1), 7, jnp.int32)
+  make_tok = lambda i: (params, cache0, jnp.full((1, 1), 7 + i, jnp.int32))
   results = {}
   results["decode_step_ms"] = round(
-      run_once(decode_loop(), (params, cache0, tok)) * 1e3, 3
+      run_once(decode_loop(), make_tok) * 1e3, 3
   )
   results["decode_step_no_vocab_ms"] = round(
-      run_once(decode_loop(return_logits=False), (params, cache0, tok))
-      * 1e3, 3,
+      run_once(decode_loop(return_logits=False), make_tok) * 1e3, 3
   )
   results["decode_step_no_cache_writes_ms"] = round(
-      run_once(decode_loop(write_cache=False), (params, cache0, tok))
-      * 1e3, 3,
+      run_once(decode_loop(write_cache=False), make_tok) * 1e3, 3
   )
 
   hbm_gbps = 819.0  # v5e paper number

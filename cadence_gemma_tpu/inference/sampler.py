@@ -858,44 +858,21 @@ class Sampler(Generic[Cache]):
           stacklevel=2,
       )
     if use_chunks:
-      batch, total_len = padded_tokens.shape
-      if total_len % chunk:
-        # Extend the left padding to the next chunk multiple; padded
-        # positions carry the same -1 sentinel as single-shot prefill.
-        extra = chunk - total_len % chunk
-        padded_tokens = jnp.pad(
-            padded_tokens, ((0, 0), (extra, 0)),
-            constant_values=self.vocab.pad_id(),
-        )
-        total_len += extra
-        pad_lengths = total_len - input_lengths
-      cache = self.model.init_cache(batch, self.dtype)
-      num_chunks = total_len // chunk
-      # True per-row positions: left-aligned to end at input_length - 1,
-      # pads clipped to -1 (identical to the single-shot path).
-      all_positions = (
-          jnp.tile(jnp.arange(total_len)[None], (batch, 1))
-          - total_len + input_lengths[:, None]
+      mid, cache, final_tokens, start, padded_tokens = (
+          self.plan_prompt_chunks(padded_tokens, input_lengths)
       )
-      all_positions = jnp.maximum(all_positions, -1)
+      pad_lengths = padded_tokens.shape[1] - input_lengths
       want_chunk_logits = echo and return_logits
       chunk_logits = []
-      for i in range(num_chunks - 1):
+      for tok_c, pos_c in mid:
         logits_i, cache = self._compiled_chunk_fn(
-            self.params,
-            padded_tokens[:, i * chunk : (i + 1) * chunk],
-            all_positions[:, i * chunk : (i + 1) * chunk],
-            cache,
-            want_chunk_logits,
+            self.params, tok_c, pos_c, cache, want_chunk_logits
         )
         if want_chunk_logits:
           chunk_logits.append(logits_i)
-      # The final chunk continues per-row from wherever its prompt stands
-      # (negative for rows whose prompt starts inside this chunk).
-      start = (num_chunks - 1) * chunk - total_len + input_lengths
       state = self.prompt_processing_fn(
           self.params,
-          padded_tokens[:, -chunk:],
+          final_tokens,
           rng,
           input_lengths,
           total_generation_steps,
@@ -903,7 +880,7 @@ class Sampler(Generic[Cache]):
           echo,
           img_embed,
           cache,
-          start.astype(jnp.int32),
+          start,
       )
       if echo:
         # The jitted prefill echoed only its own (final) chunk; prepend the
@@ -922,6 +899,9 @@ class Sampler(Generic[Cache]):
             logits_buffer=logits_buffer,
             step=state.step + earlier.shape[1],
             total_steps=state.total_steps + earlier.shape[1],
+            # gen_start marks generated-token buffer indices (the
+            # repetition-penalty scope); it shifts with the buffers.
+            gen_start=state.gen_start + earlier.shape[1],
         )
     else:
       state = self.prompt_processing_fn(
@@ -1017,6 +997,88 @@ class Sampler(Generic[Cache]):
       pending = jnp.broadcast_to(prefix_state.pending_token, (batch, 1))
       tokens = jnp.concatenate([pending, tokens], axis=1)
     return tokens, cache, start
+
+  def plan_prompt_chunks(
+      self, padded_tokens: at.Tokens, input_lengths: at.NumTokens
+  ) -> tuple[list, Cache, at.Tokens, jax.Array, at.Tokens]:
+    """Chunk plan for a fresh (BOS-leading, left-padded) prompt.
+
+    The single source of the chunking scheme (previously hand-rolled in
+    four places, which drifted): left-pad to a ``prefill_chunk_size``
+    multiple (padded positions carry the -1 sentinel, identical to
+    single-shot prefill), all-but-last chunks go through the cache-only
+    chunk program, and the final chunk runs the sampling prefill
+    continuing from per-row ``start`` positions (negative for rows whose
+    prompt begins inside it).
+
+    Returns ``(mid_chunks, cache, final_tokens, final_start,
+    padded_tokens)`` where ``mid_chunks`` is a list of (tokens,
+    positions) slices and ``cache`` is fresh (safe to donate to the
+    chunk program).
+    """
+    chunk = self.prefill_chunk_size
+    batch, total_len = padded_tokens.shape
+    extra = -total_len % chunk
+    if extra:
+      padded_tokens = jnp.pad(
+          padded_tokens, ((0, 0), (extra, 0)),
+          constant_values=self.vocab.pad_id(),
+      )
+      total_len += extra
+    positions = (
+        jnp.tile(jnp.arange(total_len, dtype=jnp.int32)[None], (batch, 1))
+        - total_len + input_lengths[:, None]
+    )
+    positions = jnp.maximum(positions, -1)
+    num_chunks = total_len // chunk
+    mid = [
+        (padded_tokens[:, i * chunk : (i + 1) * chunk],
+         positions[:, i * chunk : (i + 1) * chunk])
+        for i in range(num_chunks - 1)
+    ]
+    final_start = (
+        (num_chunks - 1) * chunk - total_len + input_lengths
+    ).astype(jnp.int32)
+    cache = self.model.init_cache(batch, self.dtype)
+    return mid, cache, padded_tokens[:, -chunk:], final_start, padded_tokens
+
+  def plan_continuation_chunks(
+      self, input_strings: Sequence[str], prefix_state: PrefixState
+  ) -> tuple[list, Cache, at.Tokens, jax.Array, at.Tokens]:
+    """``encode_continuation`` plus the chunk plan for long continuations.
+
+    Continuations are never padded (pads after real prefix content would
+    corrupt the caches): full-size middle chunks, variable-size final
+    remainder. The returned ``cache`` is SAFE TO DONATE when middle
+    chunks exist — it never aliases ``prefix_state.cache`` (the chunk
+    program donates its cache argument; handing it the shared prefix
+    cache would delete buffers other requests still need).
+
+    Returns ``(mid_chunks, cache, final_tokens, final_start, tokens)``.
+    """
+    tokens, cache, start = self.encode_continuation(
+        input_strings, prefix_state
+    )
+    chunk = self.prefill_chunk_size
+    length = int(tokens.shape[1])
+    if chunk is None or length <= chunk:
+      # Single-shot: the sampling prefill does not donate its cache
+      # argument, so the (possibly aliased) prefix cache is fine here.
+      return [], cache, tokens, start, tokens
+    if (
+        jax.tree_util.tree_leaves(cache)[0]
+        is jax.tree_util.tree_leaves(prefix_state.cache)[0]
+    ):
+      cache = jax.tree_util.tree_map(jnp.copy, cache)
+    positions = start[:, None] + jnp.arange(length, dtype=jnp.int32)
+    n_mid = (length - 1) // chunk
+    mid = [
+        (tokens[:, i * chunk : (i + 1) * chunk],
+         positions[:, i * chunk : (i + 1) * chunk])
+        for i in range(n_mid)
+    ]
+    final_start = (start + n_mid * chunk).astype(jnp.int32)
+    return mid, cache, tokens[:, n_mid * chunk :], final_start, tokens
 
   def _call_with_prefix(
       self,

@@ -434,58 +434,28 @@ class ContinuousBatcher:
     chunk = s.prefill_chunk_size
 
     if prefix_state is not None:
-      # Continuation admission: no padding (pads after real prefix content
-      # would corrupt the caches); chunk boundaries fall on real tokens
-      # and the (variable-length) remainder is the final chunk.
-      tokens, cache, start_arr = s.encode_continuation([prompt], prefix_state)
-      length = int(tokens.shape[1])
-      positions = start_arr[:, None] + jnp.arange(length, dtype=jnp.int32)
-      n_mid = (length - 1) // chunk if chunk is not None else 0
-      chunks = [
-          (tokens[:, i * chunk : (i + 1) * chunk],
-           positions[:, i * chunk : (i + 1) * chunk])
-          for i in range(n_mid)
-      ]
-      mid_len = n_mid * chunk if n_mid else 0
-      chunks.append((tokens[:, mid_len:], None))
-      start = (start_arr + mid_len).astype(jnp.int32)
-      input_length = length
+      # Continuation admission via the shared chunk planner (its cache is
+      # donation-safe — never the shared prefix cache itself).
+      mid, cache, final_tokens, start, tokens = (
+          s.plan_continuation_chunks([prompt], prefix_state)
+      )
+      chunks = list(mid) + [(final_tokens, None)]
+      input_length = int(tokens.shape[1])
       prompt_tokens = (
           jnp.array(tokens, copy=True) if self.draft_len else None
       )
-      prompt_length = jnp.int32(length) if self.draft_len else None
+      prompt_length = (
+          jnp.int32(input_length) if self.draft_len else None
+      )
     else:
       ids = s.tokenize(prompt)
       tokens = s._get_padded_tokens([ids])
       input_length = len(ids)
-      total_len = int(tokens.shape[1])
-      if chunk is not None and total_len > chunk:
-        # Same scheme as Sampler.__call__'s chunked path: left-pad to a
-        # chunk multiple (-1 position sentinel), stream cache-only chunks,
-        # finish with the sampling prefill continuing from `start`.
-        extra = -total_len % chunk
-        if extra:
-          tokens = jnp.pad(
-              tokens, ((0, 0), (extra, 0)),
-              constant_values=s.vocab.pad_id(),
-          )
-          total_len += extra
-        positions = jnp.maximum(
-            jnp.arange(total_len, dtype=jnp.int32)[None]
-            - total_len + input_length,
-            -1,
+      if chunk is not None and int(tokens.shape[1]) > chunk:
+        mid, cache, final_tokens, start, tokens = s.plan_prompt_chunks(
+            tokens, jnp.asarray([input_length])
         )
-        num_chunks = total_len // chunk
-        chunks = [
-            (tokens[:, i * chunk : (i + 1) * chunk],
-             positions[:, i * chunk : (i + 1) * chunk])
-            for i in range(num_chunks - 1)
-        ]
-        chunks.append((tokens[:, -chunk:], None))
-        start = jnp.asarray(
-            [(num_chunks - 1) * chunk - total_len + input_length], jnp.int32
-        )
-        cache = s.model.init_cache(1, s.dtype)
+        chunks = list(mid) + [(final_tokens, None)]
       else:
         chunks = [(tokens, None)]
         start = None

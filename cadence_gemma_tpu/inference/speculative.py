@@ -425,64 +425,33 @@ class SpeculativeSampler:
         tokens = s._get_padded_tokens(all_ids)
       cache, start = None, None
       if chunk is not None and tokens.shape[1] > chunk and img_embed is None:
-        # Chunked prefill (same scheme as Sampler.__call__): bound the
-        # long-prompt activation memory; the image splice cannot cross
-        # chunks, so multimodal prompts stay single-shot.
-        extra = -int(tokens.shape[1]) % chunk
-        if extra:
-          tokens = jnp.pad(
-              tokens, ((0, 0), (extra, 0)),
-              constant_values=s.vocab.pad_id(),
-          )
-        total_len = int(tokens.shape[1])
-        positions = jnp.maximum(
-            jnp.arange(total_len, dtype=jnp.int32)[None]
-            - total_len + lengths[:, None],
-            -1,
+        # Chunked prefill (Sampler.plan_prompt_chunks — the one shared
+        # chunking scheme): bounds the long-prompt activation memory; the
+        # image splice cannot cross chunks, so multimodal prompts stay
+        # single-shot.
+        mid, cache, final_tokens, start, tokens = s.plan_prompt_chunks(
+            tokens, lengths
         )
-        cache = s.model.init_cache(tokens.shape[0], s.dtype)
-        num_chunks = total_len // chunk
-        for i in range(num_chunks - 1):
+        for tok_c, pos_c in mid:
           _, cache = s._compiled_chunk_fn(
-              s.params,
-              tokens[:, i * chunk : (i + 1) * chunk],
-              positions[:, i * chunk : (i + 1) * chunk],
-              cache,
-              False,
+              s.params, tok_c, pos_c, cache, False
           )
-        start = ((num_chunks - 1) * chunk - total_len + lengths).astype(
-            jnp.int32
-        )
-        final_tokens = tokens[:, -chunk:]
       else:
         final_tokens = tokens
       prompt_len = tokens.shape[1]
       valid_from = (prompt_len - lengths).astype(jnp.int32)
     else:
-      tokens, cache, start = s.encode_continuation(
-          input_strings, prefix_state
+      mid, cache, final_tokens, start, tokens = (
+          s.plan_continuation_chunks(input_strings, prefix_state)
       )
+      for tok_c, pos_c in mid:
+        _, cache = s._compiled_chunk_fn(
+            s.params, tok_c, pos_c, cache, False
+        )
       batch = tokens.shape[0]
       prompt_len = int(tokens.shape[1])
       lengths = jnp.full((batch,), prompt_len, jnp.int32)
       valid_from = jnp.zeros((batch,), jnp.int32)
-      if chunk is not None and prompt_len > chunk:
-        # No padding (pads after real prefix content would corrupt the
-        # caches): full-size middle chunks + a variable-size remainder.
-        positions = start[:, None] + jnp.arange(prompt_len, dtype=jnp.int32)
-        n_mid = (prompt_len - 1) // chunk
-        for i in range(n_mid):
-          _, cache = s._compiled_chunk_fn(
-              s.params,
-              tokens[:, i * chunk : (i + 1) * chunk],
-              positions[:, i * chunk : (i + 1) * chunk],
-              cache,
-              False,
-          )
-        start = (start + n_mid * chunk).astype(jnp.int32)
-        final_tokens = tokens[:, n_mid * chunk :]
-      else:
-        final_tokens = tokens
 
     # History buffer BEFORE prefill: prompt_processing_fn donates its
     # token argument.

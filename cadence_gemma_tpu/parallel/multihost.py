@@ -52,6 +52,16 @@ def initialize(
   global _INITIALIZED
   if _INITIALIZED:
     return jax.process_count()
+  # A launcher may have initialized the process group before us; don't
+  # call jax.distributed.initialize a second time (it raises).
+  try:
+    from jax._src import distributed as _dist  # pytype: disable=import-error
+
+    if getattr(_dist.global_state, "client", None) is not None:
+      _INITIALIZED = True
+      return jax.process_count()
+  except ImportError:
+    pass
   explicit = coordinator_address is not None
   env = (
       os.environ.get("JAX_COORDINATOR_ADDRESS")

@@ -143,6 +143,22 @@ class GriffinPipeline:
 
   def __post_init__(self):
     stage_block_types(self.model.config.block_types, self.num_stages)
+    if len(self.tail_layers) > self.layers_per_stage:
+      # A short tail (the 2B preset's 2 of 26 blocks) is the intended
+      # design; a tail LARGER than a stage means the chosen stage count
+      # misaligns badly with the block cycle and most of the model would
+      # run replicated + sequential — surface it instead of silently
+      # degrading (the pre-r3 code raised here).
+      import warnings
+
+      warnings.warn(
+          f"Pipeline split is poor: only {self.pipelined_layers} of "
+          f"{self.model.config.num_layers} blocks pipeline over "
+          f"{self.num_stages} stages; {len(self.tail_layers)} tail "
+          "blocks run unpipelined (replicated). Pick a stage count "
+          "aligned with the block-type cycle.",
+          stacklevel=2,
+      )
 
   # -- parameter layout -----------------------------------------------------
 
