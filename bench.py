@@ -71,36 +71,38 @@ DECODE_STEPS = 256
 BATCH = 1
 
 
-def _device_prefill_ms(forward, label):
+def _device_prefill_ms(forward, params, label):
   """In-program amortized prefill time (device compute, dispatch excluded).
 
-  Runs ``forward(i)`` — a full prefill whose input content varies with
-  ``i`` — inside ONE jitted ``fori_loop`` and times the delta between a
-  12- and a 4-iteration execution of the same program. Per-execution
+  Runs ``forward(params, i)`` — a full prefill whose input content varies
+  with ``i`` — inside ONE jitted ``fori_loop`` and times the delta between
+  a 12- and a 4-iteration execution of the same program. Per-execution
   relay overhead (~1.8 ms measured on this backend: a matmul costs
   372 us inside a loop program but ~2.2 ms as an individually enqueued
   execution, BASELINE.md) and the sync round trip are fixed costs that
   cancel in the delta, so this is the number a local (non-relayed)
   serving host would see per prefill. Content varies per iteration
   (dedup-safe, CLAUDE.md gotcha 3) and the accumulator consumes logits
-  and every cache leaf (DCE/hoist-safe).
+  and every cache leaf (DCE/hoist-safe). ``params`` is threaded as an
+  explicit jit argument — closing over it would lower the whole weight
+  tree as a multi-GB constant block (CLAUDE.md gotcha 8).
   """
 
   @jax.jit
-  def loop(n, seed0):
+  def loop(params, n, seed0):
     def body(i, acc):
-      return acc + forward(seed0 + i)
+      return acc + forward(params, seed0 + i)
 
     return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-  _sync(loop(jnp.int32(2), jnp.int32(0)))  # compile
+  _sync(loop(params, jnp.int32(2), jnp.int32(0)))  # compile
   deltas = []
   for rep in range(3):
     t0 = time.perf_counter()
-    _sync(loop(jnp.int32(4), jnp.int32(1000 + 31 * rep)))
+    _sync(loop(params, jnp.int32(4), jnp.int32(1000 + 31 * rep)))
     t_small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    _sync(loop(jnp.int32(12), jnp.int32(5000 + 31 * rep)))
+    _sync(loop(params, jnp.int32(12), jnp.int32(5000 + 31 * rep)))
     t_big = time.perf_counter() - t0
     deltas.append((t_big - t_small) / 8)
   ms = max(statistics.median(deltas), 1e-9) * 1e3
@@ -110,7 +112,7 @@ def _device_prefill_ms(forward, label):
   return ms
 
 
-def _prefill_forward(model, params, with_image=False, config=None,
+def _prefill_forward(model, with_image=False, config=None,
                      last_logits_only=True):
   """Builds the per-iteration prefill body for :func:`_device_prefill_ms`.
 
@@ -129,7 +131,7 @@ def _prefill_forward(model, params, with_image=False, config=None,
         jnp.bfloat16,
     )
 
-  def forward(i):
+  def forward(params, i):
     toks = 3 + (base + i) % 997
     kwargs = {}
     if with_image:
@@ -376,16 +378,16 @@ def bench_ours():
   # _device_prefill_ms): the per-prefill time a local serving host sees.
   dev = {
       "ttft_text_device_ms": round(_device_prefill_ms(
-          _prefill_forward(model, params),
+          _prefill_forward(model), params,
           "ours bf16 text prefill (device)",
       ), 3),
       "ttft_text_int8_device_ms": round(_device_prefill_ms(
-          _prefill_forward(act_model, qparams),
+          _prefill_forward(act_model), qparams,
           "ours int8+act text prefill (device)",
       ), 3),
       "ttft_mm_int8_device_ms": round(_device_prefill_ms(
-          _prefill_forward(act_model, qparams, with_image=True,
-                           config=config),
+          _prefill_forward(act_model, with_image=True, config=config),
+          qparams,
           "ours int8+act multimodal prefill (device)",
       ), 3),
   }
@@ -499,7 +501,7 @@ def bench_reference():
     # Same in-program device-time methodology as ours, reproducing the
     # reference sampler's full-logits prefill semantics.
     dev_ms = _device_prefill_ms(
-        _prefill_forward(model, params, last_logits_only=False),
+        _prefill_forward(model, last_logits_only=False), params,
         "reference text prefill (device)",
     )
     return tps, ttft, dev_ms

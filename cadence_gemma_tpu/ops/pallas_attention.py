@@ -686,6 +686,85 @@ def _mha_kernel(
     o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
 
 
+# Longest (padded) sequence the one-pass MHA kernel holds in VMEM: the
+# [t, t] fp32 logits block is t^2 * 4 bytes (4 MB at 1024) + 4 qkv/out
+# blocks — comfortably inside the ~16 MB budget.
+_ONEPASS_MAX_T = 1024
+
+
+def _mha_onepass_kernel(
+    q_ref,       # [1, 1, t, h]
+    k_ref,       # [1, 1, t, h]
+    v_ref,       # [1, 1, t, h]
+    o_ref,       # [1, 1, t, h]
+    *,
+    scale: float,
+    kv_len: int,
+    out_dtype,
+):
+  """Whole-sequence bidirectional MHA for one (batch, head) pair.
+
+  At ViT-tower lengths (t <= ~1k) a head's full [t, t] fp32 logits fit in
+  VMEM, so a plain masked softmax in two big MXU matmuls replaces the
+  online-softmax tiling — the tiled ``_mha_kernel``'s (b, n, t/128,
+  t/128) grid of 128-wide steps is kernel-overhead-bound at these shapes
+  (measured ~1.5x SLOWER than XLA einsum at 729 tokens, r3 vision sweep),
+  while this kernel still avoids the einsum path's ~34 MB/layer logits
+  round trip through HBM. Padded key columns (``kp >= kv_len``) are
+  masked; padded query rows produce an all-masked softmax (l == 0 guard)
+  and are sliced off by the caller.
+  """
+  q = q_ref[0, 0]
+  k = k_ref[0, 0]
+  v = v_ref[0, 0]
+  logits = jax.lax.dot_general(
+      q, k, (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  ) * scale
+  kp = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+  mask = kp < kv_len
+  logits = jnp.where(mask, logits, _MIN_LOGITS_VALUE)
+  m = jnp.max(logits, axis=1, keepdims=True)
+  m = jnp.where(m <= _MIN_LOGITS_VALUE / 2, 0.0, m)
+  p = jnp.exp(logits - m)
+  p = jnp.where(mask, p, 0.0)
+  l = jnp.sum(p, axis=1, keepdims=True)
+  l = jnp.where(l == 0.0, 1.0, l)
+  o_ref[0, 0] = (
+      jax.lax.dot_general(
+          p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32,
+      ) / l
+  ).astype(out_dtype)
+
+
+def _flash_mha_onepass(q, k, v, seq_len, head_dim):
+  """One kernel instance per (batch, head); q/k/v already padded."""
+  batch, num_heads, t_pad, hd = q.shape
+  out = pl.pallas_call(
+      functools.partial(
+          _mha_onepass_kernel,
+          scale=head_dim**-0.5,
+          kv_len=seq_len,
+          out_dtype=q.dtype,
+      ),
+      grid=(batch, num_heads),
+      in_specs=[
+          pl.BlockSpec((1, 1, t_pad, hd), lambda b, n: (b, n, 0, 0),
+                       memory_space=pltpu.VMEM)
+      ] * 3,
+      out_specs=pl.BlockSpec(
+          (1, 1, t_pad, hd), lambda b, n: (b, n, 0, 0),
+          memory_space=pltpu.VMEM,
+      ),
+      out_shape=jax.ShapeDtypeStruct((batch, num_heads, t_pad, hd), q.dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel"),
+      ),
+  )(q, k, v)
+  return out
+
+
 def _flash_mha_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
   """[b, t, n, h] q/k/v → [b, t, n, h] full bidirectional attention."""
   batch, seq_len, num_heads, head_dim = q.shape
@@ -703,6 +782,10 @@ def _flash_mha_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
   qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
   kh = jnp.transpose(k, (0, 2, 1, 3))
   vh = jnp.transpose(v, (0, 2, 1, 3))
+  if t_pad <= _ONEPASS_MAX_T:
+    out = _flash_mha_onepass(qh, kh, vh, seq_len, head_dim)
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, :seq_len, :, :head_dim]
   num_kv_steps = t_pad // _BLOCK_K
   grid = (batch, num_heads, t_pad // _BLOCK_Q, num_kv_steps)
 

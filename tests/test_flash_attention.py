@@ -271,6 +271,19 @@ class TestFlashMHA:
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.04
     )
 
+  def test_tiled_path_matches_einsum(self, monkeypatch):
+    """Long sequences (> _ONEPASS_MAX_T) use the tiled online-softmax grid;
+    force that path at a small t so it keeps interpret-mode coverage."""
+    monkeypatch.setattr(fa, "_ONEPASS_MAX_T", 0)
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (2, 200, 3, 64))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 200, 3, 64))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 200, 3, 64))
+    ref = fa._reference_mha(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+      out = fa.flash_mha_attention(q, k, v)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
   def test_gradients_flow(self):
     """custom_vjp wiring: grads equal autodiff of the einsum reference."""
     key = jax.random.PRNGKey(4)
