@@ -127,6 +127,10 @@ def bench_vision_encoder():
       "bf16_flash": (dict(use_flash_attention=True), params),
       "int8_einsum": (dict(quantized=True), qparams),
       "int8_act_einsum": (dict(quantized=True, act_quant=True), qparams),
+      "int8_act_flash": (
+          dict(quantized=True, act_quant=True, use_flash_attention=True),
+          qparams,
+      ),
   }
   results = {}
   for name, (kwargs, p) in variants.items():
@@ -438,11 +442,13 @@ def bench_fused_image_ttft(prompt_len=128, reps=6, int8=False):
     model = griffin.Griffin(
         config, gradient_checkpointing=False, quantized=True
     )
-    # Towers stay bf16: at 729 tokens they are compute-bound on mid-size
-    # matmuls where int8 measured SLOWER than bf16 on this chip (see the
-    # vision variant sweep); int8 pays off in the Griffin prefill, not
-    # the towers.
-    encoder = vit.DinoSigLIPEncoder()
+    # Towers run int8 weights + activations too: the r3 5-variant sweep
+    # (same-run comparison; einsum vs one-pass-flash attention, int8
+    # weight/act combinations) puts int8_act_einsum first at 729 tokens
+    # (11.7-11.9 ms vs 13.4-14.3 bf16). An earlier single run that
+    # measured int8 slower was run-to-run variance on the relay chip.
+    encoder = vit.DinoSigLIPEncoder(quantized=True, act_quant=True)
+    v_params = jax.jit(quantization.quantize_params)(v_params)
   else:
     model = base_model
     encoder = vit.DinoSigLIPEncoder()

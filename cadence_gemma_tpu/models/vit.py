@@ -94,12 +94,18 @@ def _should_use_flash_mha(override: bool | None) -> bool:
   """Auto-dispatch for the bidirectional MHA kernel: OFF by default.
 
   Measured on the v5e (benchmarks/multimodal_bench.py vision, r3): the
-  kernel is ~1.5x SLOWER than XLA's einsum at 729 tokens / batch 1 —
-  the [t, t] fp32 logits it avoids are only ~34 MB/block, while its
-  (b, n, 6, 6) grid of 128-tile matmuls (head_dim 64/72 padded to 128
-  lanes) underutilizes the MXU vs the einsum's large batched contractions.
-  The kernel stays available (``use_flash_attention=True``) for shapes
-  where the logits tensor actually dominates (t >= ~2k).
+  original tiled online-softmax grid was ~1.5x SLOWER than XLA's einsum
+  at 729 tokens / batch 1 — its (b, n, 6, 6) grid of 128-tile matmuls
+  (head_dim 64/72 padded to 128 lanes) underutilizes the MXU vs the
+  einsum's large batched contractions. The whole-sequence one-pass
+  kernel (``pallas_attention._mha_onepass_kernel``, auto-selected for
+  t <= 1024) closes that gap to parity (same-run 5-variant sweep:
+  flash 14.5 vs einsum 14.3 ms/image bf16; 12.5 vs 11.7 int8+act), but
+  never beats einsum at these shapes — the [t, t] fp32 logits it keeps
+  out of HBM are only ~34 MB/block, below where bandwidth matters. The
+  towers therefore default to einsum; the kernel stays available
+  (``use_flash_attention=True``) for shapes where the logits tensor
+  actually dominates (t >= ~2k).
   """
   if override is not None:
     return override
