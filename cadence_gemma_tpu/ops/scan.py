@@ -195,20 +195,6 @@ def single_shard_rnn_scan(
   assert a.dtype == x.dtype
 
   scan_type = resolve_scan_type(scan_type)
-  if scan_type is common.ScanType.LINEAR_PALLAS and isinstance(
-      x, complex_lib.Complex
-  ):
-    # DELIBERATE DESCOPE (documented; tested in
-    # tests/test_scan.py::TestComplexScan): the Pallas kernel is
-    # real-valued, so ``Complex`` operands fall back to the native scan —
-    # including under shard_map, where the sequence-shard correction runs
-    # the same complex arithmetic. The reference threads complex values
-    # through its Pallas kernel (``jax/pallas.py:475-623``), but no
-    # preset instantiates a complex RG-LRU (all four use the real
-    # parameterization), so the kernel path would be dead code here; the
-    # native fallback is numerically identical and loses only speed on a
-    # hypothetical research config. Revisit if a complex preset appears.
-    scan_type = common.ScanType.LINEAR_NATIVE
 
   num_shards = sharding.num_sequence_shards(seq_axis, seq_axis_index_groups)
 

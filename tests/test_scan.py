@@ -221,20 +221,66 @@ class TestComplexScan:
     ai = 0.1 * jax.random.normal(jax.random.fold_in(k, 3), (b, t, d))
     return complex_lib.Complex(xr, xi), complex_lib.Complex(ar, ai)
 
-  def test_pallas_scan_type_falls_back_for_complex(self):
-    """Documented descope: LINEAR_PALLAS + Complex dispatches to the
-    native scan (the kernel is real-valued; no preset uses a complex
-    RG-LRU) and produces the exact native-path numbers."""
-    x, a = self._complex_inputs()
-    y_pallas_req, h_pallas_req = scan.single_shard_rnn_scan(
-        x, a, scan_type=common.ScanType.LINEAR_PALLAS
-    )
-    y_native, h_native = scan.single_shard_rnn_scan(
-        x, a, scan_type=common.ScanType.LINEAR_NATIVE
-    )
-    np.testing.assert_array_equal(y_pallas_req.real, y_native.real)
-    np.testing.assert_array_equal(y_pallas_req.imag, y_native.imag)
-    np.testing.assert_array_equal(h_pallas_req.real, h_native.real)
+  @pytest.mark.parametrize("reverse", [False, True])
+  @pytest.mark.parametrize("with_h0", [False, True])
+  def test_pallas_complex_forward(self, reverse, with_h0):
+    """Complex operands run the Pallas kernel itself (interpret mode) and
+    match the native complex scan — the reference's complex-kernel
+    capability (``jax/pallas.py:475-623``)."""
+    from cadence_gemma_tpu import complex_lib
+
+    x, a = self._complex_inputs(b=2, t=40, d=200)
+    k = jax.random.PRNGKey(7)
+    h0 = None
+    if with_h0:
+      h0 = complex_lib.Complex(
+          jax.random.normal(k, (2, 200)),
+          jax.random.normal(jax.random.fold_in(k, 1), (2, 200)),
+      )
+    y_ref, h_ref = scan.lru_linear_scan(x, a, h0, reverse=reverse)
+    with pltpu.force_tpu_interpret_mode():
+      y, h_last = pallas_lru.lru_pallas_scan(x, a, h0, reverse=reverse)
+    np.testing.assert_allclose(y.real, y_ref.real, atol=1e-5)
+    np.testing.assert_allclose(y.imag, y_ref.imag, atol=1e-5)
+    np.testing.assert_allclose(h_last.real, h_ref.real, atol=1e-5)
+    np.testing.assert_allclose(h_last.imag, h_ref.imag, atol=1e-5)
+
+  @pytest.mark.parametrize("with_h0", [False, True])
+  def test_pallas_complex_gradients(self, with_h0):
+    """Complex Pallas VJP (premultiply scan with conj(a), da = dx*conj(h))
+    == autodiff through the native complex scan."""
+    from cadence_gemma_tpu import complex_lib
+
+    x, a = self._complex_inputs(b=1, t=32, d=16)
+    k = jax.random.PRNGKey(9)
+    h0 = None
+    if with_h0:
+      h0 = complex_lib.Complex(
+          jax.random.normal(k, (1, 16)),
+          jax.random.normal(jax.random.fold_in(k, 1), (1, 16)),
+      )
+
+    def loss(fn, x, a, h0):
+      y, h = fn(x, a, h0)
+      return (
+          jnp.sum(y.real**2 + y.imag**2) + jnp.sum(h.real**2 + h.imag**2)
+      )
+
+    argnums = (0, 1, 2) if with_h0 else (0, 1)
+    with pltpu.force_tpu_interpret_mode():
+      gp = jax.grad(
+          lambda *args: loss(pallas_lru.lru_pallas_scan, *args,
+                             *(() if with_h0 else (None,))),
+          argnums=argnums,
+      )(*((x, a, h0) if with_h0 else (x, a)))
+    gn = jax.grad(
+        lambda *args: loss(scan.lru_linear_scan, *args,
+                           *(() if with_h0 else (None,))),
+        argnums=argnums,
+    )(*((x, a, h0) if with_h0 else (x, a)))
+    for u, v in zip(gp, gn):
+      np.testing.assert_allclose(u.real, v.real, atol=1e-4)
+      np.testing.assert_allclose(u.imag, v.imag, atol=1e-4)
 
   def test_complex_sequence_sharded_matches_single_shard(self):
     """Complex scan under shard_map (8-way sequence sharding + the
@@ -255,6 +301,27 @@ class TestComplexScan:
             sharding_spec=spec,
         )
     )(x, a)
+    np.testing.assert_allclose(got_y.real, want_y.real, atol=1e-5)
+    np.testing.assert_allclose(got_y.imag, want_y.imag, atol=1e-5)
+    np.testing.assert_allclose(got_h.real, want_h.real, atol=1e-5)
+    np.testing.assert_allclose(got_h.imag, want_h.imag, atol=1e-5)
+
+  def test_complex_pallas_sharded_interpret(self):
+    """Complex Pallas kernel under 4-way sequence sharding (complex a_prod
+    through the cross-shard correction) == the unsharded native scan."""
+    from cadence_gemma_tpu.parallel import sharding as sharding_lib
+
+    x, a = self._complex_inputs(b=1, t=32, d=4)
+    want_y, want_h = scan.single_shard_rnn_scan(
+        x, a, scan_type=common.ScanType.LINEAR_NATIVE
+    )
+    mesh = sharding_lib.make_mesh((4,), ("sequence",), jax.devices()[:4])
+    spec = sharding_lib.ShardingSpec(mesh=mesh, sequence_axis_name="sequence")
+    with pltpu.force_tpu_interpret_mode():
+      got_y, got_h = scan.linear_scan(
+          x=x, a=a, scan_type=common.ScanType.LINEAR_PALLAS,
+          sharding_spec=spec,
+      )
     np.testing.assert_allclose(got_y.real, want_y.real, atol=1e-5)
     np.testing.assert_allclose(got_y.imag, want_y.imag, atol=1e-5)
     np.testing.assert_allclose(got_h.real, want_h.real, atol=1e-5)

@@ -66,6 +66,47 @@ def check_lru(dtype, t=512, d=2560, tol=None):
   return ok, max(errs)
 
 
+def check_lru_complex(t=512, d=1280, tol=2e-5):
+  """Complex Pallas LRU fwd+bwd vs the native complex scan, on hardware."""
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu import complex_lib
+  from cadence_gemma_tpu.ops import scan as scan_lib
+
+  key = jax.random.PRNGKey(0)
+
+  def nrm(i, shape):
+    return jax.random.normal(jax.random.fold_in(key, i), shape, jnp.float32)
+
+  x = complex_lib.Complex(0.5 * nrm(0, (1, t, d)), 0.5 * nrm(1, (1, t, d)))
+  # |a| < 1 keeps the recurrence stable: magnitude from a sigmoid, small
+  # imaginary rotation.
+  mag = jax.nn.sigmoid(nrm(2, (1, t, d))) * 0.95
+  ang = 0.2 * nrm(3, (1, t, d))
+  a = complex_lib.Complex(mag * jnp.cos(ang), mag * jnp.sin(ang))
+  h0 = complex_lib.Complex(nrm(4, (1, d)), nrm(5, (1, d)))
+
+  def run(scan_type):
+    def f(x, a, h0):
+      y, h = scan_lib.linear_scan(x=x, a=a, h0=h0, scan_type=scan_type)
+      return (jnp.sum(y.real**2 + y.imag**2)
+              + jnp.sum(h.real**2 + h.imag**2))
+
+    val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(x, a, h0)
+    leaves = jax.tree_util.tree_leaves(grads)
+    return _get(val), [_get(g) for g in leaves]
+
+  val_k, g_k = run(common.ScanType.LINEAR_PALLAS)
+  val_n, g_n = run(common.ScanType.LINEAR_NATIVE)
+
+  errs = [np.abs(val_k - val_n) / max(abs(val_n), 1e-6)]
+  errs += [
+      np.abs(u - v).max() / max(np.abs(v).max(), 1e-6)
+      for u, v in zip(g_k, g_n)
+  ]
+  ok = all(e < tol for e in errs) and np.isfinite(val_k)
+  return ok, max(errs)
+
+
 def check_flash_attention(t=1024, window=256, heads=2, head_dim=128):
   """Flash fwd + bwd vs einsum autodiff, at float32 matmul precision.
 
@@ -136,6 +177,7 @@ def run() -> dict:
   checks = [
       ("lru_fp32", lambda: check_lru(jnp.float32)),
       ("lru_bf16", lambda: check_lru(jnp.bfloat16)),
+      ("lru_complex", check_lru_complex),
       ("flash_attention", check_flash_attention),
       ("flash_mha", check_flash_mha),
   ]
