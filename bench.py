@@ -582,11 +582,11 @@ def main():
       ),
       "ttft_text_device_vs_reference": (
           round(ref_dev_ms / ours["ttft_text_device_ms"], 3)
-          if ref_dev_ms else None
+          if ref_dev_ms and ours["ttft_text_device_ms"] > 0 else None
       ),
       "ttft_text_int8_device_vs_reference": (
           round(ref_dev_ms / ours["ttft_text_int8_device_ms"], 3)
-          if ref_dev_ms else None
+          if ref_dev_ms and ours["ttft_text_int8_device_ms"] > 0 else None
       ),
       "int8_logit_rel_err": ours["int8_logit_rel_err"],
       "act_quant_logit_rel_err": ours["act_quant_logit_rel_err"],

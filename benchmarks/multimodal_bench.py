@@ -507,8 +507,6 @@ def bench_decode_roofline(int8=True, steps=64):
 
   All variants run ``steps`` iterations inside ONE jitted loop program, so
   the ~1.8 ms/dispatch relay overhead and host noise divide away:
-    * stream: a pure read of every parameter byte per iteration — the
-      achievable weight-stream rate on THIS chip.
     * decode: the real decode step (feed one token, sample argmax).
     * decode minus the vocab projection (the [2560, 256k] matmul, ~25% of
       weight bytes).

@@ -686,10 +686,15 @@ def _mha_kernel(
     o_ref[0, 0] = (acc_scr[...] / l).astype(out_dtype)
 
 
-# Longest (padded) sequence the one-pass MHA kernel holds in VMEM: the
-# [t, t] fp32 logits block is t^2 * 4 bytes (4 MB at 1024) + 4 qkv/out
-# blocks — comfortably inside the ~16 MB budget.
+# Longest (padded) sequence the one-pass MHA kernel holds in VMEM. The
+# live fp32 [t, t] intermediates (logits, exp'd probabilities, the iota/
+# mask) are t^2 * 4 bytes each — ~4 MB at t=1024 — on top of the
+# double-buffered q/k/v/o blocks (t * head_dim * dtype each). bf16 inputs
+# at t=1024 fit the ~16 MB budget with margin (hardware-verified at 729);
+# fp32 inputs double the block traffic, so cap them at 768 and let longer
+# fp32 shapes take the tiled online-softmax grid instead.
 _ONEPASS_MAX_T = 1024
+_ONEPASS_MAX_T_F32 = 768
 
 
 def _mha_onepass_kernel(
@@ -711,8 +716,11 @@ def _mha_onepass_kernel(
   (measured ~1.5x SLOWER than XLA einsum at 729 tokens, r3 vision sweep),
   while this kernel still avoids the einsum path's ~34 MB/layer logits
   round trip through HBM. Padded key columns (``kp >= kv_len``) are
-  masked; padded query rows produce an all-masked softmax (l == 0 guard)
-  and are sliced off by the caller.
+  masked; padded *query* rows are NOT masked (their zero logits give a
+  harmless uniform softmax over the valid keys) and are sliced off by
+  the caller. The ``l == 0`` guard in the finalize step only matters if
+  every key column were padded, which the caller never produces; it is
+  kept as cheap division-by-zero insurance, not a load-bearing path.
   """
   q = q_ref[0, 0]
   k = k_ref[0, 0]
@@ -782,7 +790,10 @@ def _flash_mha_forward(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
   qh = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, t, h]
   kh = jnp.transpose(k, (0, 2, 1, 3))
   vh = jnp.transpose(v, (0, 2, 1, 3))
-  if t_pad <= _ONEPASS_MAX_T:
+  onepass_max_t = (
+      _ONEPASS_MAX_T if q.dtype == jnp.bfloat16 else _ONEPASS_MAX_T_F32
+  )
+  if t_pad <= onepass_max_t:
     out = _flash_mha_onepass(qh, kh, vh, seq_len, head_dim)
     out = jnp.transpose(out, (0, 2, 1, 3))
     return out[:, :seq_len, :, :head_dim]

@@ -14,7 +14,9 @@ same decision tree (reference ``scan.py:350-465``):
 
 ``ScanType.AUTO`` resolves to the Pallas kernel on TPU, and to the
 ``jax.lax.scan``-based native path elsewhere (reference ``scan.py:33-42``).
-Complex-valued inputs always use the native paths.
+Complex-valued inputs run the same dispatch — the Pallas kernel has a
+complex body (``ops/pallas_lru.py``), matching the reference kernel's
+complex support.
 """
 
 from __future__ import annotations

@@ -60,7 +60,10 @@ def initialize(
     if getattr(_dist.global_state, "client", None) is not None:
       _INITIALIZED = True
       return jax.process_count()
-  except ImportError:
+  except (ImportError, AttributeError):
+    # jax._src.distributed is private API with no stability guarantee; a
+    # missing module OR a renamed global_state just means we can't detect
+    # a pre-initialized group — proceed with normal initialization.
     pass
   explicit = coordinator_address is not None
   env = (

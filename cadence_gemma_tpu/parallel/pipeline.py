@@ -148,7 +148,7 @@ class GriffinPipeline:
       # design; a tail LARGER than a stage means the chosen stage count
       # misaligns badly with the block cycle and most of the model would
       # run replicated + sequential — surface it instead of silently
-      # degrading (the pre-r3 code raised here).
+      # accepting it.
       import warnings
 
       warnings.warn(
