@@ -387,6 +387,84 @@ def bench_sft_step(batch=1, seq_len=512):
   }))
 
 
+def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False):
+  """LoRA SFT step adapting ALL 2B projections on one chip.
+
+  Full-tree SFT needs params + grads + Adam moments ≈ 4x the 5.4 GB bf16
+  weights — past one 16 GB v5e
+  (``bench_sft_step`` measures the frozen-connector stage that does fit).
+  With LoRA (``training/lora.py``) gradients and moments exist only at
+  adapter size, so whole-model adaptation fits; ``int8_base=True`` is the
+  QLoRA-style variant (2.7 GB frozen base — enough headroom for 9B).
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.ops import quantization
+  from cadence_gemma_tpu.training import lora
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, quantized=int8_base, lora_rank=rank)
+  fp_model = griffin.Griffin(config)
+  tokens0 = jnp.ones((batch, 8), jnp.int32)
+  shapes = jax.eval_shape(
+      lambda: fp_model.init(
+          jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None]
+      )
+  )
+  base = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), shapes
+  )["params"]
+  if int8_base:
+    base = quantization.quantize_params(base)
+  adapters = lora.init_adapters(model, jax.random.PRNGKey(1))
+  adapters = jax.tree_util.tree_map(
+      lambda v: v.astype(jnp.bfloat16), adapters
+  )
+  n_adapter = lora.lora_parameter_count(adapters)
+  tx = lora.make_optimizer(1e-4)
+  opt_state = tx.init(adapters)
+
+  def make_batch(seed):
+    k = jax.random.PRNGKey(seed)
+    tokens = jax.random.randint(k, (batch, seq_len), 3, 1000, jnp.int32)
+    mask = jnp.ones((batch, seq_len), jnp.bool_)
+    img = jax.random.normal(
+        jax.random.fold_in(k, 1),
+        (batch, config.vision_tokens, config.vision_width),
+        jnp.bfloat16,
+    )
+    return tokens, mask, img
+
+  def step(seed, a, o):
+    tokens, mask, img = make_batch(seed)
+    loss, a, o = lora.lora_train_step(
+        model, a, base, tx, o, 0, tokens, mask, img
+    )
+    return loss, a, o
+
+  loss, adapters, opt_state = step(0, adapters, opt_state)  # compile
+  _sync(loss)
+  times = []
+  for i in range(3):
+    t0 = time.perf_counter()
+    loss, adapters, opt_state = step(i + 1, adapters, opt_state)
+    _sync(loss)
+    times.append(time.perf_counter() - t0)
+  dt = statistics.median(times)
+  print(json.dumps({
+      "metric": "lora_sft_step_ms" + ("_int8base" if int8_base else ""),
+      "value": round(dt * 1e3, 2),
+      "unit": f"ms/step (batch={batch}, seq={seq_len}+729 visual, "
+              f"rank={rank}, {'int8' if int8_base else 'bf16'} base)",
+      "tokens_per_sec": round(batch * (seq_len + 729) / dt, 0),
+      "adapter_params": n_adapter,
+      "notes": "adapts every projection of the 2B model on one chip; "
+               "full-tree SFT cannot fit (grads+moments ~4x weights).",
+  }))
+
+
 def bench_fused_image_ttft(prompt_len=128, reps=6, int8=False):
   """North-star: raw pixels + prompt → first sampled token, one program.
 
@@ -1206,6 +1284,9 @@ if __name__ == "__main__":
     bench_long_window_prefill()
   if which in ("all", "sft"):
     bench_sft_step()
+  if which in ("all", "lora"):
+    bench_lora_step()
+    bench_lora_step(int8_base=True)
   if which in ("all", "longsft"):
     bench_longcontext_sft()
   if which == "longsft_einsum":

@@ -50,6 +50,7 @@ from cadence_gemma_tpu.models.vit import DinoSigLIPEncoder
 from cadence_gemma_tpu.models.vit import VisionTransformer
 from cadence_gemma_tpu.ops.pallas_lru import lru_pallas_scan
 from cadence_gemma_tpu.ops.quantization import quantize_params
+from cadence_gemma_tpu.training import lora
 from cadence_gemma_tpu.ops.scan import linear_scan
 from cadence_gemma_tpu.parallel.sharding import make_mesh
 from cadence_gemma_tpu.parallel.sharding import multi_shard_correction

@@ -51,6 +51,11 @@ class Griffin(nn.Module):
   # prefill mode. Requires ``quantized``; adds no parameters, so samplers
   # can run act_quant prefill and weight-only decode on one param tree.
   act_quant: bool = False
+  # LoRA adapters on every Dense/Einsum projection (rank 0 = off): frozen
+  # base weights (bf16 OR int8-quantized) + trainable low-rank bf16 pairs.
+  # See training/lora.py for the fine-tuning utilities.
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   use_flash_attention: bool | None = None  # None = auto (t > window on TPU)
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.bfloat16
@@ -82,6 +87,8 @@ class Griffin(nn.Module):
             final_w_init_variance_scale=2.0 / self.config.num_layers,
             quantized=self.quantized,
             act_quant=self.act_quant,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             scan_sharding_spec=self.scan_sharding_spec,
             use_flash_attention=self.use_flash_attention,
             dtype=self.dtype,
@@ -99,6 +106,8 @@ class Griffin(nn.Module):
         final_w_init_variance_scale=1.0,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="vl_connector",
         dtype=self.dtype,
         param_dtype=self.param_dtype,

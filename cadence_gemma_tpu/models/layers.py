@@ -49,6 +49,14 @@ class QuantizableDense(nn.Module):
   which is what compute-bound prefill wants (weight-only int8 still
   multiplies in bf16). Costs one absmax+round pass over the activations;
   adds no parameters, so the same quantized checkpoint serves both modes.
+
+  ``lora_rank > 0`` declares a LoRA adapter pair ``lora_a`` [in, r] /
+  ``lora_b`` [r, out] (b zero-initialized, so enabling LoRA is an exact
+  no-op until training moves it) and adds ``(x @ a) @ b * (alpha / r)``
+  to the output. The adapter term always computes in the compute dtype —
+  including over a ``quantized`` base, which is the int8-frozen-base +
+  bf16-adapters fine-tuning configuration (the only way a 2B/9B model
+  fine-tunes in one 16 GB chip's HBM; see ``training/lora.py``).
   """
 
   features: int
@@ -58,12 +66,15 @@ class QuantizableDense(nn.Module):
   )
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: jax.Array) -> jax.Array:
     in_features = x.shape[-1]
+    x_in = x
     if self.quantized:
       q = self.param(
           "kernel_q",
@@ -95,6 +106,26 @@ class QuantizableDense(nn.Module):
         if self.use_bias
         else None
     )
+
+    def lora_term(compute_dtype):
+      if not self.lora_rank:
+        return None
+      a = self.param(
+          "lora_a",
+          nn.initializers.normal(in_features**-0.5),
+          (in_features, self.lora_rank),
+          self.param_dtype,
+      )
+      b = self.param(
+          "lora_b",
+          nn.initializers.zeros_init(),
+          (self.lora_rank, self.features),
+          self.param_dtype,
+      )
+      scaling = (self.lora_alpha or float(self.lora_rank)) / self.lora_rank
+      xa = x_in.astype(compute_dtype) @ a.astype(compute_dtype)
+      return (xa @ b.astype(compute_dtype)) * scaling
+
     if self.quantized:
       compute_dtype = self.dtype or x.dtype
       if self.act_quant:
@@ -116,6 +147,9 @@ class QuantizableDense(nn.Module):
         x = x.astype(compute_dtype)
         y = x @ q.astype(compute_dtype)
         y = y * scale.astype(compute_dtype)
+      lora = lora_term(compute_dtype)
+      if lora is not None:
+        y = y + lora.astype(y.dtype)
       if bias is not None:
         y = y + bias.astype(y.dtype)
       return y
@@ -123,6 +157,9 @@ class QuantizableDense(nn.Module):
     promoted = nn.dtypes.promote_dtype(*args, dtype=self.dtype)
     x, kernel = promoted[0], promoted[1]
     y = x @ kernel
+    lora = lora_term(y.dtype)
+    if lora is not None:
+      y = y + lora.astype(y.dtype)
     if bias is not None:
       y = y + promoted[2]
     return y
@@ -478,7 +515,15 @@ class Conv1D(nn.Module):
 
 
 class Einsum(nn.Module):
-  """A parameterized einsum with bias (used for fused MLP up-projections)."""
+  """A parameterized einsum with bias (used for fused MLP up-projections).
+
+  ``lora_rank > 0`` adds a per-leading-index LoRA pair ``lora_a``
+  [c, d, r] / ``lora_b`` [c, r, D] for the fused 3-D ``(c, d, D)``
+  up-projection layout (contraction on axis 1) — the low-rank hop reuses
+  the module's own ``eqn`` with ``D -> r``, so each of the ``c`` fused
+  projections gets its own adapter. Zero-initialized ``lora_b`` makes
+  enabling it an exact no-op. See :class:`QuantizableDense`.
+  """
 
   w_shape: Sequence[int]
   b_shape: Sequence[int]
@@ -486,12 +531,45 @@ class Einsum(nn.Module):
   w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
   @nn.compact
   @at.typed
   def __call__(self, x: jax.Array) -> jax.Array:
+    def lora_term(compute_dtype):
+      if not self.lora_rank:
+        return None
+      assert len(self.w_shape) == 3, (
+          "Einsum LoRA supports the fused (c, d, D) layout only; got "
+          f"{self.w_shape}"
+      )
+      c, d, out = self.w_shape
+      a = self.param(
+          "lora_a",
+          nn.initializers.normal(d**-0.5),
+          (c, d, self.lora_rank),
+          self.param_dtype,
+      )
+      bb = self.param(
+          "lora_b",
+          nn.initializers.zeros_init(),
+          (c, self.lora_rank, out),
+          self.param_dtype,
+      )
+      scaling = (self.lora_alpha or float(self.lora_rank)) / self.lora_rank
+      # The low-rank hop reuses the module eqn with D -> r, then expands
+      # per leading index: [c, ..., r] x [c, r, D] -> [c, ..., D].
+      xa = jnp.einsum(
+          self.eqn, x.astype(compute_dtype), a.astype(compute_dtype)
+      )
+      return (
+          jnp.einsum("g...r,grD->g...D", xa, bb.astype(compute_dtype))
+          * scaling
+      )
+
     if self.quantized:
       # 3-D (c, d, D) weights contracting axis 1 (ffw_up layout).
       assert len(self.w_shape) == 3, self.w_shape
@@ -514,11 +592,18 @@ class Einsum(nn.Module):
         xq, x_scale = quantization.quantize_activations(x)
         y = jnp.einsum(self.eqn, xq, q, preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * x_scale * scale[:, None, None, :]
+        lora = lora_term(compute_dtype)
+        if lora is not None:
+          y = y + lora.astype(jnp.float32)
         return (y + b.astype(jnp.float32)).astype(compute_dtype)
       y = jnp.einsum(self.eqn, x.astype(compute_dtype), q.astype(compute_dtype))
       # Output layout is c...tD; scale broadcasts as (c, 1, 1, D).
       scale = scale[:, None, None, :].astype(compute_dtype)
-      return y * scale + b.astype(compute_dtype)
+      y = y * scale
+      lora = lora_term(compute_dtype)
+      if lora is not None:
+        y = y + lora
+      return y + b.astype(compute_dtype)
     w = self.param(
         "w",
         nn.initializers.variance_scaling(
@@ -534,4 +619,8 @@ class Einsum(nn.Module):
         "b", nn.initializers.zeros_init(), tuple(self.b_shape), self.param_dtype
     )
     x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
-    return jnp.einsum(self.eqn, x, w) + b
+    y = jnp.einsum(self.eqn, x, w)
+    lora = lora_term(y.dtype)
+    if lora is not None:
+      y = y + lora.astype(y.dtype)
+    return y + b

@@ -355,6 +355,8 @@ class LocalAttentionBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   use_flash_attention: bool | None = None
   sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
@@ -379,6 +381,8 @@ class LocalAttentionBlock(nn.Module):
         kernel_init=init,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name=name,
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -505,6 +509,8 @@ class RecurrentBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -524,6 +530,8 @@ class RecurrentBlock(nn.Module):
         kernel_init=proj_init,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="linear_y",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -533,6 +541,8 @@ class RecurrentBlock(nn.Module):
         kernel_init=proj_init,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="linear_x",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -542,6 +552,8 @@ class RecurrentBlock(nn.Module):
         kernel_init=out_init,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="linear_out",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -622,6 +634,8 @@ class MLPBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -632,6 +646,8 @@ class MLPBlock(nn.Module):
         eqn="...td,cdD->c...tD",
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -646,6 +662,8 @@ class MLPBlock(nn.Module):
         ),
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -672,6 +690,8 @@ class VisionLanguageConnector(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -682,6 +702,8 @@ class VisionLanguageConnector(nn.Module):
         eqn="...td,rdD->r...tD",
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="ffw_up",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -696,6 +718,8 @@ class VisionLanguageConnector(nn.Module):
         ),
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="ffw_down",
         dtype=self.dtype,
         param_dtype=self.param_dtype,
@@ -720,6 +744,8 @@ class ResidualBlock(nn.Module):
   final_w_init_variance_scale: float = 1.0
   quantized: bool = False
   act_quant: bool = False
+  lora_rank: int = 0
+  lora_alpha: float | None = None
   scan_sharding_spec: scan.ShardingSpec | None = None
   use_flash_attention: bool | None = None
   dtype: at.dtype | None = None
@@ -739,6 +765,8 @@ class ResidualBlock(nn.Module):
           final_w_init_variance_scale=self.final_w_init_variance_scale,
           quantized=self.quantized,
           act_quant=self.act_quant,
+          lora_rank=self.lora_rank,
+          lora_alpha=self.lora_alpha,
           name="recurrent_block",
           scan_sharding_spec=self.scan_sharding_spec,
           dtype=self.dtype,
@@ -752,6 +780,8 @@ class ResidualBlock(nn.Module):
           final_w_init_variance_scale=self.final_w_init_variance_scale,
           quantized=self.quantized,
           act_quant=self.act_quant,
+          lora_rank=self.lora_rank,
+          lora_alpha=self.lora_alpha,
           use_flash_attention=self.use_flash_attention,
           sharding_spec=self.scan_sharding_spec,
           name="attention_block",
@@ -767,6 +797,8 @@ class ResidualBlock(nn.Module):
         final_w_init_variance_scale=self.final_w_init_variance_scale,
         quantized=self.quantized,
         act_quant=self.act_quant,
+        lora_rank=self.lora_rank,
+        lora_alpha=self.lora_alpha,
         name="mlp_block",
         dtype=self.dtype,
         param_dtype=self.param_dtype,

@@ -39,6 +39,13 @@ class TrainingConfig:
   max_steps: int | None = None
   weight_decay: float = 0.1
   freeze_llm: bool = False
+  # Train only LoRA adapter leaves (the model must be built with
+  # lora_rank > 0 and ``params`` must contain the adapter leaves, e.g.
+  # via training.lora.init_adapters + merge_params). The base tree —
+  # bf16 or int8-quantized — stays frozen; gradients and Adam moments
+  # exist only at adapter size, which is what fits 2B/9B fine-tuning in
+  # one chip's HBM. Checkpoints and validation see the combined tree.
+  lora: bool = False
   checkpoint_every_n: int | None = 1000
   checkpoint_dir: str | None = None
   resume_from: str | None = None  # a save_train_state checkpoint
@@ -84,12 +91,42 @@ def train_loop(
       resumable train state under ``config.checkpoint_dir`` and returns
       early (restart with ``config.resume_from`` pointing at it).
   """
-  optimizer = trainer.make_optimizer(
-      config.learning_rate, weight_decay=config.weight_decay
-  )
+  if config.lora:
+    from cadence_gemma_tpu.training import lora as lora_lib
+
+    adapters0, _ = lora_lib.split_lora(params)
+    if not adapters0:
+      raise ValueError(
+          "config.lora=True but the parameter tree has no lora_a/lora_b "
+          "leaves — build the model with lora_rank > 0 and initialize "
+          "adapters (training.lora.init_adapters)."
+      )
+    optimizer = lora_lib.make_optimizer(config.learning_rate)
+  else:
+    optimizer = trainer.make_optimizer(
+        config.learning_rate, weight_decay=config.weight_decay
+    )
   if config.skip_nonfinite_updates:
     optimizer = resilience.skip_nonfinite_updates(optimizer)
-  if config.freeze_llm:
+  if config.lora:
+    # The loop threads the COMBINED tree (validation and checkpoints see
+    # a complete, servable tree); each step splits it on the host, runs
+    # the adapter-only jitted step (the frozen base rides as an explicit
+    # argument — CLAUDE.md gotcha #8: closed-over weights lower as
+    # multi-GB constants), and re-merges. Optimizer state is
+    # adapter-sized throughout.
+    opt_state = optimizer.init(adapters0)
+
+    def step_fn(model, params, optimizer, opt_state, pad_id, tokens,
+                mask, img_embed=None):
+      adapters, base = lora_lib.split_lora(params)
+      loss, adapters, opt_state = lora_lib.lora_train_step(
+          model, adapters, base, optimizer, opt_state, pad_id, tokens,
+          mask, img_embed,
+      )
+      return loss, lora_lib.merge_params(base, adapters), opt_state
+
+  elif config.freeze_llm:
     opt_state = optimizer.init(params["vl_connector"])
     step_fn = trainer.frozen_train_step
   else:

@@ -41,6 +41,17 @@ _METRICS = flags.DEFINE_enum(
 _METRICS_TARGET = flags.DEFINE_string(
     "metrics_target", "",
     "Backend target: mlflow tracking URI, wandb project, or jsonl path.")
+_LORA_RANK = flags.DEFINE_integer(
+    "lora_rank", 0,
+    "When > 0, stage 2 trains LoRA adapters of this rank instead of the "
+    "full tree (training/lora.py): the base stays frozen (optionally int8 "
+    "via --lora_int8_base), gradients/Adam moments exist only at adapter "
+    "size, and the final save folds the adapters into plain weights.")
+_LORA_INT8 = flags.DEFINE_bool(
+    "lora_int8_base", False,
+    "QLoRA-style: quantize the frozen base to int8 before adapter "
+    "training (fits the 9B preset on one 16 GB chip). The final save "
+    "keeps base + adapters unmerged (int8 cannot be folded losslessly).")
 
 
 def main(argv):
@@ -52,6 +63,7 @@ def main(argv):
   )
   model = cg.Griffin(config)
   vocab = cg.load_sentencepiece(_TOKENIZER.value)
+  lora_rank = _LORA_RANK.value
 
   encoder = vit_lib.DinoSigLIPEncoder()
   vision_params = cg.load_parameters(_VISION_CKPT.value, "single_device")
@@ -99,11 +111,42 @@ def main(argv):
   }[backend]
   log_metrics = logging_lib.make_logger(backend, **log_kwargs)
 
-  params = train_loop.two_stage_sft(
-      model, params, make_data, stage1, stage2,
-      validation_data=val, encode_image=encode,
-      pad_id=vocab.pad_id(), log_metrics=log_metrics,
-  )
+  if lora_rank:
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    # Stage 1 (connector) as usual, then LoRA-adapt everything else.
+    params = train_loop.train_loop(
+        model, params, make_data(),
+        dataclasses.replace(stage1, freeze_llm=True),
+        validation_data=val, encode_image=encode,
+        pad_id=vocab.pad_id(), log_metrics=log_metrics,
+    )
+    lora_model = cg.Griffin(
+        config, lora_rank=lora_rank, quantized=_LORA_INT8.value
+    )
+    if _LORA_INT8.value:
+      params = cg.quantize_params(params)
+    adapters = cg.lora.init_adapters(lora_model, jax.random.PRNGKey(0))
+    adapters = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16), adapters
+    )
+    params = cg.lora.merge_params(params, adapters)
+    params = train_loop.train_loop(
+        lora_model, params, make_data(),
+        dataclasses.replace(stage2, lora=True),
+        validation_data=val, encode_image=encode,
+        pad_id=vocab.pad_id(), log_metrics=log_metrics,
+    )
+    if not _LORA_INT8.value:
+      params = cg.lora.merge_lora(params)  # adapter-free serving tree
+  else:
+    params = train_loop.two_stage_sft(
+        model, params, make_data, stage1, stage2,
+        validation_data=val, encode_image=encode,
+        pad_id=vocab.pad_id(), log_metrics=log_metrics,
+    )
   cg.save_parameters(f"{_OUTPUT.value}/final", params)
 
 

@@ -1,0 +1,291 @@
+"""LoRA adapter tests: no-op init, adapter-only training, merge parity.
+
+The reference has no LoRA (its SFT always trains the full tree,
+``training/train_jax.py:566``); the invariants here are self-imposed:
+enabling adapters is an exact no-op until trained, training touches only
+adapter leaves, and folding adapters back reproduces the LoRA model on a
+plain model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.ops import quantization
+from cadence_gemma_tpu.training import lora
+from cadence_gemma_tpu.training import trainer
+
+
+def tiny_config(**overrides):
+  kwargs = dict(
+      vocab_size=48,
+      width=16,
+      mlp_expanded_width=32,
+      num_heads=2,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+      ),
+      embeddings_scale_by_sqrt_dim=True,
+      attention_window_size=8,
+      logits_soft_cap=30.0,
+      lru_width=16,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+      vision_tokens=4,
+      vision_width=12,
+      vl_expanded_width=20,
+  )
+  kwargs.update(overrides)
+  return common.GriffinConfig(**kwargs)
+
+
+def make_models(rank=4, **model_kwargs):
+  cfg = tiny_config()
+  base = griffin.Griffin(
+      cfg, gradient_checkpointing=False,
+      dtype=jnp.float32, param_dtype=jnp.float32, **model_kwargs,
+  )
+  lora_model = griffin.Griffin(
+      cfg, gradient_checkpointing=False, lora_rank=rank,
+      dtype=jnp.float32, param_dtype=jnp.float32, **model_kwargs,
+  )
+  return cfg, base, lora_model
+
+
+def init_params(model, seed=0):
+  tok = jnp.ones((1, 6), jnp.int32)
+  pos = jnp.arange(6)[None]
+  return model.init(
+      jax.random.PRNGKey(seed), tok, pos, return_cache=False
+  )["params"]
+
+
+class TestLoraStructure:
+
+  def test_zero_init_is_exact_noop(self):
+    _, base_model, lora_model = make_models()
+    params = init_params(lora_model)
+    adapters, base = lora.split_lora(params)
+    assert lora.lora_parameter_count(adapters) > 0
+    tok = jnp.array([[1, 5, 9, 2, 4, 7]], jnp.int32)
+    pos = jnp.arange(6)[None]
+    y_lora, _ = lora_model.apply(
+        {"params": params}, tok, pos, return_cache=False
+    )
+    y_base, _ = base_model.apply(
+        {"params": base}, tok, pos, return_cache=False
+    )
+    np.testing.assert_array_equal(np.asarray(y_lora), np.asarray(y_base))
+
+  def test_split_merge_round_trip(self):
+    _, _, lora_model = make_models()
+    params = init_params(lora_model)
+    adapters, base = lora.split_lora(params)
+    rebuilt = lora.merge_params(base, adapters)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(rebuilt)
+    assert len(flat_a) == len(flat_b)
+    for u, v in zip(flat_a, flat_b):
+      np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+  def test_mask_marks_only_adapters(self):
+    _, _, lora_model = make_models()
+    params = init_params(lora_model)
+    mask = lora.lora_mask(params)
+    leaves = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, val in leaves:
+      name = str(path[-1])
+      assert val == ("lora_a" in name or "lora_b" in name), path
+
+  def test_adapters_cover_every_projection(self):
+    """All Dense kernels and the fused Einsum w get an adapter pair."""
+    _, _, lora_model = make_models()
+    params = init_params(lora_model)
+    missing = []
+
+    def visit(tree, path=()):
+      if not isinstance(tree, dict):
+        return
+      if ("kernel" in tree or "w" in tree) and "lora_a" not in tree:
+        # BlockDiagonalLinear gates and conv/norm params are the
+        # documented non-targets; everything else must carry adapters.
+        if path[-1] not in ("input_gate", "a_gate", "conv_1d",
+                            "embedder", "rg_lru"):
+          missing.append(path)
+      for k, v in tree.items():
+        visit(v, path + (k,))
+
+    visit(params)
+    assert not missing, missing
+
+
+class TestLoraTraining:
+
+  def _batch(self, key):
+    tok = jax.random.randint(key, (2, 10), 1, 40).astype(jnp.int32)
+    mask = jnp.ones_like(tok, dtype=bool)
+    return tok, mask
+
+  def test_adapter_only_training_reduces_loss(self):
+    _, _, lora_model = make_models()
+    params = init_params(lora_model)
+    adapters, base = lora.split_lora(params)
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    opt_state = tx.init(adapters)
+    tok, mask = self._batch(jax.random.PRNGKey(1))
+    losses = []
+    for _ in range(8):
+      loss, adapters, opt_state = lora.lora_train_step(
+          lora_model, adapters, base, tx, opt_state, 0, tok, mask
+      )
+      losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # Optimizer state is adapter-sized: no moment leaf is larger than the
+    # largest adapter, i.e. nothing base-sized snuck into Adam's state.
+    max_adapter = max(
+        l.size for l in jax.tree_util.tree_leaves(adapters)
+    )
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+      assert leaf.size <= max_adapter, leaf.shape
+
+  def test_trained_adapters_match_merged_model(self):
+    _, base_model, lora_model = make_models()
+    params = init_params(lora_model)
+    adapters, base = lora.split_lora(params)
+    # Give the adapters real (non-zero) values via a couple of steps.
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    opt_state = tx.init(adapters)
+    tok, mask = self._batch(jax.random.PRNGKey(2))
+    for _ in range(3):
+      _, adapters, opt_state = lora.lora_train_step(
+          lora_model, adapters, base, tx, opt_state, 0, tok, mask
+      )
+    combined = lora.merge_params(base, adapters)
+    merged = lora.merge_lora(combined)
+    probe = jnp.array([[1, 7, 3, 2, 9, 5]], jnp.int32)
+    pos = jnp.arange(6)[None]
+    y_lora, _ = lora_model.apply(
+        {"params": combined}, probe, pos, return_cache=False
+    )
+    y_merged, _ = base_model.apply(
+        {"params": merged}, probe, pos, return_cache=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_lora), np.asarray(y_merged), atol=2e-5
+    )
+
+  def test_quantized_base_with_adapters(self):
+    """QLoRA configuration: int8 frozen base + bf16 adapters trains."""
+    cfg = tiny_config()
+    lora_q = griffin.Griffin(
+        cfg, gradient_checkpointing=False, quantized=True, lora_rank=4,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    lora_f = griffin.Griffin(
+        cfg, gradient_checkpointing=False, lora_rank=4,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = init_params(lora_f, seed=3)
+    adapters, base = lora.split_lora(params)
+    qbase = quantization.quantize_params(base)
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    opt_state = tx.init(adapters)
+    tok = jax.random.randint(jax.random.PRNGKey(4), (2, 10), 1, 40)
+    tok = tok.astype(jnp.int32)
+    mask = jnp.ones_like(tok, dtype=bool)
+    losses = []
+    for _ in range(6):
+      loss, adapters, opt_state = lora.lora_train_step(
+          lora_q, adapters, qbase, tx, opt_state, 0, tok, mask
+      )
+      losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+  def test_merge_refuses_quantized_tree(self):
+    cfg = tiny_config()
+    lora_f = griffin.Griffin(
+        cfg, gradient_checkpointing=False, lora_rank=2,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = init_params(lora_f, seed=5)
+    adapters, base = lora.split_lora(params)
+    qtree = lora.merge_params(quantization.quantize_params(base), adapters)
+    with pytest.raises(ValueError, match="kernel_q"):
+      lora.merge_lora(qtree)
+
+
+class TestLoraTrainLoop:
+
+  def test_init_adapters_matches_model_init(self):
+    _, _, lora_model = make_models()
+    via_init = lora.split_lora(init_params(lora_model, seed=7))[0]
+    via_shapes = lora.init_adapters(lora_model, jax.random.PRNGKey(7))
+    ja, jb = jax.tree_util.tree_flatten_with_path(via_init)[0], (
+        jax.tree_util.tree_flatten_with_path(via_shapes)[0]
+    )
+    assert [p for p, _ in ja] == [p for p, _ in jb]
+    for (path, u), (_, v) in zip(ja, jb):
+      assert u.shape == v.shape and u.dtype == v.dtype, path
+      if "lora_b" in str(path[-1]):
+        assert not np.asarray(v).any()
+
+  def test_train_loop_lora_mode(self):
+    from cadence_gemma_tpu.training import data as data_lib
+    from cadence_gemma_tpu.training import train_loop
+
+    _, _, lora_model = make_models()
+    params = init_params(lora_model, seed=8)
+    tok = jax.random.randint(jax.random.PRNGKey(9), (2, 10), 1, 40)
+    batch = data_lib.TrainingInput(
+        input_tokens=np.asarray(tok, np.int32),
+        target_mask=np.ones((2, 10), bool),
+    )
+    cfg = train_loop.TrainingConfig(
+        learning_rate=5e-2, num_epochs=2, max_steps=6, lora=True,
+        checkpoint_every_n=None, eval_every_n=1000,
+    )
+    before = lora.split_lora(params)[1]
+    out = train_loop.train_loop(lora_model, params, [batch] * 4, cfg)
+    adapters, base = lora.split_lora(out)
+    # Base tree untouched; adapters moved.
+    for (p, u), (_, v) in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree_util.tree_flatten_with_path(base)[0],
+    ):
+      np.testing.assert_array_equal(np.asarray(u), np.asarray(v), err_msg=str(p))
+    moved = any(
+        np.abs(np.asarray(l)).sum() > 0
+        for p, l in jax.tree_util.tree_flatten_with_path(adapters)[0]
+        if "lora_b" in str(p[-1])
+    )
+    assert moved
+
+  def test_train_loop_lora_requires_adapters(self):
+    from cadence_gemma_tpu.training import train_loop
+
+    _, base_model, _ = make_models()
+    params = init_params(base_model, seed=10)
+    cfg = train_loop.TrainingConfig(lora=True)
+    with pytest.raises(ValueError, match="lora_rank"):
+      train_loop.train_loop(base_model, params, [], cfg)
+
+
+class TestLoraSampling:
+
+  def test_sampler_runs_with_adapters(self):
+    from cadence_gemma_tpu.inference import sampler as sampler_lib
+    from cadence_gemma_tpu import tokenizers
+
+    cfg, _, lora_model = make_models()
+    params = init_params(lora_model, seed=6)
+    vocab = tokenizers.SimpleVocab(
+        ["tok%d" % i for i in range(40)]
+    )
+    s = sampler_lib.Sampler(lora_model, vocab, params)
+    out = s(["tok1 tok2"], total_generation_steps=4)
+    assert len(out.text) == 1
