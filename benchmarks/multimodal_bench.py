@@ -387,7 +387,8 @@ def bench_sft_step(batch=1, seq_len=512):
   }))
 
 
-def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False):
+def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False,
+                    preset=None):
   """LoRA SFT step adapting ALL 2B projections on one chip.
 
   Full-tree SFT needs params + grads + Adam moments ≈ 4x the 5.4 GB bf16
@@ -402,9 +403,8 @@ def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False):
   from cadence_gemma_tpu.ops import quantization
   from cadence_gemma_tpu.training import lora
 
-  config = common.GriffinConfig.from_preset(
-      common.Preset.RECURRENT_GEMMA_2B_V1
-  )
+  preset = preset or common.Preset.RECURRENT_GEMMA_2B_V1
+  config = common.GriffinConfig.from_preset(preset)
   model = griffin.Griffin(config, quantized=int8_base, lora_rank=rank)
   fp_model = griffin.Griffin(config)
   tokens0 = jnp.ones((batch, 8), jnp.int32)
@@ -413,11 +413,14 @@ def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False):
           jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None]
       )
   )
-  base = jax.tree_util.tree_map(
-      lambda s: jnp.zeros(s.shape, s.dtype), shapes
-  )["params"]
+  base_shapes = shapes["params"]
   if int8_base:
-    base = quantization.quantize_params(base)
+    # Materialize the int8 tree directly — a bf16 9B tree (17.7 GB) would
+    # OOM the chip before quantize_params could ever shrink it.
+    base_shapes = jax.eval_shape(quantization.quantize_params, base_shapes)
+  base = jax.tree_util.tree_map(
+      lambda s: jnp.zeros(s.shape, s.dtype), base_shapes
+  )
   adapters = lora.init_adapters(model, jax.random.PRNGKey(1))
   adapters = jax.tree_util.tree_map(
       lambda v: v.astype(jnp.bfloat16), adapters
@@ -454,7 +457,9 @@ def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False):
     times.append(time.perf_counter() - t0)
   dt = statistics.median(times)
   print(json.dumps({
-      "metric": "lora_sft_step_ms" + ("_int8base" if int8_base else ""),
+      "metric": "lora_sft_step_ms"
+                + ("_int8base" if int8_base else "")
+                + ("_9b" if "9B" in preset.name else ""),
       "value": round(dt * 1e3, 2),
       "unit": f"ms/step (batch={batch}, seq={seq_len}+729 visual, "
               f"rank={rank}, {'int8' if int8_base else 'bf16'} base)",
@@ -1287,6 +1292,9 @@ if __name__ == "__main__":
   if which in ("all", "lora"):
     bench_lora_step()
     bench_lora_step(int8_base=True)
+  if which == "lora9b":
+    from cadence_gemma_tpu import common as _c
+    bench_lora_step(int8_base=True, preset=_c.Preset.RECURRENT_GEMMA_9B_V1)
   if which in ("all", "longsft"):
     bench_longcontext_sft()
   if which == "longsft_einsum":

@@ -88,6 +88,22 @@ def _spec_for(path: tuple[str, ...], value: Any, model_axis: str) -> P:
   if parent in ("proj_k", "proj_v"):
     return P(*([None] * value.ndim))  # single KV head: replicate
 
+  # LoRA adapters mirror their parent's Megatron layout: the low-rank hop
+  # stays replicated on the rank axis; only the side touching a sharded
+  # model dimension shards. Column-parallel parents shard lora_b's output
+  # dim, row-parallel parents shard lora_a's input dim (GSPMD inserts the
+  # psum over the contracted shard, exactly as for the base kernel).
+  if name in ("lora_a", "lora_b"):
+    column = parent in ("linear_x", "linear_y", "proj_q")
+    row = parent in ("linear_out", "proj_final", "ffw_down")
+    if name == "lora_b" and column:
+      return P(None, m)
+    if name == "lora_a" and row:
+      return P(m, None)
+    if name == "lora_b" and parent == "ffw_up" and value.ndim == 3:
+      return P(None, None, m)  # fused (c, r, D): shard D like w
+    return P(*([None] * value.ndim))
+
   return P(*([None] * value.ndim))
 
 

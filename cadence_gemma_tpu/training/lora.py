@@ -153,6 +153,89 @@ def lora_train_step(
   return loss, lora_params, opt_state
 
 
+def make_sharded_lora_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    pad_id: int,
+    example_adapters: Params,
+    example_base: Params,
+    batch_axis: str | None = None,
+    model_axis: str | None = None,
+):
+  """pjit-ted adapter-only step over a device mesh (DP x TP).
+
+  Mirrors ``trainer.make_sharded_train_step``: the frozen base gets the
+  Megatron TP layouts, adapters get the matching LoRA layouts
+  (``parallel/partitioning.py`` — column parents shard ``lora_b``'s
+  output dim, row parents shard ``lora_a``'s input dim), the batch
+  shards over ``batch_axis``, and XLA inserts the DP gradient
+  all-reduce (adapter-sized, not model-sized — LoRA also cuts the
+  inter-chip gradient traffic by ~100x) and TP collectives.
+
+  Returns ``(step_fn, shard_fn)`` where ``shard_fn(adapters, base)``
+  places both trees.
+  """
+  from cadence_gemma_tpu.parallel import partitioning
+
+  batch_axis = batch_axis or partitioning.BATCH_AXIS
+  model_axis = model_axis or partitioning.MODEL_AXIS
+  if model_axis in mesh.axis_names:
+    base_shardings = partitioning.griffin_param_shardings(
+        mesh, example_base, model_axis
+    )
+    adapter_shardings = partitioning.griffin_param_shardings(
+        mesh, example_adapters, model_axis
+    )
+  else:
+    replicated = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()
+    )
+    base_shardings = jax.tree_util.tree_map(
+        lambda _: replicated, example_base
+    )
+    adapter_shardings = jax.tree_util.tree_map(
+        lambda _: replicated, example_adapters
+    )
+  data_shard = partitioning.data_sharding(mesh, batch_axis)
+
+  def step(adapters, base, opt_state, input_tokens, input_mask,
+           img_embed=None):
+    positions = trainer.get_positions(input_tokens, pad_id)
+
+    def loss_fn(lora_tree):
+      return trainer.forward_and_loss_fn(
+          merge_params(base, lora_tree),
+          model=model,
+          input_tokens=input_tokens,
+          input_mask=input_mask,
+          positions=positions,
+          image=img_embed,
+      )
+
+    loss, grads = jax.value_and_grad(loss_fn)(adapters)
+    updates, opt_state = optimizer.update(grads, opt_state, adapters)
+    adapters = optax.apply_updates(adapters, updates)
+    return loss, adapters, opt_state
+
+  step_fn = jax.jit(
+      step,
+      in_shardings=(
+          adapter_shardings, base_shardings, None, data_shard, data_shard,
+          None,
+      ),
+      donate_argnums=(0, 2),
+  )
+
+  def shard_fn(adapters, base):
+    return (
+        jax.device_put(adapters, adapter_shardings),
+        jax.device_put(base, base_shardings),
+    )
+
+  return step_fn, shard_fn
+
+
 def merge_lora(
     params: Params,
     lora_alpha: float | None = None,

@@ -275,6 +275,94 @@ class TestLoraTrainLoop:
       train_loop.train_loop(base_model, params, [], cfg)
 
 
+class TestLoraSharded:
+
+  def test_partition_specs_mirror_parent_layout(self):
+    from jax.sharding import PartitionSpec as P
+
+    from cadence_gemma_tpu.parallel import partitioning
+
+    _, _, lora_model = make_models()
+    params = init_params(lora_model, seed=12)
+    specs = partitioning.griffin_param_specs(params)
+    rb = specs["blocks.0"]["recurrent_block"]
+    assert rb["linear_x"]["lora_b"] == P(None, "model")   # column out
+    assert rb["linear_x"]["lora_a"] == P(None, None)
+    assert rb["linear_out"]["lora_a"] == P("model", None)  # row in
+    assert rb["linear_out"]["lora_b"] == P(None, None)
+    mlp = specs["blocks.0"]["mlp_block"]
+    assert mlp["ffw_up"]["lora_b"] == P(None, None, "model")
+    assert mlp["ffw_down"]["lora_a"] == P("model", None)
+
+  def test_tp_serving_with_adapters_matches_single_device(self):
+    from cadence_gemma_tpu.inference import sampler as sampler_lib
+    from cadence_gemma_tpu.parallel import sharding as sh
+    from cadence_gemma_tpu import tokenizers
+
+    _, _, lora_model = make_models()
+    params = init_params(lora_model, seed=13)
+    # Non-zero adapters so the LoRA term actually contributes under TP.
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.01 if "lora_b" in str(p[-1]) else v, params
+    )
+    vocab = tokenizers.SimpleVocab(["tok%d" % i for i in range(40)])
+    mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    s_tp = sampler_lib.Sampler(lora_model, vocab, params, mesh=mesh)
+    s_one = sampler_lib.Sampler(lora_model, vocab, params)
+    a = s_tp(["tok1 tok2"], total_generation_steps=5, return_logits=True)
+    b = s_one(["tok1 tok2"], total_generation_steps=5, return_logits=True)
+    np.testing.assert_array_equal(
+        np.asarray(a.tokens[0]), np.asarray(b.tokens[0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.logits[0]), np.asarray(b.logits[0]), atol=1e-4
+    )
+
+
+  def test_sharded_lora_step_matches_single_device(self):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    _, _, lora_model = make_models()
+    params = init_params(lora_model, seed=14)
+    adapters, base = lora.split_lora(params)
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    step_fn, shard_fn = lora.make_sharded_lora_step(
+        lora_model, tx, mesh, 0, adapters, base
+    )
+    sh_adapters, sh_base = shard_fn(adapters, base)
+    opt_state = tx.init(sh_adapters)
+    tok = jax.random.randint(jax.random.PRNGKey(15), (2, 10), 1, 40)
+    tok = tok.astype(jnp.int32)
+    mask = jnp.ones_like(tok, dtype=bool)
+    # Reference: unsharded adapter-only step on the same inputs. Copies,
+    # because lora_train_step donates its adapter tree and device_put may
+    # have aliased these buffers into sh_adapters' shards.
+    adapters_copy = jax.tree_util.tree_map(jnp.copy, adapters)
+    opt_ref = tx.init(adapters_copy)
+    loss_ref, adapters_ref, _ = lora.lora_train_step(
+        lora_model, adapters_copy, base, tx, opt_ref, 0, tok, mask
+    )
+    loss_sh, sh_adapters, opt_state = step_fn(
+        sh_adapters, sh_base, opt_state, tok, mask, None
+    )
+    np.testing.assert_allclose(
+        float(loss_sh), float(loss_ref), rtol=1e-5
+    )
+    for (p, u), (_, v) in zip(
+        jax.tree_util.tree_flatten_with_path(adapters_ref)[0],
+        jax.tree_util.tree_flatten_with_path(sh_adapters)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(u), np.asarray(v), atol=1e-5, err_msg=str(p)
+      )
+    # TP actually distributes something.
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(sh_base)
+    )
+
+
 class TestLoraSampling:
 
   def test_sampler_runs_with_adapters(self):
