@@ -224,6 +224,9 @@ def make_sharded_lora_step(
           adapter_shardings, base_shardings, None, data_shard, data_shard,
           None,
       ),
+      # Pin output adapters to the input layouts so step N's output is a
+      # valid input for step N+1 (GSPMD may otherwise re-shard outputs).
+      out_shardings=(None, adapter_shardings, None),
       donate_argnums=(0, 2),
   )
 

@@ -46,6 +46,15 @@ class TrainingConfig:
   # exist only at adapter size, which is what fits 2B/9B fine-tuning in
   # one chip's HBM. Checkpoints and validation see the combined tree.
   lora: bool = False
+  # Apply the optimizer update every K loop steps, averaging gradients
+  # over the window (optax.MultiSteps) — the JAX equivalent of the
+  # reference torch loop's Accelerate gradient_accumulation_steps=4
+  # (``training/train.py:37``). ``max_steps``/``eval_every_n`` keep
+  # counting microbatches (loop iterations), matching Accelerate.
+  # Composes with ``skip_nonfinite_updates`` (a non-finite microbatch
+  # voids that window's update, not the accumulator state) and with
+  # ``mesh``/``lora`` (the accumulator shards like the gradients).
+  gradient_accumulation_steps: int = 1
   checkpoint_every_n: int | None = 1000
   checkpoint_dir: str | None = None
   resume_from: str | None = None  # a save_train_state checkpoint
@@ -73,6 +82,7 @@ def train_loop(
     log_metrics: Callable[[dict[str, float], int], None] | None = None,
     pad_id: int = 0,
     preemption: resilience.PreemptionHandler | None = None,
+    mesh: jax.sharding.Mesh | None = None,
 ):
   """Runs one SFT stage; returns the updated params.
 
@@ -90,6 +100,16 @@ def train_loop(
     preemption: Optional SIGTERM watcher; when it fires, the loop saves a
       resumable train state under ``config.checkpoint_dir`` and returns
       early (restart with ``config.resume_from`` pointing at it).
+    mesh: Optional device mesh. When given, the step is the pjit-ted
+      sharded one (``trainer.make_sharded_train_step``, or
+      ``lora.make_sharded_lora_step`` with ``config.lora``): parameters
+      take the Megatron TP layouts when the mesh has a
+      ``partitioning.MODEL_AXIS`` axis, batches shard over
+      ``partitioning.BATCH_AXIS`` (batch size must divide by that axis
+      size), and checkpoint/resume/preemption/eval work unchanged —
+      restored state is re-placed onto the mesh before training resumes.
+      ``freeze_llm`` stages are connector-only (tiny) and deliberately
+      stay single-device.
   """
   if config.lora:
     from cadence_gemma_tpu.training import lora as lora_lib
@@ -108,7 +128,56 @@ def train_loop(
     )
   if config.skip_nonfinite_updates:
     optimizer = resilience.skip_nonfinite_updates(optimizer)
-  if config.lora:
+  if config.gradient_accumulation_steps > 1:
+    # Outermost, so the inner optimizer (incl. apply_if_finite) only sees
+    # the window-averaged gradient at each K-th step.
+    optimizer = optax.MultiSteps(
+        optimizer, every_k_schedule=config.gradient_accumulation_steps
+    ).gradient_transformation()
+  reshard_params = None
+  if mesh is not None:
+    if config.freeze_llm:
+      raise ValueError(
+          "mesh is not supported with freeze_llm=True: the frozen stage "
+          "trains only the (tiny) vision-language connector — run it "
+          "single-device and pass the mesh to the full stage."
+      )
+    if config.lora:
+      from cadence_gemma_tpu.training import lora as lora_lib
+
+      adapters0, base0 = lora_lib.split_lora(params)
+      sharded_step, lora_shard_fn = lora_lib.make_sharded_lora_step(
+          model, optimizer, mesh, pad_id, adapters0, base0
+      )
+
+      def reshard_params(tree):
+        adapters, base = lora_lib.split_lora(tree)
+        adapters, base = lora_shard_fn(adapters, base)
+        return lora_lib.merge_params(base, adapters)
+
+      params = reshard_params(params)
+      opt_state = optimizer.init(lora_lib.split_lora(params)[0])
+
+      def step_fn(model, params, optimizer, opt_state, pad_id, tokens,
+                  mask, img_embed=None):
+        adapters, base = lora_lib.split_lora(params)
+        loss, adapters, opt_state = sharded_step(
+            adapters, base, opt_state, tokens, mask, img_embed
+        )
+        return loss, lora_lib.merge_params(base, adapters), opt_state
+
+    else:
+      sharded_step, reshard_params = trainer.make_sharded_train_step(
+          model, optimizer, mesh, pad_id=pad_id, example_params=params
+      )
+      params = reshard_params(params)
+      opt_state = optimizer.init(params)
+
+      def step_fn(model, params, optimizer, opt_state, pad_id, tokens,
+                  mask, img_embed=None):
+        return sharded_step(params, opt_state, tokens, mask, img_embed)
+
+  elif config.lora:
     # The loop threads the COMBINED tree (validation and checkpoints see
     # a complete, servable tree); each step splits it on the host, runs
     # the adapter-only jitted step (the frozen base rides as an explicit
@@ -138,9 +207,32 @@ def train_loop(
     # Restore into the freshly-initialized structures so optax NamedTuple
     # states survive the round trip (saved params are always the full
     # tree; in frozen mode opt_state covers only the connector).
+    if mesh is not None:
+      # optimizer.init on sharded params produced correctly-sharded
+      # moments (zeros_like preserves shardings); capture those layouts so
+      # the restored values can be re-placed identically. Scalars like
+      # optax's step count come out of init as UNCOMMITTED single-device
+      # arrays (compatible with any mesh); committing a restored scalar
+      # back to one device would conflict with the mesh-resident params,
+      # so anything not already on this mesh is replicated instead.
+      replicated = jax.sharding.NamedSharding(
+          mesh, jax.sharding.PartitionSpec()
+      )
+      opt_shardings = jax.tree_util.tree_map(
+          lambda x: x.sharding
+          if isinstance(x.sharding, jax.sharding.NamedSharding)
+          and x.sharding.mesh == mesh
+          else replicated,
+          opt_state,
+      )
     params, opt_state, step = checkpoint_io.load_train_state(
         config.resume_from, target=(params, opt_state)
     )
+    if mesh is not None:
+      params = reshard_params(params)
+      opt_state = jax.tree_util.tree_map(
+          jax.device_put, opt_state, opt_shardings
+      )
 
   t_start = time.perf_counter()
   saver_ctx = (
@@ -277,12 +369,18 @@ def two_stage_sft(
     **kwargs,
 ):
   """Reference two-stage schedule: frozen connector, then full fine-tune
-  (train_jax.py:769-781)."""
+  (train_jax.py:769-781).
+
+  A ``mesh`` kwarg applies to stage 2 only: the frozen stage trains just
+  the (tiny) connector and deliberately runs single-device (see
+  ``train_loop``'s mesh docs), so routing the mesh there would raise.
+  """
+  mesh = kwargs.pop("mesh", None)
   params = train_loop(
       model, params, train_data_factory(),
       dataclasses.replace(stage1, freeze_llm=True), **kwargs,
   )
   return train_loop(
       model, params, train_data_factory(),
-      dataclasses.replace(stage2, freeze_llm=False), **kwargs,
+      dataclasses.replace(stage2, freeze_llm=False), mesh=mesh, **kwargs,
   )

@@ -314,6 +314,11 @@ def make_sharded_train_step(
   step_fn = jax.jit(
       step,
       in_shardings=(param_shardings, None, data_shard, data_shard, None),
+      # Pin the output params to the input layouts: left unconstrained,
+      # GSPMD may emit differently-sharded outputs, which then violate
+      # in_shardings when fed back in on the NEXT step (loops like
+      # train_loop(mesh=...) call this repeatedly).
+      out_shardings=(None, param_shardings, None),
       donate_argnums=(0, 1),
   )
 

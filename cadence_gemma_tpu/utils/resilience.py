@@ -119,7 +119,13 @@ def skip_nonfinite_updates(
 
 
 def nonfinite_count(opt_state: Any) -> int:
-  """Consecutive skipped steps inside an ``apply_if_finite`` state."""
+  """Consecutive skipped steps inside an ``apply_if_finite`` state.
+
+  Looks through wrapper states (e.g. ``optax.MultiSteps``'s
+  ``inner_opt_state`` when gradient accumulation is on).
+  """
   if hasattr(opt_state, "notfinite_count"):
     return int(opt_state.notfinite_count)
+  if hasattr(opt_state, "inner_opt_state"):
+    return nonfinite_count(opt_state.inner_opt_state)
   return 0

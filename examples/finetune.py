@@ -52,6 +52,33 @@ _LORA_INT8 = flags.DEFINE_bool(
     "QLoRA-style: quantize the frozen base to int8 before adapter "
     "training (fits the 9B preset on one 16 GB chip). The final save "
     "keeps base + adapters unmerged (int8 cannot be folded losslessly).")
+_GRAD_ACCUM = flags.DEFINE_integer(
+    "gradient_accumulation_steps", 1,
+    "Average gradients over this many microbatches before each optimizer "
+    "update (the reference torch loop uses Accelerate's "
+    "gradient_accumulation_steps=4, train.py:37). Steps count "
+    "microbatches.")
+_MESH = flags.DEFINE_string(
+    "mesh", "",
+    "Device mesh for the full/LoRA stage as 'axis:size,...' (e.g. "
+    "'data:2,model:4'): the stage runs the pjit-ted sharded step "
+    "(train_loop(mesh=...)); axis names follow parallel/partitioning.py "
+    "('data' shards the batch, 'model' applies Megatron TP layouts). "
+    "The frozen connector stage always runs single-device. Empty = "
+    "single device (the reference JAX loop's only mode).")
+
+
+def _parse_mesh(spec: str):
+  if not spec:
+    return None
+  from cadence_gemma_tpu.parallel import sharding as sharding_lib
+
+  names, sizes = [], []
+  for part in spec.split(","):
+    name, _, size = part.partition(":")
+    names.append(name.strip())
+    sizes.append(int(size))
+  return sharding_lib.make_mesh(sizes, names)
 
 
 def main(argv):
@@ -96,10 +123,12 @@ def main(argv):
   stage1 = train_loop.TrainingConfig(
       learning_rate=_LR1.value, max_steps=_STEPS1.value,
       batch_size=_BATCH.value, checkpoint_dir=_OUTPUT.value,
+      gradient_accumulation_steps=_GRAD_ACCUM.value,
   )
   stage2 = train_loop.TrainingConfig(
       learning_rate=_LR2.value, max_steps=_STEPS2.value,
       batch_size=_BATCH.value, checkpoint_dir=_OUTPUT.value,
+      gradient_accumulation_steps=_GRAD_ACCUM.value,
   )
   backend = _METRICS.value
   target = _METRICS_TARGET.value
@@ -110,6 +139,7 @@ def main(argv):
       "stdout": {},
   }[backend]
   log_metrics = logging_lib.make_logger(backend, **log_kwargs)
+  mesh = _parse_mesh(_MESH.value)
 
   if lora_rank:
     import dataclasses
@@ -137,7 +167,7 @@ def main(argv):
         lora_model, params, make_data(),
         dataclasses.replace(stage2, lora=True),
         validation_data=val, encode_image=encode,
-        pad_id=vocab.pad_id(), log_metrics=log_metrics,
+        pad_id=vocab.pad_id(), log_metrics=log_metrics, mesh=mesh,
     )
     if not _LORA_INT8.value:
       params = cg.lora.merge_lora(params)  # adapter-free serving tree
@@ -145,7 +175,7 @@ def main(argv):
     params = train_loop.two_stage_sft(
         model, params, make_data, stage1, stage2,
         validation_data=val, encode_image=encode,
-        pad_id=vocab.pad_id(), log_metrics=log_metrics,
+        pad_id=vocab.pad_id(), log_metrics=log_metrics, mesh=mesh,
     )
   cg.save_parameters(f"{_OUTPUT.value}/final", params)
 

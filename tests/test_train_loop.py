@@ -192,6 +192,237 @@ class TestPrefetch:
       )
 
 
+class TestGradAccumulation:
+  """gradient_accumulation_steps: K-window averaging via optax.MultiSteps."""
+
+  def _run(self, model, params, vocab, batches, cfg):
+    return train_loop.train_loop(
+        model, jax.tree_util.tree_map(jnp.copy, params), batches, cfg,
+        pad_id=vocab.pad_id(),
+        log_metrics=lambda m, s: None,
+    )
+
+  def test_accum_over_repeated_batches_matches_plain(self, setup):
+    import dataclasses
+
+    vocab, _, model, params = setup
+    with tempfile.TemporaryDirectory() as d:
+      batches = list(_dataset(vocab, d))  # 3 batches
+    # Each batch fed twice under K=2 averages two identical gradients,
+    # so every optimizer update equals the plain single-step update.
+    doubled = [b for b in batches for _ in range(2)]
+    cfg_plain = train_loop.TrainingConfig(
+        learning_rate=1e-3, max_steps=3, eval_every_n=100,
+        checkpoint_every_n=None,
+    )
+    cfg_accum = dataclasses.replace(
+        cfg_plain, max_steps=6, gradient_accumulation_steps=2
+    )
+    out_plain = self._run(model, params, vocab, batches, cfg_plain)
+    out_accum = self._run(model, params, vocab, doubled, cfg_accum)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out_plain)[0],
+        jax.tree_util.tree_flatten_with_path(out_accum)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p)
+      )
+
+  def test_partial_window_applies_no_update(self, setup):
+    vocab, _, model, params = setup
+    with tempfile.TemporaryDirectory() as d:
+      batches = list(_dataset(vocab, d))[:1]
+    cfg = train_loop.TrainingConfig(
+        learning_rate=1e-1, max_steps=1, eval_every_n=100,
+        checkpoint_every_n=None, gradient_accumulation_steps=2,
+    )
+    out = self._run(model, params, vocab, batches, cfg)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(out)[0],
+    ):
+      np.testing.assert_array_equal(
+          np.asarray(a), np.asarray(b), err_msg=str(p)
+      )
+
+  def test_nonfinite_count_seen_through_multisteps(self):
+    import optax
+
+    from cadence_gemma_tpu.utils import resilience
+
+    tx = resilience.skip_nonfinite_updates(optax.sgd(1.0))
+    tx = optax.MultiSteps(tx, every_k_schedule=2).gradient_transformation()
+    p = {"w": jnp.ones((2,))}
+    state = tx.init(p)
+    assert resilience.nonfinite_count(state) == 0
+    bad = {"w": jnp.full((2,), jnp.nan)}
+    for _ in range(2):  # one full window of NaN gradients
+      _, state = tx.update(bad, state, p)
+    assert resilience.nonfinite_count(state) == 1
+
+  def test_accum_composes_with_mesh(self, setup):
+    import dataclasses
+
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    vocab, _, model, params = setup
+    with tempfile.TemporaryDirectory() as d:
+      batches = list(_dataset(vocab, d))
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    cfg = train_loop.TrainingConfig(
+        learning_rate=1e-3, max_steps=6, eval_every_n=100,
+        checkpoint_every_n=None, gradient_accumulation_steps=2,
+    )
+    doubled = [b for b in batches for _ in range(2)]
+    out_one = self._run(model, params, vocab, doubled, cfg)
+    out_mesh = train_loop.train_loop(
+        model, jax.tree_util.tree_map(jnp.copy, params), doubled, cfg,
+        pad_id=vocab.pad_id(), mesh=mesh,
+    )
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out_one)[0],
+        jax.tree_util.tree_flatten_with_path(out_mesh)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(p)
+      )
+
+
+class TestShardedLoop:
+  """train_loop(mesh=...) runs the pjit-ted step with loop features intact."""
+
+  def _losses(self, model, params, vocab, d, cfg, mesh=None):
+    logged = []
+    out = train_loop.train_loop(
+        model, jax.tree_util.tree_map(jnp.copy, params),
+        _dataset(vocab, d), cfg, pad_id=vocab.pad_id(),
+        log_metrics=lambda m, s, log=logged: log.append(m), mesh=mesh,
+    )
+    return out, [m["train_loss"] for m in logged if "train_loss" in m]
+
+  def test_mesh_loop_matches_single_device(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    vocab, _, model, params = setup
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    cfg = train_loop.TrainingConfig(
+        learning_rate=1e-3, max_steps=3, eval_every_n=1,
+        checkpoint_every_n=None,
+    )
+    with tempfile.TemporaryDirectory() as d:
+      out_one, losses_one = self._losses(model, params, vocab, d, cfg)
+      out_mesh, losses_mesh = self._losses(
+          model, params, vocab, d, cfg, mesh=mesh
+      )
+    assert losses_one
+    np.testing.assert_allclose(losses_one, losses_mesh, rtol=1e-5)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out_one)[0],
+        jax.tree_util.tree_flatten_with_path(out_mesh)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(p)
+      )
+
+  def test_mesh_lora_loop_matches_single_device(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+    from cadence_gemma_tpu.training import lora as lora_lib
+
+    vocab, config, _, _ = setup
+    lora_model = griffin.Griffin(
+        config, lora_rank=2, dtype=jnp.float32, param_dtype=jnp.float32
+    )
+    tokens = jnp.ones((1, 6), jnp.int32)
+    params = lora_model.init(
+        jax.random.PRNGKey(3), tokens, jnp.arange(6)[None]
+    )["params"]
+    # Non-zero lora_b so both loops traverse a non-trivial adapter path.
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.01 if "lora_b" in str(p[-1]) else v, params
+    )
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    cfg = train_loop.TrainingConfig(
+        learning_rate=1e-3, max_steps=2, eval_every_n=1,
+        checkpoint_every_n=None, lora=True,
+    )
+    with tempfile.TemporaryDirectory() as d:
+      out_one, losses_one = self._losses(lora_model, params, vocab, d, cfg)
+      out_mesh, losses_mesh = self._losses(
+          lora_model, params, vocab, d, cfg, mesh=mesh
+      )
+    assert losses_one
+    np.testing.assert_allclose(losses_one, losses_mesh, rtol=1e-5)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out_one)[0],
+        jax.tree_util.tree_flatten_with_path(out_mesh)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-5, err_msg=str(p)
+      )
+
+  def test_mesh_resume_matches_uninterrupted(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    vocab, _, model, params = setup
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    with tempfile.TemporaryDirectory() as d:
+      ckdir = os.path.join(d, "ck")
+      full_cfg = train_loop.TrainingConfig(
+          learning_rate=1e-3, max_steps=2, eval_every_n=100,
+          checkpoint_every_n=None,
+      )
+      out_full, _ = self._losses(model, params, vocab, d, full_cfg, mesh)
+      # Interrupted: 1 step + checkpoint, then resume to step 2 on the mesh.
+      cfg1 = train_loop.TrainingConfig(
+          learning_rate=1e-3, max_steps=1, eval_every_n=100,
+          checkpoint_every_n=1, checkpoint_dir=ckdir,
+      )
+      self._losses(model, params, vocab, d, cfg1, mesh)
+      cfg2 = train_loop.TrainingConfig(
+          learning_rate=1e-3, max_steps=2, eval_every_n=100,
+          checkpoint_every_n=None,
+          resume_from=os.path.join(ckdir, "step_1"),
+      )
+      out_resumed, _ = self._losses(model, params, vocab, d, cfg2, mesh)
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out_full)[0],
+        jax.tree_util.tree_flatten_with_path(out_resumed)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p)
+      )
+
+  def test_mesh_with_freeze_llm_raises(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    vocab, _, model, params = setup
+    mesh = sh.make_mesh((2,), ("data",), jax.devices()[:2])
+    cfg = train_loop.TrainingConfig(max_steps=1, freeze_llm=True)
+    with pytest.raises(ValueError, match="freeze_llm"):
+      train_loop.train_loop(model, params, [], cfg, mesh=mesh)
+
+  def test_two_stage_mesh_applies_to_full_stage_only(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    vocab, _, model, params = setup
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    stage = train_loop.TrainingConfig(
+        learning_rate=1e-3, max_steps=2, eval_every_n=1,
+        checkpoint_every_n=None,
+    )
+    with tempfile.TemporaryDirectory() as d:
+      out = train_loop.two_stage_sft(
+          model, jax.tree_util.tree_map(jnp.copy, params),
+          lambda: _dataset(vocab, d), stage, stage,
+          pad_id=vocab.pad_id(), mesh=mesh,
+      )
+    changed = not np.allclose(
+        np.asarray(out["embedder"]["input_embedding"]),
+        np.asarray(params["embedder"]["input_embedding"]),
+    )
+    assert changed
+
+
 class TestAsyncCheckpoints:
 
   def test_async_periodic_checkpoints_resumable(self, setup):
