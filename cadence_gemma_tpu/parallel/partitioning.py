@@ -44,6 +44,45 @@ def _spec_for(path: tuple[str, ...], value: Any, model_axis: str) -> P:
   grandparent = path[-3] if len(path) >= 3 else ""
   m = model_axis
 
+  # Quantized twins (ops/quantization.py replaces an eligible leaf with
+  # `<name>_q` int8 of the same shape and `<name>_scale` on the
+  # non-contracted output axes): `_q` takes the base leaf's layout, and
+  # `_scale` takes that layout minus the contracted entries — so an int8
+  # frozen base (QLoRA serving/training) shards under TP exactly like the
+  # bf16 tree it came from. Must run before the ndim<=1 early return: a
+  # 1-D kernel_scale of a column-parallel kernel shards on the model axis.
+  if name.endswith("_q") or name.endswith("_scale"):
+    is_scale = name.endswith("_scale")
+    base = name[: -len("_scale") if is_scale else -len("_q")]
+    contract = {"kernel": (0,), "input_embedding": (1,), "w": (1,)}.get(base)
+    if contract is not None:
+      base_ndim = value.ndim + (len(contract) if is_scale else 0)
+      base_spec = _spec_for(
+          path[:-1] + (base,), _NdimOnly(base_ndim), m
+      )
+      if not is_scale:
+        return base_spec
+      entries = list(base_spec) + [None] * (base_ndim - len(base_spec))
+      return P(*(a for i, a in enumerate(entries) if i not in contract))
+
+  # LoRA adapters mirror their parent's Megatron layout: the low-rank hop
+  # stays replicated on the rank axis; only the side touching a sharded
+  # model dimension shards. Column-parallel parents shard lora_b's output
+  # dim, row-parallel parents shard lora_a's input dim (GSPMD inserts the
+  # psum over the contracted shard, exactly as for the base kernel).
+  # Must precede the parent-based rules below — e.g. ffw_up's generic
+  # rule would otherwise shard lora_a's RANK axis.
+  if name in ("lora_a", "lora_b"):
+    column = parent in ("linear_x", "linear_y", "proj_q")
+    row = parent in ("linear_out", "proj_final", "ffw_down")
+    if name == "lora_b" and column:
+      return P(None, m)
+    if name == "lora_a" and row:
+      return P(m, None)
+    if name == "lora_b" and parent == "ffw_up" and value.ndim == 3:
+      return P(None, None, m)  # fused (c, r, D): shard D like w
+    return P(*([None] * value.ndim))
+
   # Embedder: shard the vocab dim of [vocab, width].
   if name == "input_embedding":
     return P(m, None)
@@ -88,23 +127,14 @@ def _spec_for(path: tuple[str, ...], value: Any, model_axis: str) -> P:
   if parent in ("proj_k", "proj_v"):
     return P(*([None] * value.ndim))  # single KV head: replicate
 
-  # LoRA adapters mirror their parent's Megatron layout: the low-rank hop
-  # stays replicated on the rank axis; only the side touching a sharded
-  # model dimension shards. Column-parallel parents shard lora_b's output
-  # dim, row-parallel parents shard lora_a's input dim (GSPMD inserts the
-  # psum over the contracted shard, exactly as for the base kernel).
-  if name in ("lora_a", "lora_b"):
-    column = parent in ("linear_x", "linear_y", "proj_q")
-    row = parent in ("linear_out", "proj_final", "ffw_down")
-    if name == "lora_b" and column:
-      return P(None, m)
-    if name == "lora_a" and row:
-      return P(m, None)
-    if name == "lora_b" and parent == "ffw_up" and value.ndim == 3:
-      return P(None, None, m)  # fused (c, r, D): shard D like w
-    return P(*([None] * value.ndim))
-
   return P(*([None] * value.ndim))
+
+
+class _NdimOnly:
+  """Shape-free stand-in for re-deriving a base leaf's spec by rank."""
+
+  def __init__(self, ndim: int):
+    self.ndim = ndim
 
 
 def griffin_param_specs(

@@ -112,9 +112,16 @@ def train_loop(
       stay single-device.
   """
   if config.lora:
+    if config.freeze_llm:
+      raise ValueError(
+          "config.lora and config.freeze_llm are mutually exclusive: the "
+          "frozen stage trains the vl_connector with everything else "
+          "frozen, LoRA trains adapters with the base frozen — pick one "
+          "per stage (two_stage_sft runs freeze_llm first, then lora)."
+      )
     from cadence_gemma_tpu.training import lora as lora_lib
 
-    adapters0, _ = lora_lib.split_lora(params)
+    adapters0, base0 = lora_lib.split_lora(params)
     if not adapters0:
       raise ValueError(
           "config.lora=True but the parameter tree has no lora_a/lora_b "
@@ -143,9 +150,6 @@ def train_loop(
           "single-device and pass the mesh to the full stage."
       )
     if config.lora:
-      from cadence_gemma_tpu.training import lora as lora_lib
-
-      adapters0, base0 = lora_lib.split_lora(params)
       sharded_step, lora_shard_fn = lora_lib.make_sharded_lora_step(
           model, optimizer, mesh, pad_id, adapters0, base0
       )

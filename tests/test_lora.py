@@ -293,6 +293,112 @@ class TestLoraSharded:
     mlp = specs["blocks.0"]["mlp_block"]
     assert mlp["ffw_up"]["lora_b"] == P(None, None, "model")
     assert mlp["ffw_down"]["lora_a"] == P("model", None)
+    # The rank axis must NEVER shard (regression: the generic ffw_up rule
+    # used to intercept lora_a and shard its rank dim, crashing any
+    # rank % tp_size != 0 config).
+    assert mlp["ffw_up"]["lora_a"] == P(None, None, None)
+    assert mlp["ffw_down"]["lora_b"] == P(None, None)
+    vl = specs["vl_connector"]
+    assert vl["ffw_up"]["lora_a"] == P(None, None, None)
+    assert vl["ffw_up"]["lora_b"] == P(None, None, "model")
+
+  def test_indivisible_rank_shards_cleanly(self):
+    """rank=3 over a 2-way model axis: adapters place without error
+    because no LoRA rank axis is ever sharded."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    _, _, lora_model = make_models(rank=3)
+    params = init_params(lora_model, seed=21)
+    adapters, base = lora.split_lora(params)
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    _, shard_fn = lora.make_sharded_lora_step(
+        lora_model, tx, mesh, 0, adapters, base
+    )
+    sh_adapters, _ = shard_fn(adapters, base)  # regression: used to raise
+    # No placed adapter may shard its (size-3) rank axis.
+    for path, leaf in jax.tree_util.tree_flatten_with_path(sh_adapters)[0]:
+      spec = leaf.sharding.spec
+      for dim, axis in enumerate(tuple(spec) + (None,) * leaf.ndim):
+        if dim < leaf.ndim and axis is not None:
+          assert leaf.shape[dim] % 2 == 0, (path, spec)
+
+  def test_quantized_base_specs_mirror_bf16_layout(self):
+    """int8 twins (`*_q`/`*_scale`) shard exactly like the bf16 leaves
+    they replace, so a QLoRA frozen base gets real TP weight relief."""
+    from jax.sharding import PartitionSpec as P
+
+    from cadence_gemma_tpu.parallel import partitioning
+
+    _, base_model, _ = make_models()
+    qparams = quantization.quantize_params(init_params(base_model, seed=22))
+    specs = partitioning.griffin_param_specs(qparams)
+    rb = specs["blocks.0"]["recurrent_block"]
+    assert rb["linear_x"]["kernel_q"] == P(None, "model")
+    assert rb["linear_x"]["kernel_scale"] == P("model")
+    assert rb["linear_out"]["kernel_q"] == P("model", None)
+    assert rb["linear_out"]["kernel_scale"] == P(None)
+    mlp = specs["blocks.0"]["mlp_block"]
+    assert mlp["ffw_up"]["w_q"] == P(None, None, "model")
+    assert mlp["ffw_up"]["w_scale"] == P(None, "model")
+    assert mlp["ffw_down"]["kernel_q"] == P("model", None)
+    gate = rb["rg_lru"]["input_gate"]
+    assert gate["w_q"] == P("model", None, None)
+    assert gate["w_scale"] == P("model", None)
+    emb = specs["embedder"]
+    assert emb["input_embedding_q"] == P("model", None)
+    assert emb["input_embedding_scale"] == P("model")
+    att = specs["blocks.1"]["attention_block"]
+    assert att["proj_q"]["kernel_q"] == P(None, "model")
+    assert att["proj_k"]["kernel_q"] == P(None, None)
+
+  def test_sharded_qlora_step_int8_base_sharded(self):
+    """QLoRA on a mesh: the int8 frozen base actually shards over TP and
+    the step matches the single-device QLoRA step."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    cfg = tiny_config()
+    lora_q = griffin.Griffin(
+        cfg, gradient_checkpointing=False, quantized=True, lora_rank=4,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    lora_f = griffin.Griffin(
+        cfg, gradient_checkpointing=False, lora_rank=4,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = init_params(lora_f, seed=23)
+    adapters, base = lora.split_lora(params)
+    qbase = quantization.quantize_params(base)
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    step_fn, shard_fn = lora.make_sharded_lora_step(
+        lora_q, tx, mesh, 0, adapters, qbase
+    )
+    sh_adapters, sh_qbase = shard_fn(adapters, qbase)
+    # The heavy int8 leaves must be model-sharded, not replicated.
+    lx = sh_qbase["blocks.0"]["recurrent_block"]["linear_x"]
+    assert not lx["kernel_q"].sharding.is_fully_replicated
+    assert lx["kernel_q"].dtype == jnp.int8
+    opt_state = tx.init(sh_adapters)
+    tok = jax.random.randint(jax.random.PRNGKey(24), (2, 10), 1, 40)
+    tok = tok.astype(jnp.int32)
+    mask = jnp.ones_like(tok, dtype=bool)
+    adapters_copy = jax.tree_util.tree_map(jnp.copy, adapters)
+    opt_ref = tx.init(adapters_copy)
+    loss_ref, adapters_ref, _ = lora.lora_train_step(
+        lora_q, adapters_copy, qbase, tx, opt_ref, 0, tok, mask
+    )
+    loss_sh, sh_adapters, opt_state = step_fn(
+        sh_adapters, sh_qbase, opt_state, tok, mask, None
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for (p, u), (_, v) in zip(
+        jax.tree_util.tree_flatten_with_path(adapters_ref)[0],
+        jax.tree_util.tree_flatten_with_path(sh_adapters)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(u), np.asarray(v), atol=1e-5, err_msg=str(p)
+      )
 
   def test_tp_serving_with_adapters_matches_single_device(self):
     from cadence_gemma_tpu.inference import sampler as sampler_lib

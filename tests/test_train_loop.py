@@ -392,6 +392,12 @@ class TestShardedLoop:
           np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p)
       )
 
+  def test_lora_with_freeze_llm_raises(self, setup):
+    vocab, _, model, params = setup
+    cfg = train_loop.TrainingConfig(max_steps=1, lora=True, freeze_llm=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+      train_loop.train_loop(model, params, [], cfg)
+
   def test_mesh_with_freeze_llm_raises(self, setup):
     from cadence_gemma_tpu.parallel import sharding as sh
 
