@@ -343,8 +343,9 @@ def bench_sft_step(batch=1, seq_len=512):
   )
   model = griffin.Griffin(config)  # remat on
   tokens0 = jnp.ones((batch, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (batch, 1))
   shapes = jax.eval_shape(
-      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
   )
   params = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), shapes
@@ -408,10 +409,9 @@ def bench_lora_step(batch=1, seq_len=512, rank=16, int8_base=False,
   model = griffin.Griffin(config, quantized=int8_base, lora_rank=rank)
   fp_model = griffin.Griffin(config)
   tokens0 = jnp.ones((batch, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (batch, 1))
   shapes = jax.eval_shape(
-      lambda: fp_model.init(
-          jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None]
-      )
+      lambda: fp_model.init(jax.random.PRNGKey(0), tokens0, pos0)
   )
   base_shapes = shapes["params"]
   if int8_base:
@@ -832,6 +832,107 @@ def bench_poisson_serving(num_slots=4, steps=48, prompt_len=256,
   }))
 
 
+def bench_multilora_serving(num_slots=4, rank=16, ticks=6, step_size=16):
+  """Per-step cost of multi-adapter serving vs the plain batcher.
+
+  ``multi_lora`` adds two batched low-rank einsums per projection
+  ([slots, 1, d] x [slots, d, r]) on top of the shared base decode; the
+  base weight stream (the decode bottleneck) is unchanged. This measures
+  aggregate decode tokens/sec with every slot live, plain vs stacked
+  adapters, on the 2B preset.
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.inference import serving
+  from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.training import lora as lora_lib
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(
+      config, gradient_checkpointing=False, lora_rank=rank
+  )
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (1, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  sampler = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+  adapters0, _ = lora_lib.split_lora(params)
+
+  def adapters_for(seed):
+    ls, td = jax.tree_util.tree_flatten(adapters0)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(ls))
+    return jax.tree_util.tree_unflatten(
+        td,
+        [(0.02 * jax.random.normal(k, l.shape)).astype(l.dtype)
+         for k, l in zip(keys, ls)],
+    )
+
+  def run(multi):
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=num_slots,
+        max_steps_default=2 * ticks * step_size + 8, multi_lora=multi,
+    )
+    for i in range(num_slots):
+      batcher.add_request(
+          " ".join(f"w{i}_{j}" for j in range(12)),
+          adapters=adapters_for(10 + i) if multi else None,
+      )
+    batcher.step(4)  # admissions + compile
+    _sync = jax.device_get(batcher._state["write_idx"])
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+      batcher.step(step_size)
+    jax.device_get(batcher._state["write_idx"])
+    dt = time.perf_counter() - t0
+    return num_slots * ticks * step_size / dt
+
+  plain = run(False)
+  multi = run(True)
+  print(json.dumps({
+      "metric": "multilora_serving_tokens_per_sec_per_chip",
+      "value": round(multi, 1),
+      "unit": f"tokens/sec/chip ({num_slots} slots, rank-{rank} adapter "
+              "per slot, bf16 2B base)",
+      "plain_batcher_tokens_per_sec": round(plain, 1),
+      "overhead_pct": round(100.0 * (plain - multi) / plain, 1),
+      "notes": "each slot serves its own LoRA fine-tune over the shared "
+               "base; overhead is the batched rank-hop einsums only.",
+  }))
+
+
 def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
   """Long-context SFT step: 4x-window sequences through the flash kernels.
 
@@ -849,8 +950,9 @@ def bench_longcontext_sft(batch=1, seq_len=8192, use_flash=None):
   )
   model = griffin.Griffin(config, use_flash_attention=use_flash)
   tokens0 = jnp.ones((batch, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (batch, 1))
   shapes = jax.eval_shape(
-      lambda: model.init(jax.random.PRNGKey(0), tokens0, jnp.arange(8)[None])
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
   )
   params = jax.tree_util.tree_map(
       lambda s: jnp.zeros(s.shape, s.dtype), shapes
@@ -1301,6 +1403,8 @@ if __name__ == "__main__":
     bench_longcontext_sft(use_flash=False)
   if which in ("all", "poisson"):
     bench_poisson_serving()
+  if which in ("all", "multilora"):
+    bench_multilora_serving()
   if which in ("all", "roofline"):
     bench_decode_roofline(int8=True)
   if which == "roofline_bf16":

@@ -307,6 +307,7 @@ class Sampler(Generic[Cache]):
       img_embed: at.Image | None = None,
       last_logits_only: bool = False,
       prefill: bool = False,
+      model=None,
   ) -> tuple[at.TokenLogits | None, Cache | None]:
     kwargs = {}
     if img_embed is not None:
@@ -314,8 +315,10 @@ class Sampler(Generic[Cache]):
     if last_logits_only:
       kwargs["last_logits_only"] = True
     # Prefill may run a different (int8-activation) variant of the model;
-    # both variants read the same parameter tree.
-    model = self._prefill_model if prefill else self.model
+    # both variants read the same parameter tree. ``model=`` overrides
+    # both (the batcher's multi-adapter lora_rows twin).
+    if model is None:
+      model = self._prefill_model if prefill else self.model
     return model.apply(
         {"params": params},
         tokens=tokens,

@@ -87,6 +87,7 @@ class _Pending:
   rng: Any
   prompt_tokens: jax.Array | None   # speculative history seed
   prompt_length: Any
+  adapters: Any = None    # per-request LoRA tree (multi_lora mode)
 
 
 class ContinuousBatcher:
@@ -123,6 +124,7 @@ class ContinuousBatcher:
       ngram: int = 4,
       stream_callback: Any | None = None,
       admission_chunks_per_tick: int | None = None,
+      multi_lora: bool = False,
   ):
     """See the class docstring.
 
@@ -140,6 +142,21 @@ class ContinuousBatcher:
         pending admissions). With the sampler's ``prefill_chunk_size``
         set, this caps the decode stall any newcomer can inflict on
         running requests at one chunk's prefill time per tick.
+      multi_lora: Serve a DIFFERENT LoRA fine-tune per request over one
+        shared base (S-LoRA-style multi-adapter serving). Requires the
+        sampler's model to be built with ``lora_rank > 0`` (its params
+        carry adapter leaves — zeros for the plain base). Each request
+        may pass ``adapters=`` to :meth:`add_request`; its prefill runs
+        batch-1 with those adapters merged, and at insertion they
+        scatter into a per-slot stacked adapter tree that the decode
+        program applies row-wise (``Griffin(lora_rows=num_slots)`` —
+        the base matmuls stay one shared MXU contraction; only the
+        rank-r hop is per-slot). Requests without adapters run the
+        sampler's own params exactly. HBM cost is
+        ``num_slots x adapter_size`` (~0.7% of the model per slot at
+        rank 16), and the per-step overhead is the batched low-rank
+        einsums. Composes with speculation (``draft_len``), categorical
+        sampling, chunked admission, and streaming.
     """
     self.sampler = sampler
     self.num_slots = num_slots
@@ -193,6 +210,36 @@ class ContinuousBatcher:
           valid_from=jnp.zeros((num_slots,), jnp.int32),
       )
 
+    self.multi_lora = multi_lora
+    self._adapters = None       # stacked [num_slots, ...] adapter tree
+    self._model_ml = None       # lora_rows=num_slots model twin
+    self._sampler_adapters = None  # default row for adapter-less requests
+    if multi_lora:
+      from cadence_gemma_tpu.training import lora as lora_lib
+
+      self._lora_lib = lora_lib
+      if not getattr(sampler.model, "lora_rank", 0):
+        raise ValueError(
+            "multi_lora requires the sampler's model to be built with "
+            "lora_rank > 0 so its params carry adapter leaves (use "
+            "training.lora.init_adapters for a fresh zero tree)."
+        )
+      self._sampler_adapters, _ = lora_lib.split_lora(sampler.params)
+      if not self._sampler_adapters:
+        raise ValueError(
+            "multi_lora: the sampler's params have no lora_a/lora_b "
+            "leaves; initialize adapters (training.lora.init_adapters + "
+            "merge_params) before building the batcher."
+        )
+      self._adapters = jax.tree_util.tree_map(
+          lambda a: jnp.zeros((num_slots,) + a.shape, a.dtype),
+          self._sampler_adapters,
+      )
+      self._model_ml = sampler.model.clone(lora_rows=num_slots)
+      self._scatter_adapters_fn = jax.jit(
+          self._scatter_adapters, donate_argnums=0
+      )
+
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
                               static_argnums=(4, 7))
     # Params enter as an argument: closing over them would bake ~weights-
@@ -202,6 +249,15 @@ class ContinuousBatcher:
                             static_argnums=2)
 
   # -- device programs --------------------------------------------------------
+
+  def _scatter_adapters(self, stacked, new, slot):
+    """Writes one request's adapter tree into its slot's stacked row."""
+    return jax.tree_util.tree_map(
+        lambda s, a: jax.lax.dynamic_update_index_in_dim(
+            s, a.astype(s.dtype), slot, axis=0
+        ),
+        stacked, new,
+    )
 
   def _insert(self, state, prefill_state, slot, budget, grow_to=None,
               prompt_tokens=None, prompt_length=None, grow_hist_to=None):
@@ -268,8 +324,17 @@ class ContinuousBatcher:
       )
     return state
 
-  def _step_n(self, params, state, n):
+  def _step_n(self, params, state, n, adapters=None):
     """Advances every slot ``n`` decode (or verify) steps in one program."""
+    model = self.sampler.model
+    if adapters is not None:
+      # Multi-adapter serving: overlay the stacked [num_slots, ...]
+      # adapter tree (a tree restructure, free under jit) and run the
+      # lora_rows model twin, whose low-rank hop contracts row i of the
+      # stack against batch row i. Base weights are shared and stream
+      # once per step, exactly as without adapters.
+      params = self._lora_lib.merge_params(params, adapters)
+      model = self._model_ml
     if self.draft_len:
 
       categorical = not self.sampler.deterministic_sampling
@@ -294,7 +359,7 @@ class ContinuousBatcher:
           # consumes randomness differently than one-draw-per-token).
           st["rng"] = s["rng"]
         st = speculative.prompt_lookup_spec_step(
-            self.sampler.model, params, st,
+            model, params, st,
             draft_len=self.draft_len, ngram=self.ngram,
             stop_ids=self.sampler._stop_ids,
             logits_filter=(
@@ -327,6 +392,7 @@ class ContinuousBatcher:
           cache=s["cache"],
           return_logits=True,
           return_cache=True,
+          model=model,
       )
       rng = s["rng"]
       step_logits = logits[:, 0]
@@ -398,6 +464,7 @@ class ContinuousBatcher:
       max_steps: int | None = None,
       rng=None,
       prefix_state: sampler_lib.PrefixState | None = None,
+      adapters: Any | None = None,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -414,7 +481,28 @@ class ContinuousBatcher:
     state): the prefix cache broadcasts into the slot and only the
     continuation tokens prefill, exactly like the solo sampler's
     ``prefix_state=`` path (IT turn templating included).
+
+    ``adapters`` (``multi_lora`` batchers only) is this request's LoRA
+    tree (``training.lora.split_lora`` layout); the request decodes as
+    if the sampler served ``merge_params(base, adapters)`` solo. Omitted
+    → the sampler's own params apply unchanged. Combined with
+    ``prefix_state``, the shared prefix stays as prefilled (under the
+    sampler's params — the point of sharing it); only the continuation
+    and decode run under the request's adapters.
     """
+    if adapters is not None:
+      if not self.multi_lora:
+        raise ValueError(
+            "Per-request adapters require ContinuousBatcher("
+            "multi_lora=True)."
+        )
+      expect = jax.tree_util.tree_structure(self._sampler_adapters)
+      got = jax.tree_util.tree_structure(adapters)
+      if got != expect:
+        raise ValueError(
+            "adapters tree does not match the sampler's adapter leaves "
+            f"(training.lora.split_lora layout); got {got} != {expect}."
+        )
     if not self.has_capacity:
       raise RuntimeError(
           f"All {self.num_slots} slots busy; pop_finished() first."
@@ -480,15 +568,25 @@ class ContinuousBatcher:
         request=req, chunks=chunks, input_length=input_length,
         cache=cache, start=start, rng=rng,
         prompt_tokens=prompt_tokens, prompt_length=prompt_length,
+        adapters=adapters,
     ))
     return request_id
+
+  def _admission_params(self, p: _Pending):
+    """Params for a pending request's prefill programs: the sampler's
+    tree, with this request's adapters overlaid in multi_lora mode (the
+    overlay is a host-side tree restructure — leaf shapes match the
+    compiled programs' signature, so no recompilation)."""
+    if p.adapters is None:
+      return self.sampler.params
+    return self._lora_lib.merge_params(self.sampler.params, p.adapters)
 
   def _finish_admission(self, p: _Pending) -> None:
     """Runs a pending request's final prefill chunk and fills its slot."""
     s = self.sampler
     final_tokens, _ = p.chunks.pop(0)
     prefill = s.prompt_processing_fn(
-        s.params,
+        self._admission_params(p),
         final_tokens,
         p.rng,
         jnp.asarray([p.input_length]),
@@ -515,6 +613,16 @@ class ContinuousBatcher:
         jnp.int32(p.request.max_steps), grow_to,
         p.prompt_tokens, p.prompt_length, grow_hist_to,
     )
+    if self.multi_lora:
+      # The slot row must always be (re)written: a freed slot still
+      # holds its previous occupant's adapters. Adapter-less requests
+      # get the sampler's own adapter leaves, so they decode exactly as
+      # a solo run of the sampler's params.
+      self._adapters = self._scatter_adapters_fn(
+          self._adapters,
+          p.adapters if p.adapters is not None else self._sampler_adapters,
+          p.request.slot,
+      )
     p.request.started = True
 
   def _drain_admissions(self) -> None:
@@ -526,7 +634,7 @@ class ContinuousBatcher:
       while len(p.chunks) > 1 and (budget is None or budget > 0):
         tokens_c, pos_c = p.chunks.pop(0)
         _, p.cache = s._compiled_chunk_fn(
-            s.params, tokens_c, pos_c, p.cache, False
+            self._admission_params(p), tokens_c, pos_c, p.cache, False
         )
         if budget is not None:
           budget -= 1
@@ -562,7 +670,9 @@ class ContinuousBatcher:
     optional streaming one."""
     self._drain_admissions()
     if any(r.started for r in self._requests.values()):
-      self._state = self._step_fn(self.sampler.params, self._state, n)
+      self._state = self._step_fn(
+          self.sampler.params, self._state, n, self._adapters
+      )
     self._stream()
 
   def pop_finished(self) -> list[tuple[int, list[int], str]]:

@@ -55,6 +55,10 @@ class Griffin(nn.Module):
   # base weights (bf16 OR int8-quantized) + trainable low-rank bf16 pairs.
   # See training/lora.py for the fine-tuning utilities.
   lora_rank: int = 0
+  # Stack the adapter pairs per batch row (multi-adapter serving: slot i
+  # of a decode batch runs adapter row i over the shared base; all-zero
+  # rows are the exact base model). See inference/serving.py multi_lora.
+  lora_rows: int = 0
   lora_alpha: float | None = None
   use_flash_attention: bool | None = None  # None = auto (t > window on TPU)
   dtype: at.dtype = jnp.bfloat16
@@ -88,6 +92,7 @@ class Griffin(nn.Module):
             quantized=self.quantized,
             act_quant=self.act_quant,
             lora_rank=self.lora_rank,
+            lora_rows=self.lora_rows,
             lora_alpha=self.lora_alpha,
             scan_sharding_spec=self.scan_sharding_spec,
             use_flash_attention=self.use_flash_attention,
@@ -107,6 +112,7 @@ class Griffin(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="vl_connector",
         dtype=self.dtype,

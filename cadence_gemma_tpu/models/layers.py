@@ -57,6 +57,15 @@ class QuantizableDense(nn.Module):
   including over a ``quantized`` base, which is the int8-frozen-base +
   bf16-adapters fine-tuning configuration (the only way a 2B/9B model
   fine-tunes in one 16 GB chip's HBM; see ``training/lora.py``).
+
+  ``lora_rows > 0`` stacks that pair per batch row — ``lora_a``
+  [rows, in, r] / ``lora_b`` [rows, r, out], row i applying to batch
+  element i — which is what multi-adapter serving needs: one decode
+  program over a slot batch where every slot runs its own fine-tune
+  against the shared base weights (the base matmul stays one
+  [rows*t, in] x [in, out] MXU contraction; only the rank-r hop becomes
+  batched). An all-zero row is the exact base model, so empty serving
+  slots need no masking. See ``inference/serving.py`` ``multi_lora``.
   """
 
   features: int
@@ -68,6 +77,7 @@ class QuantizableDense(nn.Module):
   act_quant: bool = False
   lora_rank: int = 0
   lora_alpha: float | None = None
+  lora_rows: int = 0
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -110,21 +120,35 @@ class QuantizableDense(nn.Module):
     def lora_term(compute_dtype):
       if not self.lora_rank:
         return None
+      rows = (self.lora_rows,) if self.lora_rows else ()
       a = self.param(
           "lora_a",
           nn.initializers.normal(in_features**-0.5),
-          (in_features, self.lora_rank),
+          rows + (in_features, self.lora_rank),
           self.param_dtype,
       )
       b = self.param(
           "lora_b",
           nn.initializers.zeros_init(),
-          (self.lora_rank, self.features),
+          rows + (self.lora_rank, self.features),
           self.param_dtype,
       )
-      scaling = (self.lora_alpha or float(self.lora_rank)) / self.lora_rank
-      xa = x_in.astype(compute_dtype) @ a.astype(compute_dtype)
-      return (xa @ b.astype(compute_dtype)) * scaling
+      scaling = (
+          self.lora_alpha if self.lora_alpha is not None
+          else float(self.lora_rank)
+      ) / self.lora_rank
+
+      def term(x_, a_, b_):
+        return ((x_ @ a_) @ b_) * scaling
+
+      xc = x_in.astype(compute_dtype)
+      a = a.astype(compute_dtype)
+      b = b.astype(compute_dtype)
+      if self.lora_rows:
+        # Per-row adapters: batch element i contracts against adapter
+        # row i (x must be [rows, ..., in]).
+        return jax.vmap(term)(xc, a, b)
+      return term(xc, a, b)
 
     if self.quantized:
       compute_dtype = self.dtype or x.dtype
@@ -523,6 +547,10 @@ class Einsum(nn.Module):
   the module's own ``eqn`` with ``D -> r``, so each of the ``c`` fused
   projections gets its own adapter. Zero-initialized ``lora_b`` makes
   enabling it an exact no-op. See :class:`QuantizableDense`.
+
+  ``lora_rows > 0`` stacks the pair per batch row ([rows, c, d, r] /
+  [rows, c, r, D], row i applying to batch element i) for multi-adapter
+  serving — same contract as :class:`Dense`.
   """
 
   w_shape: Sequence[int]
@@ -533,6 +561,7 @@ class Einsum(nn.Module):
   act_quant: bool = False
   lora_rank: int = 0
   lora_alpha: float | None = None
+  lora_rows: int = 0
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -547,28 +576,39 @@ class Einsum(nn.Module):
           f"{self.w_shape}"
       )
       c, d, out = self.w_shape
+      rows = (self.lora_rows,) if self.lora_rows else ()
       a = self.param(
           "lora_a",
           nn.initializers.normal(d**-0.5),
-          (c, d, self.lora_rank),
+          rows + (c, d, self.lora_rank),
           self.param_dtype,
       )
       bb = self.param(
           "lora_b",
           nn.initializers.zeros_init(),
-          (c, self.lora_rank, out),
+          rows + (c, self.lora_rank, out),
           self.param_dtype,
       )
-      scaling = (self.lora_alpha or float(self.lora_rank)) / self.lora_rank
-      # The low-rank hop reuses the module eqn with D -> r, then expands
-      # per leading index: [c, ..., r] x [c, r, D] -> [c, ..., D].
-      xa = jnp.einsum(
-          self.eqn, x.astype(compute_dtype), a.astype(compute_dtype)
-      )
-      return (
-          jnp.einsum("g...r,grD->g...D", xa, bb.astype(compute_dtype))
-          * scaling
-      )
+      scaling = (
+          self.lora_alpha if self.lora_alpha is not None
+          else float(self.lora_rank)
+      ) / self.lora_rank
+
+      def term(x_, a_, b_):
+        # The low-rank hop reuses the module eqn with D -> r, then
+        # expands per leading index: [c, ..., r] x [c, r, D] ->
+        # [c, ..., D].
+        xa = jnp.einsum(self.eqn, x_, a_)
+        return jnp.einsum("g...r,grD->g...D", xa, b_) * scaling
+
+      xc = x.astype(compute_dtype)
+      ac = a.astype(compute_dtype)
+      bc = bb.astype(compute_dtype)
+      if self.lora_rows:
+        # Per-row adapters; the module output layout is [c, b, ...], so
+        # the mapped batch axis goes back at position 1.
+        return jax.vmap(term, in_axes=0, out_axes=1)(xc, ac, bc)
+      return term(xc, ac, bc)
 
     if self.quantized:
       # 3-D (c, d, D) weights contracting axis 1 (ffw_up layout).

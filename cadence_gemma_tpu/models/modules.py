@@ -356,6 +356,7 @@ class LocalAttentionBlock(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   lora_rank: int = 0
+  lora_rows: int = 0
   lora_alpha: float | None = None
   use_flash_attention: bool | None = None
   sharding_spec: scan.ShardingSpec | None = None
@@ -382,6 +383,7 @@ class LocalAttentionBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name=name,
         dtype=self.dtype,
@@ -510,6 +512,7 @@ class RecurrentBlock(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   lora_rank: int = 0
+  lora_rows: int = 0
   lora_alpha: float | None = None
   scan_sharding_spec: scan.ShardingSpec | None = None
   dtype: at.dtype | None = None
@@ -531,6 +534,7 @@ class RecurrentBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="linear_y",
         dtype=self.dtype,
@@ -542,6 +546,7 @@ class RecurrentBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="linear_x",
         dtype=self.dtype,
@@ -553,6 +558,7 @@ class RecurrentBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="linear_out",
         dtype=self.dtype,
@@ -635,6 +641,7 @@ class MLPBlock(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   lora_rank: int = 0
+  lora_rows: int = 0
   lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -647,6 +654,7 @@ class MLPBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="ffw_up",
         dtype=self.dtype,
@@ -663,6 +671,7 @@ class MLPBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="ffw_down",
         dtype=self.dtype,
@@ -691,6 +700,7 @@ class VisionLanguageConnector(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   lora_rank: int = 0
+  lora_rows: int = 0
   lora_alpha: float | None = None
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
@@ -703,6 +713,7 @@ class VisionLanguageConnector(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="ffw_up",
         dtype=self.dtype,
@@ -719,6 +730,7 @@ class VisionLanguageConnector(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="ffw_down",
         dtype=self.dtype,
@@ -745,6 +757,7 @@ class ResidualBlock(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   lora_rank: int = 0
+  lora_rows: int = 0
   lora_alpha: float | None = None
   scan_sharding_spec: scan.ShardingSpec | None = None
   use_flash_attention: bool | None = None
@@ -766,6 +779,7 @@ class ResidualBlock(nn.Module):
           quantized=self.quantized,
           act_quant=self.act_quant,
           lora_rank=self.lora_rank,
+          lora_rows=self.lora_rows,
           lora_alpha=self.lora_alpha,
           name="recurrent_block",
           scan_sharding_spec=self.scan_sharding_spec,
@@ -781,6 +795,7 @@ class ResidualBlock(nn.Module):
           quantized=self.quantized,
           act_quant=self.act_quant,
           lora_rank=self.lora_rank,
+          lora_rows=self.lora_rows,
           lora_alpha=self.lora_alpha,
           use_flash_attention=self.use_flash_attention,
           sharding_spec=self.scan_sharding_spec,
@@ -798,6 +813,7 @@ class ResidualBlock(nn.Module):
         quantized=self.quantized,
         act_quant=self.act_quant,
         lora_rank=self.lora_rank,
+        lora_rows=self.lora_rows,
         lora_alpha=self.lora_alpha,
         name="mlp_block",
         dtype=self.dtype,

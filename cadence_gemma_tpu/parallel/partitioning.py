@@ -162,6 +162,55 @@ def griffin_param_shardings(
   )
 
 
+def param_shardings_or_replicated(
+    mesh: jax.sharding.Mesh, params: at.Params, model_axis: str = MODEL_AXIS
+) -> Any:
+  """TP layouts when ``model_axis`` names a mesh axis, else replicated.
+
+  The shared fallback for sharded step factories running on a pure-DP
+  mesh (no model axis): every leaf is replicated, and GSPMD only inserts
+  the DP gradient all-reduce.
+  """
+  if model_axis in mesh.axis_names:
+    return griffin_param_shardings(mesh, params, model_axis)
+  replicated = jax.sharding.NamedSharding(mesh, P())
+  return jax.tree_util.tree_map(lambda _: replicated, params)
+
+
+def opt_state_shardings(
+    mesh: jax.sharding.Mesh,
+    optimizer,
+    example_params: at.Params,
+    model_axis: str = MODEL_AXIS,
+) -> Any:
+  """Shardings for ``optimizer.init(params)`` matching the param layouts.
+
+  Optax state trees embed the param dict paths (Adam moments,
+  MultiSteps accumulated gradients are ``tree_map(zeros_like, params)``),
+  so each leaf's TP spec is re-derived from its trailing dict-key path
+  via the same rules as the params themselves; leaves with no dict path
+  (step counters, notfinite counts) replicate. Deriving from paths —
+  rather than compiling ``init`` and reading its output shardings — is
+  deliberate: ``init`` is all ``zeros_like``, which XLA constant-folds,
+  so its compiled output shardings come out single-device.
+
+  Used to pin a sharded train step's opt-state inputs AND outputs — left
+  unconstrained, GSPMD may emit a drifted opt-state layout whose
+  feedback into the next call keys a second full compilation.
+  """
+  shapes = jax.eval_shape(optimizer.init, example_params)
+  tp = model_axis in mesh.axis_names
+
+  def one(path, leaf):
+    names = tuple(
+        k.key for k in path if isinstance(k, jax.tree_util.DictKey)
+    )
+    spec = _spec_for(names, leaf, model_axis) if (tp and names) else P()
+    return jax.sharding.NamedSharding(mesh, spec)
+
+  return jax.tree_util.tree_map_with_path(one, shapes)
+
+
 def data_sharding(
     mesh: jax.sharding.Mesh,
     batch_axis: str = BATCH_AXIS,

@@ -135,6 +135,17 @@ def lora_train_step(
   ``quantized=...``); it is threaded as an explicit argument, never a
   closure, so it is not baked into the executable as constants.
   """
+  return _step_body(
+      model, optimizer, pad_id, lora_params, base_params, opt_state,
+      input_tokens, input_mask, img_embed,
+  )
+
+
+def _step_body(
+    model, optimizer, pad_id, lora_params, base_params, opt_state,
+    input_tokens, input_mask, img_embed,
+):
+  """Shared adapter-step math for the jitted and pjit-ted variants."""
   positions = trainer.get_positions(input_tokens, pad_id)
 
   def loss_fn(lora_tree):
@@ -180,55 +191,48 @@ def make_sharded_lora_step(
 
   batch_axis = batch_axis or partitioning.BATCH_AXIS
   model_axis = model_axis or partitioning.MODEL_AXIS
-  if model_axis in mesh.axis_names:
-    base_shardings = partitioning.griffin_param_shardings(
-        mesh, example_base, model_axis
-    )
-    adapter_shardings = partitioning.griffin_param_shardings(
-        mesh, example_adapters, model_axis
-    )
-  else:
-    replicated = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec()
-    )
-    base_shardings = jax.tree_util.tree_map(
-        lambda _: replicated, example_base
-    )
-    adapter_shardings = jax.tree_util.tree_map(
-        lambda _: replicated, example_adapters
-    )
+  base_shardings = partitioning.param_shardings_or_replicated(
+      mesh, example_base, model_axis
+  )
+  adapter_shardings = partitioning.param_shardings_or_replicated(
+      mesh, example_adapters, model_axis
+  )
   data_shard = partitioning.data_sharding(mesh, batch_axis)
 
   def step(adapters, base, opt_state, input_tokens, input_mask,
            img_embed=None):
-    positions = trainer.get_positions(input_tokens, pad_id)
+    return _step_body(
+        model, optimizer, pad_id, adapters, base, opt_state,
+        input_tokens, input_mask, img_embed,
+    )
 
-    def loss_fn(lora_tree):
-      return trainer.forward_and_loss_fn(
-          merge_params(base, lora_tree),
-          model=model,
-          input_tokens=input_tokens,
-          input_mask=input_mask,
-          positions=positions,
-          image=img_embed,
-      )
-
-    loss, grads = jax.value_and_grad(loss_fn)(adapters)
-    updates, opt_state = optimizer.update(grads, opt_state, adapters)
-    adapters = optax.apply_updates(adapters, updates)
-    return loss, adapters, opt_state
-
-  step_fn = jax.jit(
+  opt_shardings = partitioning.opt_state_shardings(
+      mesh, optimizer, example_adapters, model_axis
+  )
+  jit_step = jax.jit(
       step,
       in_shardings=(
-          adapter_shardings, base_shardings, None, data_shard, data_shard,
-          None,
+          adapter_shardings, base_shardings, opt_shardings, data_shard,
+          data_shard, None,
       ),
-      # Pin output adapters to the input layouts so step N's output is a
-      # valid input for step N+1 (GSPMD may otherwise re-shard outputs).
-      out_shardings=(None, adapter_shardings, None),
+      # Pin output adapters AND opt state to the input layouts so step
+      # N's output is a valid input for step N+1 (GSPMD may otherwise
+      # re-shard outputs, and a drifted opt-state layout keys a second
+      # full compilation on the next call).
+      out_shardings=(None, adapter_shardings, opt_shardings),
       donate_argnums=(0, 2),
   )
+
+  def step_fn(adapters, base, opt_state, *args):
+    # Commit the opt state onto its pinned layouts up front (a no-op for
+    # already-placed leaves): a fresh ``optimizer.init`` carries
+    # uncommitted scalars (counters), and an uncommitted-vs-committed
+    # argument keys a separate jit cache entry — i.e. a second full
+    # compilation on step 2.
+    opt_state = jax.device_put(opt_state, opt_shardings)
+    return jit_step(adapters, base, opt_state, *args)
+
+  step_fn._cache_size = jit_step._cache_size  # for recompile tests
 
   def shard_fn(adapters, base):
     return (
@@ -260,7 +264,9 @@ def merge_lora(
       a = tree["lora_a"]
       b = tree["lora_b"]
       rank = a.shape[-1]
-      scaling = (lora_alpha or float(rank)) / rank
+      scaling = (
+          lora_alpha if lora_alpha is not None else float(rank)
+      ) / rank
       out = {
           k: visit(v) for k, v in tree.items() if k not in LORA_LEAF_NAMES
       }

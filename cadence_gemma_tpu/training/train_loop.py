@@ -119,6 +119,15 @@ def train_loop(
           "frozen, LoRA trains adapters with the base frozen — pick one "
           "per stage (two_stage_sft runs freeze_llm first, then lora)."
       )
+    if config.weight_decay != type(config).weight_decay:
+      import warnings
+
+      warnings.warn(
+          "TrainingConfig.weight_decay is ignored when lora=True: LoRA "
+          "adapters train with plain Adam (lora.make_optimizer), the "
+          "standard no-decay setup for low-rank adapters.",
+          stacklevel=2,
+      )
     from cadence_gemma_tpu.training import lora as lora_lib
 
     adapters0, base0 = lora_lib.split_lora(params)

@@ -281,19 +281,14 @@ def make_sharded_train_step(
 
   Returns ``(step_fn, shard_params_fn)``.
   """
-  if model_axis is not None and model_axis in mesh.axis_names:
-    if example_params is None:
-      raise ValueError("example_params needed to build TP layouts.")
-    param_shardings = partitioning.griffin_param_shardings(
-        mesh, example_params, model_axis
-    )
-  else:
-    replicated = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec()
-    )
-    param_shardings = None if example_params is None else (
-        jax.tree_util.tree_map(lambda _: replicated, example_params)
-    )
+  if (model_axis is not None and model_axis in mesh.axis_names
+      and example_params is None):
+    raise ValueError("example_params needed to build TP layouts.")
+  param_shardings = None if example_params is None else (
+      partitioning.param_shardings_or_replicated(
+          mesh, example_params, model_axis or ""
+      )
+  )
 
   data_shard = partitioning.data_sharding(mesh, batch_axis)
 
@@ -311,16 +306,38 @@ def make_sharded_train_step(
     params = optax.apply_updates(params, updates)
     return loss, params, opt_state
 
-  step_fn = jax.jit(
+  opt_shardings = None
+  if param_shardings is not None:
+    opt_shardings = partitioning.opt_state_shardings(
+        mesh, optimizer, example_params, model_axis or ""
+    )
+  jit_step = jax.jit(
       step,
-      in_shardings=(param_shardings, None, data_shard, data_shard, None),
-      # Pin the output params to the input layouts: left unconstrained,
-      # GSPMD may emit differently-sharded outputs, which then violate
-      # in_shardings when fed back in on the NEXT step (loops like
+      in_shardings=(
+          param_shardings, opt_shardings, data_shard, data_shard, None,
+      ),
+      # Pin the output params AND opt state to the input layouts: left
+      # unconstrained, GSPMD may emit differently-sharded outputs, which
+      # then violate in_shardings (params) or key a fresh compilation
+      # (opt state) when fed back in on the NEXT step (loops like
       # train_loop(mesh=...) call this repeatedly).
-      out_shardings=(None, param_shardings, None),
+      out_shardings=(None, param_shardings, opt_shardings),
       donate_argnums=(0, 1),
   )
+  if opt_shardings is None:
+    step_fn = jit_step
+  else:
+
+    def step_fn(params, opt_state, *args):
+      # Commit the opt state onto its pinned layouts up front (a no-op
+      # for already-placed leaves): a fresh ``optimizer.init`` carries
+      # uncommitted scalars (counters), and an uncommitted-vs-committed
+      # argument keys a separate jit cache entry — i.e. a second full
+      # compilation on step 2.
+      opt_state = jax.device_put(opt_state, opt_shardings)
+      return jit_step(params, opt_state, *args)
+
+    step_fn._cache_size = jit_step._cache_size  # for recompile tests
 
   def shard_params(params):
     if param_shardings is None:

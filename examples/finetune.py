@@ -91,6 +91,12 @@ def main(argv):
   model = cg.Griffin(config)
   vocab = cg.load_sentencepiece(_TOKENIZER.value)
   lora_rank = _LORA_RANK.value
+  if _LORA_INT8.value and not lora_rank:
+    raise app.UsageError(
+        "--lora_int8_base requires --lora_rank > 0: without adapters the "
+        "run is plain full-tree SFT and the int8 flag would be silently "
+        "ignored."
+    )
 
   encoder = vit_lib.DinoSigLIPEncoder()
   vision_params = cg.load_parameters(_VISION_CKPT.value, "single_device")

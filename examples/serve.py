@@ -17,6 +17,7 @@ import time
 
 from absl import app
 from absl import flags
+import jax
 
 import cadence_gemma_tpu as cg
 
@@ -49,6 +50,14 @@ _PRESET = flags.DEFINE_enum_class(
     "preset", cg.Preset.RECURRENT_GEMMA_2B_V1, cg.Preset,
     "Preset supplying hypers not inferable from the checkpoint.",
 )
+_ADAPTERS = flags.DEFINE_multi_string(
+    "adapter_path", [],
+    "Optional LoRA adapter checkpoint(s) (orbax trees of lora_a/lora_b "
+    "leaves, e.g. saved from training.lora). Request i serves with "
+    "adapter i % len(adapter_path) merged — multi-adapter serving over "
+    "one shared base (multi_lora batching). All adapters must share one "
+    "rank.",
+)
 
 
 def main(argv):
@@ -60,7 +69,41 @@ def main(argv):
   )
   if _INT8.value:
     params = cg.quantize_params(params)
-  model = cg.Griffin(config, quantized=_INT8.value,
+
+  adapter_trees = []
+  lora_rank = 0
+  if _ADAPTERS.value:
+    if _SPECULATIVE.value:
+      raise app.UsageError(
+          "--adapter_path is a multi_lora batcher feature; it does not "
+          "combine with --speculative single-stream serving (merge the "
+          "adapter into the checkpoint for that)."
+      )
+    from cadence_gemma_tpu.training import lora as lora_lib
+
+    for path in _ADAPTERS.value:
+      tree = cg.load_parameters(path, "single_device")
+      adapter_trees.append(tree.get("params", tree))
+    for p, leaf in jax.tree_util.tree_flatten_with_path(adapter_trees[0])[0]:
+      if "lora_a" in str(p[-1]):
+        lora_rank = int(leaf.shape[-1])
+        break
+    if not lora_rank:
+      raise app.UsageError(
+          f"{_ADAPTERS.value[0]} has no lora_a leaves — not an adapter "
+          "checkpoint (save the tree from training.lora.split_lora)."
+      )
+    # The sampler's params must carry (zero) adapter leaves so every
+    # compiled program has one tree signature; per-request adapters
+    # overlay them at admission.
+    params = lora_lib.merge_params(
+        params,
+        jax.tree_util.tree_map(
+            lambda a: jax.numpy.zeros_like(a), adapter_trees[0]
+        ),
+    )
+
+  model = cg.Griffin(config, quantized=_INT8.value, lora_rank=lora_rank,
                      gradient_checkpointing=False)
   vocab = cg.load_sentencepiece(_TOKENIZER.value)
   stop_ids = None
@@ -106,18 +149,22 @@ def main(argv):
       # With a chunked sampler this also bounds how long a newcomer's
       # prefill can stall running requests each tick.
       admission_chunks_per_tick=1,
+      multi_lora=bool(adapter_trees),
   )
   shared_prefix = prefix if _SYSTEM.value else None
-  pending = list(_REQUESTS.value)
+  pending = list(enumerate(_REQUESTS.value))
   submitted = {}
   t_start = time.perf_counter()
   generated = 0
   while pending or batcher.active_count:
     while pending and batcher.has_capacity:
-      prompt = pending.pop(0)
-      # Requests join on top of the once-prefilled system prompt.
+      idx, prompt = pending.pop(0)
+      # Requests join on top of the once-prefilled system prompt; with
+      # --adapter_path, request i serves its own LoRA over the shared base.
       submitted[batcher.add_request(
-          prompt, prefix_state=shared_prefix
+          prompt, prefix_state=shared_prefix,
+          adapters=(adapter_trees[idx % len(adapter_trees)]
+                    if adapter_trees else None),
       )] = prompt
     batcher.step(_STEP_CHUNK.value)
     for request_id, tokens, text in batcher.pop_finished():

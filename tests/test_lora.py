@@ -81,6 +81,48 @@ class TestLoraStructure:
     )
     np.testing.assert_array_equal(np.asarray(y_lora), np.asarray(y_base))
 
+  def test_lora_alpha_zero_nulls_adapters(self):
+    """alpha=0.0 must scale the adapter hop to exactly zero (regression:
+    the falsy `alpha or rank` default silently turned 0.0 into
+    full-strength alpha=rank)."""
+    cfg, base_model, _ = make_models()
+    zero_alpha = griffin.Griffin(
+        cfg, gradient_checkpointing=False, lora_rank=4, lora_alpha=0.0,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+    params = init_params(zero_alpha)
+    adapters, base = lora.split_lora(params)
+    # Non-zero adapters so a wrong scaling would visibly perturb logits.
+    keys = jax.random.split(
+        jax.random.PRNGKey(3), len(jax.tree_util.tree_leaves(adapters))
+    )
+    adapters = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(adapters),
+        [0.3 * jax.random.normal(k, l.shape, l.dtype) for k, l in zip(
+            keys, jax.tree_util.tree_leaves(adapters))],
+    )
+    tok = jnp.array([[1, 5, 9, 2, 4, 7]], jnp.int32)
+    pos = jnp.arange(6)[None]
+    y_zero, _ = zero_alpha.apply(
+        {"params": lora.merge_params(base, adapters)}, tok, pos,
+        return_cache=False,
+    )
+    y_base, _ = base_model.apply(
+        {"params": base}, tok, pos, return_cache=False
+    )
+    np.testing.assert_array_equal(np.asarray(y_zero), np.asarray(y_base))
+    # merge_lora(alpha=0.0) folds a zero delta: the tree equals the base.
+    merged = lora.merge_lora(
+        lora.merge_params(base, adapters), lora_alpha=0.0
+    )
+    for (p, u), (_, v) in zip(
+        jax.tree_util.tree_flatten_with_path(merged)[0],
+        jax.tree_util.tree_flatten_with_path(base)[0],
+    ):
+      np.testing.assert_allclose(
+          np.asarray(u), np.asarray(v), atol=1e-6, err_msg=str(p)
+      )
+
   def test_split_merge_round_trip(self):
     _, _, lora_model = make_models()
     params = init_params(lora_model)
@@ -400,6 +442,45 @@ class TestLoraSharded:
           np.asarray(u), np.asarray(v), atol=1e-5, err_msg=str(p)
       )
 
+  def test_opt_state_layout_pinned_no_recompile(self):
+    """Feeding the step's own outputs back in must hit the same
+    executable: opt-state in/out shardings are pinned, so GSPMD cannot
+    emit a drifted moment layout that keys a second compilation."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    _, _, lora_model = make_models()
+    params = init_params(lora_model, seed=31)
+    adapters, base = lora.split_lora(params)
+    tx = lora.make_optimizer(learning_rate=5e-2)
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    step_fn, shard_fn = lora.make_sharded_lora_step(
+        lora_model, tx, mesh, 0, adapters, base
+    )
+    sh_adapters, sh_base = shard_fn(adapters, base)
+    opt_state = tx.init(sh_adapters)
+    tok = jax.random.randint(
+        jax.random.PRNGKey(32), (2, 10), 1, 40
+    ).astype(jnp.int32)
+    mask = jnp.ones_like(tok, dtype=bool)
+    for _ in range(3):
+      _, sh_adapters, opt_state = step_fn(
+          sh_adapters, sh_base, opt_state, tok, mask, None
+      )
+    assert step_fn._cache_size() == 1
+    # Adam moments carry their adapter leaf's TP layout, not replicated.
+    mu = opt_state[-1].mu if hasattr(opt_state[-1], "mu") else None
+    if mu is None:  # chain: find the ScaleByAdamState
+      for part in jax.tree_util.tree_leaves(
+          opt_state, is_leaf=lambda x: hasattr(x, "mu")
+      ):
+        if hasattr(part, "mu"):
+          mu = part.mu
+          break
+    lb = mu["blocks.0"]["recurrent_block"]["linear_x"]["lora_b"]
+    ad = sh_adapters["blocks.0"]["recurrent_block"]["linear_x"]["lora_b"]
+    assert lb.sharding == ad.sharding
+    assert not lb.sharding.is_fully_replicated
+
   def test_tp_serving_with_adapters_matches_single_device(self):
     from cadence_gemma_tpu.inference import sampler as sampler_lib
     from cadence_gemma_tpu.parallel import sharding as sh
@@ -483,3 +564,53 @@ class TestLoraSampling:
     s = sampler_lib.Sampler(lora_model, vocab, params)
     out = s(["tok1 tok2"], total_generation_steps=4)
     assert len(out.text) == 1
+
+
+class TestLoraRows:
+  """Stacked per-row adapters (``lora_rows`` — the decode-side half of
+  multi-adapter serving, see inference/serving.py ``multi_lora``)."""
+
+  def test_stacked_rows_match_per_row_merged(self):
+    rows = 3
+    _, base_model, lora_model = make_models(rank=2)
+    params = init_params(lora_model, seed=5)
+    adapters0, base = lora.split_lora(params)
+
+    def rand_like(seed):
+      leaves, treedef = jax.tree_util.tree_flatten(adapters0)
+      keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+      return jax.tree_util.tree_unflatten(
+          treedef,
+          [0.2 * jax.random.normal(k, l.shape, l.dtype)
+           for k, l in zip(keys, leaves)],
+      )
+
+    per_row = [
+        rand_like(10),
+        jax.tree_util.tree_map(jnp.zeros_like, adapters0),
+        rand_like(11),
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_row)
+    ml_model = lora_model.clone(lora_rows=rows)
+    tok = jax.random.randint(
+        jax.random.PRNGKey(1), (rows, 6), 1, 40
+    ).astype(jnp.int32)
+    pos = jnp.tile(jnp.arange(6)[None], (rows, 1))
+    y_ml, _ = ml_model.apply(
+        {"params": lora.merge_params(base, stacked)}, tok, pos,
+        return_cache=False,
+    )
+    for i, row_tree in enumerate(per_row):
+      y_i, _ = lora_model.apply(
+          {"params": lora.merge_params(base, row_tree)},
+          tok[i : i + 1], pos[i : i + 1], return_cache=False,
+      )
+      np.testing.assert_allclose(
+          np.asarray(y_ml[i]), np.asarray(y_i[0]), atol=1e-5
+      )
+    # The all-zero row is EXACTLY the base model (empty serving slots
+    # need no masking).
+    y_b, _ = base_model.apply(
+        {"params": base}, tok[1:2], pos[1:2], return_cache=False
+    )
+    np.testing.assert_array_equal(np.asarray(y_ml[1]), np.asarray(y_b[0]))

@@ -85,3 +85,51 @@ class TestSpecs:
     assert attn["proj_q"]["kernel"] == P(None, "model")
     assert attn["proj_final"]["kernel"] == P("model", None)
     assert attn["proj_k"]["kernel"] == P(None, None)
+
+
+class TestOptStateShardings:
+  """Opt-state layouts derive from the param layouts by path (Adam
+  moments mirror the param tree; counters replicate)."""
+
+  def test_moments_mirror_param_layouts(self, params):
+    import optax
+
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh((2, 2), ("data", "model"), jax.devices()[:4])
+    tx = optax.adam(1e-3)
+    shardings = partitioning.opt_state_shardings(mesh, tx, params)
+    # ScaleByAdamState: (count, mu, nu) inside the chain.
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    param_specs = partitioning.griffin_param_specs(params)
+
+    def spec_at(names):
+      node = param_specs
+      for n in names:
+        node = node[n]
+      return node
+
+    count_seen = moment_seen = 0
+    for path, sharding in flat:
+      names = tuple(
+          k.key for k in path
+          if isinstance(k, jax.tree_util.DictKey)
+      )
+      if not names:
+        count_seen += 1
+        assert sharding.spec == P(), (path, sharding)
+      else:
+        moment_seen += 1
+        assert sharding.spec == spec_at(names), (path, sharding)
+    assert count_seen >= 1 and moment_seen > 10
+
+  def test_replicates_without_model_axis(self, params):
+    import optax
+
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    mesh = sh.make_mesh((4,), ("data",), jax.devices()[:4])
+    tx = optax.adam(1e-3)
+    shardings = partitioning.opt_state_shardings(mesh, tx, params)
+    for _, s in jax.tree_util.tree_flatten_with_path(shardings)[0]:
+      assert s.spec == P(), s

@@ -437,3 +437,121 @@ class TestProductionAdmission:
     batcher.add_request("alpha beta", max_steps=8)
     batcher.run_until_drained(2)
     assert len(deliveries) >= 2  # at least two incremental deliveries
+
+
+class TestMultiLora:
+  """Multi-adapter serving: one decode program, a different LoRA
+  fine-tune per slot over the shared base (the reference has nothing
+  comparable). The invariant matches the rest of this file: every
+  request's tokens are bit-identical to a solo run of a Sampler built
+  with that request's adapters merged."""
+
+  @pytest.fixture(scope="class")
+  def lsetup(self):
+    from cadence_gemma_tpu.training import lora
+
+    vocab = SimpleVocab(WORDS)
+    config = common.GriffinConfig(
+        vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+        num_heads=2,
+        block_types=(
+            common.TemporalBlockType.RECURRENT,
+            common.TemporalBlockType.ATTENTION,
+        ),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+        logits_soft_cap=30.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+    )
+    model = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, lora_rank=4,
+    )
+    params = model.init(
+        jax.random.PRNGKey(11), jnp.ones((1, 4), jnp.int32),
+        jnp.arange(4)[None],
+    )["params"]
+    adapters0, _ = lora.split_lora(params)
+
+    def rand_like(seed, scale=0.5):
+      leaves, treedef = jax.tree_util.tree_flatten(adapters0)
+      keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+      return jax.tree_util.tree_unflatten(
+          treedef,
+          [scale * jax.random.normal(k, l.shape, l.dtype)
+           for k, l in zip(keys, leaves)],
+      )
+
+    sampler = sampler_lib.Sampler(model, vocab, params)
+    return model, vocab, params, sampler, rand_like, lora
+
+  def _assert_matches_solo(self, got, solo_sampler, prompt, steps):
+    out = solo_sampler([prompt], total_generation_steps=steps)
+    want = list(np.asarray(out.tokens[0])[: len(got)])
+    assert got == want, (got, want)
+    assert len(got) == steps or got[-1] == solo_sampler.vocab.eos_id()
+
+  def test_mixed_adapters_match_solo(self, lsetup):
+    model, vocab, params, sampler, rand_like, lora = lsetup
+    ad_a, ad_b = rand_like(100), rand_like(200)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=3, max_steps_default=12, multi_lora=True
+    )
+    r0 = batcher.add_request("alpha beta", adapters=ad_a)
+    r1 = batcher.add_request("gamma delta eps")  # sampler's own params
+    batcher.step(4)
+    r2 = batcher.add_request("zeta eta", adapters=ad_b)  # mid-flight join
+    res = {r[0]: r[1] for r in batcher.run_until_drained(step_size=4)}
+    solo_a = sampler_lib.Sampler(
+        model, vocab, lora.merge_params(params, ad_a)
+    )
+    solo_b = sampler_lib.Sampler(
+        model, vocab, lora.merge_params(params, ad_b)
+    )
+    self._assert_matches_solo(res[r0], solo_a, "alpha beta", 12)
+    self._assert_matches_solo(res[r1], sampler, "gamma delta eps", 12)
+    self._assert_matches_solo(res[r2], solo_b, "zeta eta", 12)
+
+  def test_slot_reuse_overwrites_stale_adapters(self, lsetup):
+    """A freed slot's adapter row must not leak into its next occupant."""
+    model, vocab, params, sampler, rand_like, lora = lsetup
+    ad_a = rand_like(300)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=6, multi_lora=True
+    )
+    batcher.add_request("alpha beta", adapters=ad_a)
+    batcher.run_until_drained(step_size=2)
+    r1 = batcher.add_request("gamma delta eps")  # same slot, no adapters
+    res = {r[0]: r[1] for r in batcher.run_until_drained(step_size=2)}
+    self._assert_matches_solo(res[r1], sampler, "gamma delta eps", 6)
+
+  def test_speculative_multilora_matches_solo(self, lsetup):
+    """multi_lora composes with in-batch speculation (exact greedy)."""
+    model, vocab, params, sampler, rand_like, lora = lsetup
+    ad_a = rand_like(400)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=10, draft_len=2,
+        multi_lora=True,
+    )
+    r0 = batcher.add_request("alpha beta alpha beta", adapters=ad_a)
+    r1 = batcher.add_request("gamma delta")
+    res = {r[0]: r[1] for r in batcher.run_until_drained(step_size=2)}
+    solo_a = sampler_lib.Sampler(
+        model, vocab, lora.merge_params(params, ad_a)
+    )
+    self._assert_matches_solo(res[r0], solo_a, "alpha beta alpha beta", 10)
+    self._assert_matches_solo(res[r1], sampler, "gamma delta", 10)
+
+  def test_rejects_misuse(self, lsetup, setup):
+    model, vocab, params, _, rand_like, lora = lsetup
+    plain_sampler, _ = setup  # lora_rank=0 model
+    with pytest.raises(ValueError, match="lora_rank > 0"):
+      serving.ContinuousBatcher(plain_sampler, num_slots=2, multi_lora=True)
+    lora_sampler = sampler_lib.Sampler(model, vocab, params)
+    batcher = serving.ContinuousBatcher(lora_sampler, num_slots=2)
+    with pytest.raises(ValueError, match="multi_lora=True"):
+      batcher.add_request("alpha", adapters=rand_like(500))
+    ml = serving.ContinuousBatcher(
+        lora_sampler, num_slots=2, multi_lora=True
+    )
+    with pytest.raises(ValueError, match="does not match"):
+      ml.add_request("alpha", adapters={"bogus": jnp.zeros((2, 2))})

@@ -392,6 +392,19 @@ class TestShardedLoop:
           np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p)
       )
 
+  def test_lora_ignores_weight_decay_with_warning(self, setup):
+    import warnings
+
+    vocab, _, model, params = setup
+    cfg = train_loop.TrainingConfig(
+        max_steps=1, lora=True, weight_decay=0.3
+    )
+    with warnings.catch_warnings(record=True) as caught:
+      warnings.simplefilter("always")
+      with pytest.raises(ValueError, match="no lora_a/lora_b"):
+        train_loop.train_loop(model, params, [], cfg)
+    assert any("weight_decay is ignored" in str(w.message) for w in caught)
+
   def test_lora_with_freeze_llm_raises(self, setup):
     vocab, _, model, params = setup
     cfg = train_loop.TrainingConfig(max_steps=1, lora=True, freeze_llm=True)
