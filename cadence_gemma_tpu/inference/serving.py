@@ -88,6 +88,7 @@ class _Pending:
   prompt_tokens: jax.Array | None   # speculative history seed
   prompt_length: Any
   adapters: Any = None    # per-request LoRA tree (multi_lora mode)
+  img_embed: Any = None   # per-request fused vision features
 
 
 class ContinuousBatcher:
@@ -465,6 +466,9 @@ class ContinuousBatcher:
       rng=None,
       prefix_state: sampler_lib.PrefixState | None = None,
       adapters: Any | None = None,
+      img_embed: Any | None = None,
+      pixels: Any | None = None,
+      img_path: str | None = None,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -489,7 +493,55 @@ class ContinuousBatcher:
     ``prefix_state``, the shared prefix stays as prefilled (under the
     sampler's params — the point of sharing it); only the continuation
     and decode run under the request's adapters.
+
+    ``img_embed`` grounds the request in an image: fused vision features
+    ``[1, vision_tokens, vision_width]`` splice in after the prompt's BOS
+    during this request's admission prefill, exactly like the solo
+    sampler's ``img_embed=`` path — after insertion an image slot is
+    byte-for-byte an ordinary slot (the vision context lives in the O(1)
+    recurrent state), so decode ticks are unchanged and image and text
+    requests mix freely. ``pixels`` / ``img_path`` encode on the spot
+    instead (the sampler must be a :class:`ModalSampler` with a vision
+    encoder). Images are incompatible with ``prefix_state`` (the splice
+    needs the in-call BOS), matching the solo sampler.
     """
+    n_img = sum(x is not None for x in (img_embed, pixels, img_path))
+    if n_img > 1:
+      raise ValueError(
+          "Pass at most one of img_embed, pixels, or img_path."
+      )
+    if img_path is not None:
+      encode = getattr(self.sampler, "encode_image", None)
+      if encode is None:
+        raise ValueError(
+            "img_path= needs a ModalSampler with a vision_encoder; pass "
+            "img_embed directly otherwise."
+        )
+      img_embed = encode(img_path)
+    elif pixels is not None:
+      encode = getattr(self.sampler, "_encode_fn", None)
+      if encode is None:
+        raise ValueError(
+            "pixels= needs a ModalSampler with a vision_encoder; pass "
+            "img_embed directly otherwise."
+        )
+      img_embed = encode(self.sampler.vision_params, pixels).astype(
+          jnp.bfloat16
+      )
+    if img_embed is not None:
+      if prefix_state is not None:
+        raise ValueError(
+            "Image requests are incompatible with prefix_state: the "
+            "image splices in after the prompt's BOS, which a "
+            "continuation prefill does not have (same as the solo "
+            "sampler)."
+        )
+      img_embed = jnp.asarray(img_embed)
+      if img_embed.ndim != 3 or img_embed.shape[0] != 1:
+        raise ValueError(
+            "Per-request image features must be [1, vision_tokens, "
+            f"vision_width]; got {img_embed.shape}."
+        )
     if adapters is not None:
       if not self.multi_lora:
         raise ValueError(
@@ -537,8 +589,29 @@ class ContinuousBatcher:
       )
     else:
       ids = s.tokenize(prompt)
-      tokens = s._get_padded_tokens([ids])
+      if img_embed is not None:
+        # The image splices in after token 0, which must be the real BOS:
+        # bucket left-padding would put the image after a PAD token and
+        # corrupt the document masks (same rule as the solo sampler's
+        # multimodal batches, which are never length-bucketed).
+        tokens = jnp.asarray([ids], jnp.int32)
+      else:
+        tokens = s._get_padded_tokens([ids])
       input_length = len(ids)
+      if (chunk is not None and int(tokens.shape[1]) > chunk
+          and img_embed is not None):
+        # Mirror the solo sampler: the per-chunk cache path cannot
+        # represent the in-prompt image splice, so image admissions
+        # prefill single-shot.
+        import warnings
+
+        warnings.warn(
+            "prefill_chunk_size is set but chunking was skipped for an "
+            "image admission: the chunked path does not support the "
+            "in-prompt image splice.",
+            stacklevel=2,
+        )
+        chunk = None
       if chunk is not None and int(tokens.shape[1]) > chunk:
         mid, cache, final_tokens, start, tokens = s.plan_prompt_chunks(
             tokens, jnp.asarray([input_length])
@@ -568,7 +641,7 @@ class ContinuousBatcher:
         request=req, chunks=chunks, input_length=input_length,
         cache=cache, start=start, rng=rng,
         prompt_tokens=prompt_tokens, prompt_length=prompt_length,
-        adapters=adapters,
+        adapters=adapters, img_embed=img_embed,
     ))
     return request_id
 
@@ -593,7 +666,7 @@ class ContinuousBatcher:
         1,  # buffers here only seed the first token; ours are per-slot
         False,
         False,
-        None,
+        p.img_embed,
         p.cache,
         p.start,
     )

@@ -555,3 +555,130 @@ class TestMultiLora:
     )
     with pytest.raises(ValueError, match="does not match"):
       ml.add_request("alpha", adapters={"bogus": jnp.zeros((2, 2))})
+
+
+class TestMultimodalBatching:
+  """Image-grounded requests inside the continuous batch.
+
+  The image splices in during the request's admission prefill; after
+  insertion an image slot IS an ordinary slot (the vision context lives
+  in the O(1) recurrent state), so the invariant is the file's usual one:
+  tokens bit-identical to a solo sampler run with the same img_embed."""
+
+  @pytest.fixture(scope="class")
+  def msetup(self):
+    vocab = SimpleVocab(WORDS)
+    config = common.GriffinConfig(
+        vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+        num_heads=2,
+        block_types=(
+            common.TemporalBlockType.RECURRENT,
+            common.TemporalBlockType.ATTENTION,
+        ),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+        logits_soft_cap=30.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+        vision_tokens=4, vision_width=12, vl_expanded_width=20,
+    )
+    model = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False,
+    )
+    params = model.init(
+        jax.random.PRNGKey(11), jnp.ones((1, 4), jnp.int32),
+        jnp.arange(4)[None],
+    )["params"]
+    sampler = sampler_lib.Sampler(model, vocab, params)
+    return sampler, vocab
+
+  def _img(self, seed, scale=2.0):
+    return scale * jax.random.normal(jax.random.PRNGKey(seed), (1, 4, 12))
+
+  def _solo_img(self, sampler, prompt, steps, img):
+    out = sampler([prompt], total_generation_steps=steps, img_embed=img)
+    return np.asarray(out.tokens[0])
+
+  def test_image_request_matches_solo(self, msetup):
+    sampler, vocab = msetup
+    img = self._img(3)
+    steps = 8
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    rid = batcher.add_request("alpha beta", img_embed=img)
+    got = dict(
+        (r, t) for r, t, _ in batcher.run_until_drained(3)
+    )[rid]
+    _check(got, self._solo_img(sampler, "alpha beta", steps, img),
+           steps, vocab.eos_id())
+
+  def test_image_changes_tokens(self, msetup):
+    sampler, vocab = msetup
+    steps = 8
+    txt = _solo(sampler, "alpha beta", steps)
+    img = self._solo_img(sampler, "alpha beta", steps, self._img(3))
+    assert list(txt) != list(img)
+
+  def test_mixed_image_text_slots(self, msetup):
+    """Image and text requests share the batch; late joins included."""
+    sampler, vocab = msetup
+    steps = 10
+    img_a, img_b = self._img(5), self._img(9, scale=-3.0)
+    batcher = serving.ContinuousBatcher(sampler, num_slots=3,
+                                        max_steps_default=steps)
+    r0 = batcher.add_request("alpha beta", img_embed=img_a)
+    r1 = batcher.add_request("gamma delta eps")
+    batcher.step(2)  # r0/r1 in flight before r2 joins
+    r2 = batcher.add_request("zeta eta", img_embed=img_b)
+    res = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res[r0], self._solo_img(sampler, "alpha beta", steps, img_a),
+           steps, vocab.eos_id())
+    _check(res[r1], _solo(sampler, "gamma delta eps", steps),
+           steps, vocab.eos_id())
+    _check(res[r2], self._solo_img(sampler, "zeta eta", steps, img_b),
+           steps, vocab.eos_id())
+
+  def test_speculative_image_batching(self, msetup):
+    """Images compose with in-batch speculation (exact greedy)."""
+    sampler, vocab = msetup
+    steps = 10
+    img = self._img(7)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=steps, draft_len=2,
+    )
+    r0 = batcher.add_request("alpha beta alpha beta", img_embed=img)
+    r1 = batcher.add_request("gamma delta")
+    res = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res[r0],
+           self._solo_img(sampler, "alpha beta alpha beta", steps, img),
+           steps, vocab.eos_id())
+    _check(res[r1], _solo(sampler, "gamma delta", steps),
+           steps, vocab.eos_id())
+
+  def test_slot_reuse_after_image(self, msetup):
+    """A slot that served an image request serves a clean text one next."""
+    sampler, vocab = msetup
+    steps = 6
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=steps)
+    batcher.add_request("alpha beta", img_embed=self._img(3))
+    batcher.run_until_drained(2)
+    rid = batcher.add_request("gamma delta")
+    got = {r: t for r, t, _ in batcher.run_until_drained(2)}[rid]
+    _check(got, _solo(sampler, "gamma delta", steps), steps,
+           vocab.eos_id())
+
+  def test_rejects_misuse(self, msetup):
+    sampler, vocab = msetup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=4)
+    with pytest.raises(ValueError, match="at most one"):
+      batcher.add_request("alpha", img_embed=self._img(1),
+                          pixels=jnp.zeros((1, 3, 8, 8)))
+    with pytest.raises(ValueError, match="vision_width"):
+      batcher.add_request("alpha", img_embed=jnp.zeros((2, 4, 12)))
+    with pytest.raises(ValueError, match="vision_encoder"):
+      batcher.add_request("alpha", pixels=jnp.zeros((1, 3, 8, 8)))
+    prefix = sampler.prefill_prefix("alpha beta")
+    with pytest.raises(ValueError, match="BOS"):
+      batcher.add_request("gamma", prefix_state=prefix,
+                          img_embed=self._img(1))
