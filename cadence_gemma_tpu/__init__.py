@@ -24,6 +24,8 @@ from cadence_gemma_tpu.checkpoint.io import save_train_state
 from cadence_gemma_tpu.inference.modal_sampler import ModalSampler
 from cadence_gemma_tpu.inference.sampler import PrefixState
 from cadence_gemma_tpu.inference.serving import ContinuousBatcher
+from cadence_gemma_tpu.inference.server import ServingFrontend
+from cadence_gemma_tpu.inference.server import ServingHTTPServer
 from cadence_gemma_tpu.inference.sampler import Sampler
 from cadence_gemma_tpu.inference.sampler import SamplerOutput
 from cadence_gemma_tpu.inference.sampler import SamplingState

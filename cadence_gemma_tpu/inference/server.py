@@ -1,0 +1,323 @@
+"""Production HTTP serving front end over :class:`ContinuousBatcher`.
+
+The reference has no serving runtime at all (its sampler is a library
+call, ``/root/reference/recurrentgemma/jax/sampler.py:404-478``); this is
+the deployment shape the framework serves in: a slot-based continuous
+batcher advanced by ONE driver thread, fronted by a threaded HTTP server
+whose handlers never touch JAX.
+
+Threading model (the part that must not be improvised): every JAX call —
+tokenization-adjacent device work, admission prefill, decode ticks, host
+fetches — happens on the single driver thread. The batcher's compiled
+programs donate their state buffers, so two threads stepping it would
+race donated memory. HTTP handler threads only enqueue submissions and
+block on per-request queues; cancellation flips a host-side flag that the
+driver honors on its next tick.
+
+Endpoints (JSON over stdlib ``http.server``; no third-party deps):
+
+  POST /v1/generate   {"prompt": str, "max_tokens": int?, "stream": bool?,
+                       "seed": int?, "image_path": str?, "image_b64": str?}
+      stream=false → one body: {"id", "tokens", "text"}
+      stream=true  → chunked NDJSON: {"id", "tokens": [...]} lines as the
+                     request emits tokens, then {"id", "done": true,
+                     "tokens": [], "text": full_text}
+  POST /v1/cancel     {"id": int} → {"cancelled": bool}
+  GET  /v1/health     → {"ok", "slots", "active", "queued"}
+
+``ServingFrontend`` is usable without HTTP (library callers submit and
+wait); ``ServingHTTPServer`` wraps it for the wire.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import tempfile
+import threading
+from http import server as http_server
+from typing import Any
+
+from cadence_gemma_tpu.inference import serving as serving_lib
+
+
+class Submission:
+  """One queued generation; handlers wait on :attr:`events`.
+
+  ``events`` receives ``("tokens", [ids])`` deltas (streaming), then
+  exactly one terminal event: ``("done", (tokens, text))``,
+  ``("cancelled", None)``, or ``("error", message)``.
+  """
+
+  def __init__(self, prompt: str, max_steps: int, seed: int | None,
+               image_path: str | None, image_b64: str | None):
+    self.prompt = prompt
+    self.max_steps = max_steps
+    self.seed = seed
+    self.image_path = image_path
+    self.image_b64 = image_b64
+    self.events: queue.Queue = queue.Queue()
+    self.request_id: int | None = None   # set once admitted
+    self.cancelled = False               # host-side flag, driver honors
+
+  def result(self, timeout: float | None = None) -> tuple[list[int], str]:
+    """Blocks until the terminal event; drains token deltas."""
+    while True:
+      kind, payload = self.events.get(timeout=timeout)
+      if kind == "tokens":
+        continue
+      if kind == "done":
+        return payload
+      if kind == "cancelled":
+        raise RuntimeError("request cancelled")
+      raise RuntimeError(f"generation failed: {payload}")
+
+
+class ServingFrontend:
+  """Single-driver-thread loop around a :class:`ContinuousBatcher`.
+
+  Args:
+    batcher: The batcher to drive. Built WITHOUT a ``stream_callback`` —
+      the frontend installs its own to route per-request token deltas.
+    step_size: Decode steps per tick. Smaller = lower streaming latency,
+      larger = fewer host round-trips per token.
+    idle_wait_s: How long the driver sleeps waiting for work when no
+      request is live (new submissions wake it immediately).
+  """
+
+  def __init__(self, batcher: serving_lib.ContinuousBatcher,
+               step_size: int = 8, idle_wait_s: float = 0.05):
+    if batcher.stream_callback is not None:
+      raise ValueError(
+          "Build the batcher without stream_callback; the frontend "
+          "installs its own to route tokens to submissions."
+      )
+    batcher.stream_callback = self._on_tokens
+    self.batcher = batcher
+    self.step_size = step_size
+    self.idle_wait_s = idle_wait_s
+    self._inbox: queue.Queue[Submission] = queue.Queue()
+    self._by_id: dict[int, Submission] = {}
+    self._stop = threading.Event()
+    self._wake = threading.Event()
+    self._driver = threading.Thread(target=self._run, daemon=True)
+    self._driver.start()
+
+  # -- handler-thread API ------------------------------------------------------
+
+  def submit(self, prompt: str, max_tokens: int | None = None,
+             seed: int | None = None, image_path: str | None = None,
+             image_b64: str | None = None) -> Submission:
+    sub = Submission(
+        prompt, max_tokens or self.batcher.max_steps_default, seed,
+        image_path, image_b64,
+    )
+    self._inbox.put(sub)
+    self._wake.set()
+    return sub
+
+  def cancel(self, request_id: int) -> bool:
+    """Marks a request cancelled; the driver frees its slot next tick."""
+    sub = self._by_id.get(request_id)
+    if sub is None or sub.cancelled:
+      return False
+    sub.cancelled = True
+    self._wake.set()
+    return True
+
+  @property
+  def stats(self) -> dict[str, int]:
+    return {
+        "slots": self.batcher.num_slots,
+        "active": self.batcher.active_count,
+        "queued": self._inbox.qsize(),
+    }
+
+  def close(self) -> None:
+    self._stop.set()
+    self._wake.set()
+    self._driver.join(timeout=60)
+
+  # -- driver thread -----------------------------------------------------------
+
+  def _on_tokens(self, request_id: int, token_ids: list[int],
+                 done: bool) -> None:
+    # Runs on the driver thread (inside batcher.step / pop_finished /
+    # cancel). Terminal delivery happens via "done"/"cancelled" events,
+    # but the tail tokens that arrive WITH the finish still flow as a
+    # delta first, so streaming clients assembling from deltas see every
+    # token.
+    sub = self._by_id.get(request_id)
+    if sub is not None and token_ids:
+      sub.events.put(("tokens", list(token_ids)))
+
+  def _admit(self, sub: Submission) -> None:
+    if sub.cancelled:
+      sub.events.put(("cancelled", None))
+      return
+    kwargs: dict[str, Any] = {}
+    try:
+      if sub.seed is not None:
+        import jax
+
+        kwargs["rng"] = jax.random.PRNGKey(sub.seed)
+      if sub.image_b64 is not None:
+        raw = base64.b64decode(sub.image_b64)
+        with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+          f.write(raw)
+          f.flush()
+          kwargs["img_embed"] = self.batcher.sampler.encode_image(f.name)
+      elif sub.image_path is not None:
+        kwargs["img_path"] = sub.image_path
+      rid = self.batcher.add_request(
+          sub.prompt, max_steps=sub.max_steps, **kwargs
+      )
+    except Exception as e:  # bad image, ragged batch rules, OOM, ...
+      sub.events.put(("error", f"{type(e).__name__}: {e}"))
+      return
+    sub.request_id = rid
+    self._by_id[rid] = sub
+
+  def _run(self) -> None:
+    while not self._stop.is_set():
+      # Admit while there is capacity (admission prefill is device work,
+      # so it stays on this thread).
+      while self.batcher.has_capacity:
+        try:
+          self._admit(self._inbox.get_nowait())
+        except queue.Empty:
+          break
+      # Honor cancellations before burning decode steps on them.
+      for rid, sub in list(self._by_id.items()):
+        if sub.cancelled:
+          self.batcher.cancel(rid)
+          del self._by_id[rid]
+          sub.events.put(("cancelled", None))
+      if not self.batcher.active_count:
+        self._wake.wait(timeout=self.idle_wait_s)
+        self._wake.clear()
+        continue
+      self.batcher.step(self.step_size)
+      for rid, tokens, text in self.batcher.pop_finished():
+        sub = self._by_id.pop(rid, None)
+        if sub is not None:
+          sub.events.put(("done", (tokens, text)))
+    # Drain: anything still queued or live reports cancellation.
+    for rid, sub in self._by_id.items():
+      sub.events.put(("cancelled", None))
+    while True:
+      try:
+        self._inbox.get_nowait().events.put(("cancelled", None))
+      except queue.Empty:
+        break
+
+
+def _make_handler(frontend: ServingFrontend):
+  class Handler(http_server.BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args):  # quiet by default
+      pass
+
+    def _json(self, code: int, obj: dict) -> None:
+      body = json.dumps(obj).encode()
+      self.send_response(code)
+      self.send_header("Content-Type", "application/json")
+      self.send_header("Content-Length", str(len(body)))
+      self.end_headers()
+      self.wfile.write(body)
+
+    def do_GET(self):
+      if self.path != "/v1/health":
+        return self._json(404, {"error": f"no route {self.path}"})
+      self._json(200, {"ok": True, **frontend.stats})
+
+    def do_POST(self):
+      try:
+        length = int(self.headers.get("Content-Length", 0))
+        req = json.loads(self.rfile.read(length) or b"{}")
+      except (ValueError, json.JSONDecodeError) as e:
+        return self._json(400, {"error": f"bad JSON: {e}"})
+      if self.path == "/v1/cancel":
+        rid = req.get("id")
+        if not isinstance(rid, int):
+          return self._json(400, {"error": "id (int) required"})
+        return self._json(200, {"cancelled": frontend.cancel(rid)})
+      if self.path != "/v1/generate":
+        return self._json(404, {"error": f"no route {self.path}"})
+      prompt = req.get("prompt")
+      if not isinstance(prompt, str) or not prompt:
+        return self._json(400, {"error": "prompt (non-empty str) required"})
+      sub = frontend.submit(
+          prompt,
+          max_tokens=req.get("max_tokens"),
+          seed=req.get("seed"),
+          image_path=req.get("image_path"),
+          image_b64=req.get("image_b64"),
+      )
+      if not req.get("stream"):
+        try:
+          tokens, text = sub.result()
+        except RuntimeError as e:
+          return self._json(400, {"error": str(e)})
+        return self._json(
+            200, {"id": sub.request_id, "tokens": tokens, "text": text}
+        )
+      # Streaming: chunked NDJSON, one line per event.
+      self.send_response(200)
+      self.send_header("Content-Type", "application/x-ndjson")
+      self.send_header("Transfer-Encoding", "chunked")
+      self.end_headers()
+
+      def chunk(obj: dict) -> None:
+        line = (json.dumps(obj) + "\n").encode()
+        self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+
+      while True:
+        kind, payload = sub.events.get()
+        if kind == "tokens":
+          chunk({"id": sub.request_id, "tokens": payload})
+          continue
+        if kind == "done":
+          tokens, text = payload
+          chunk({"id": sub.request_id, "done": True, "tokens": [],
+                 "text": text})
+        elif kind == "cancelled":
+          chunk({"id": sub.request_id, "done": True, "cancelled": True})
+        else:
+          chunk({"id": sub.request_id, "done": True, "error": payload})
+        self.wfile.write(b"0\r\n\r\n")
+        return
+
+  return Handler
+
+
+class ServingHTTPServer:
+  """Threaded HTTP server over a :class:`ServingFrontend`.
+
+  ``port=0`` binds an ephemeral port (read :attr:`port`). The server
+  thread pool handles connections; all model work stays on the
+  frontend's driver thread.
+  """
+
+  def __init__(self, frontend: ServingFrontend, host: str = "127.0.0.1",
+               port: int = 0):
+    self.frontend = frontend
+    self._httpd = http_server.ThreadingHTTPServer(
+        (host, port), _make_handler(frontend)
+    )
+    self._thread = threading.Thread(
+        target=self._httpd.serve_forever, daemon=True
+    )
+    self._thread.start()
+
+  @property
+  def port(self) -> int:
+    return self._httpd.server_address[1]
+
+  def close(self) -> None:
+    self._httpd.shutdown()
+    self._httpd.server_close()
+    self._thread.join(timeout=30)
+    self.frontend.close()

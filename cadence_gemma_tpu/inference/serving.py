@@ -778,6 +778,34 @@ class ContinuousBatcher:
     finished.sort(key=lambda t: t[0])
     return finished
 
+  def cancel(self, request_id: int) -> bool:
+    """Cancels a request; returns False if the id is unknown/finished.
+
+    A cancelled request never appears in :meth:`pop_finished` and its
+    already-decoded tokens are discarded. The slot frees immediately:
+    queued admissions are dropped host-side; started slots clear their
+    ``active`` flag (the decode program's live mask is ``active & ~done``,
+    so the row stops advancing — neighbors are untouched) and the next
+    admission overwrites every per-slot field. With a ``stream_callback``
+    a final ``(request_id, [], True)`` call marks the stream closed.
+    """
+    for i, p in enumerate(self._pending):
+      if p.request.request_id == request_id:
+        del self._pending[i]
+        del self._requests[p.request.slot]
+        if self.stream_callback is not None:
+          self.stream_callback(request_id, [], True)
+        return True
+    for slot, req in list(self._requests.items()):
+      if req.request_id == request_id:
+        self._state = dict(self._state)
+        self._state["active"] = self._state["active"].at[slot].set(False)
+        del self._requests[slot]
+        if self.stream_callback is not None:
+          self.stream_callback(request_id, [], True)
+        return True
+    return False
+
   def run_until_drained(self, step_size: int = 8, max_ticks: int = 10_000):
     """Convenience loop: step until every admitted request completes."""
     results = []

@@ -50,6 +50,13 @@ _PRESET = flags.DEFINE_enum_class(
     "preset", cg.Preset.RECURRENT_GEMMA_2B_V1, cg.Preset,
     "Preset supplying hypers not inferable from the checkpoint.",
 )
+_HTTP_PORT = flags.DEFINE_integer(
+    "http_port", None,
+    "Serve over HTTP instead of running --requests: starts "
+    "ServingHTTPServer (POST /v1/generate with optional streaming, "
+    "POST /v1/cancel, GET /v1/health) on this port and blocks. 0 binds "
+    "an ephemeral port.",
+)
 _ADAPTERS = flags.DEFINE_multi_string(
     "adapter_path", [],
     "Optional LoRA adapter checkpoint(s) (orbax trees of lora_a/lora_b "
@@ -135,6 +142,25 @@ def main(argv):
             "tokens per weights read")
     dt = time.perf_counter() - t0
     print(f"\n[serve] speculative: {total} tokens, {total / dt:.1f} tok/s")
+    return
+
+  if _HTTP_PORT.value is not None:
+    batcher = cg.ContinuousBatcher(
+        sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value,
+        admission_chunks_per_tick=1, multi_lora=bool(adapter_trees),
+    )
+    frontend = cg.ServingFrontend(batcher)
+    server = cg.ServingHTTPServer(
+        frontend, host="0.0.0.0", port=_HTTP_PORT.value
+    )
+    print(f"[serve] HTTP serving on :{server.port} — "
+          "POST /v1/generate {'prompt': ..., 'stream': true}, "
+          "POST /v1/cancel, GET /v1/health. Ctrl-C to stop.")
+    try:
+      while True:
+        time.sleep(60)
+    except KeyboardInterrupt:
+      server.close()
     return
 
   def stream(request_id, new_tokens, done):

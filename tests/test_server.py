@@ -1,0 +1,250 @@
+"""HTTP serving front end + request cancellation.
+
+The serving invariant is inherited from tests/test_serving.py: whatever
+path a request takes (frontend queue, HTTP, streaming, neighbors joining
+or cancelling), its tokens match a solo Sampler run bit-for-bit.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.inference import server as server_lib
+from cadence_gemma_tpu.inference import serving
+from cadence_gemma_tpu.models import griffin
+from cadence_gemma_tpu.tokenizers import SimpleVocab
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+  vocab = SimpleVocab(WORDS)
+  config = common.GriffinConfig(
+      vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+      num_heads=2,
+      block_types=(
+          common.TemporalBlockType.RECURRENT,
+          common.TemporalBlockType.ATTENTION,
+      ),
+      embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+      logits_soft_cap=30.0, lru_width=16,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+  )
+  model = griffin.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  params = model.init(
+      jax.random.PRNGKey(11), jnp.ones((1, 4), jnp.int32),
+      jnp.arange(4)[None],
+  )["params"]
+  sampler = sampler_lib.Sampler(model, vocab, params)
+  return sampler, vocab
+
+
+def _solo(sampler, prompt, steps):
+  return list(
+      np.asarray(sampler([prompt], total_generation_steps=steps).tokens[0])
+  )
+
+
+def _check(got, solo_tokens, steps, eos_id):
+  assert got == solo_tokens[: len(got)], (got, solo_tokens)
+  assert len(got) == steps or got[-1] == eos_id, (got, steps)
+
+
+class TestCancel:
+
+  def test_cancel_running_leaves_neighbor_exact(self, setup):
+    sampler, vocab = setup
+    steps = 10
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    victim = batcher.add_request("alpha beta")
+    keeper = batcher.add_request("gamma delta eps")
+    batcher.step(3)
+    assert batcher.cancel(victim)
+    assert not batcher.cancel(victim)      # already gone
+    assert not batcher.cancel(12345)       # unknown id
+    res = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    assert victim not in res
+    _check(res[keeper], _solo(sampler, "gamma delta eps", steps),
+           steps, vocab.eos_id())
+
+  def test_cancel_pending_and_slot_reuse(self, setup):
+    sampler, vocab = setup
+    steps = 6
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=steps)
+    first = batcher.add_request("alpha beta")
+    assert batcher.cancel(first)           # still pending: never prefills
+    rid = batcher.add_request("gamma delta")
+    res = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res[rid], _solo(sampler, "gamma delta", steps), steps,
+           vocab.eos_id())
+
+
+class TestFrontend:
+
+  def test_results_match_solo_with_queueing(self, setup):
+    sampler, vocab = setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      prompts = ["alpha beta", "gamma delta eps", "zeta eta"]  # 3 > slots
+      subs = [fe.submit(p) for p in prompts]
+      for p, sub in zip(prompts, subs):
+        tokens, text = sub.result(timeout=120)
+        _check(tokens, _solo(sampler, p, steps), steps, vocab.eos_id())
+        assert text == sampler.vocab.DecodeIds(tokens)
+    finally:
+      fe.close()
+
+  def test_streaming_deltas_cover_all_tokens(self, setup):
+    sampler, vocab = setup
+    steps = 9
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=steps)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      sub = fe.submit("alpha beta gamma")
+      assembled, final = [], None
+      while final is None:
+        kind, payload = sub.events.get(timeout=120)
+        if kind == "tokens":
+          assembled.extend(payload)
+        elif kind == "done":
+          final = payload[0]
+        else:
+          raise AssertionError(payload)
+      assert assembled == final
+      _check(final, _solo(sampler, "alpha beta gamma", steps), steps,
+             vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_cancel_mid_stream(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=512)
+    fe = server_lib.ServingFrontend(batcher, step_size=1)
+    try:
+      sub = fe.submit("alpha beta")
+      kind, _ = sub.events.get(timeout=120)   # wait for the first delta
+      assert kind == "tokens"
+      assert fe.cancel(sub.request_id)
+      with pytest.raises(RuntimeError, match="cancelled"):
+        sub.result(timeout=120)
+      # The slot frees for the next request.
+      nxt = fe.submit("gamma delta", max_tokens=6)
+      tokens, _ = nxt.result(timeout=120)
+      _check(tokens, _solo(sampler, "gamma delta", 6), 6, vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_submit_error_reports_not_hangs(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      sub = fe.submit("alpha", image_path="/nonexistent.jpg")
+      with pytest.raises(RuntimeError, match="generation failed"):
+        sub.result(timeout=120)
+    finally:
+      fe.close()
+
+
+class TestHTTP:
+
+  @pytest.fixture(scope="class")
+  def httpd(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, sampler, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def test_generate_and_health(self, httpd):
+    srv, sampler, vocab = httpd
+    status, out = self._post(srv.port, "/v1/generate",
+                             {"prompt": "alpha beta"})
+    assert status == 200
+    _check(out["tokens"], _solo(sampler, "alpha beta", 8), 8,
+           vocab.eos_id())
+    assert out["text"] == sampler.vocab.DecodeIds(out["tokens"])
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/v1/health", timeout=30
+    ) as resp:
+      health = json.loads(resp.read())
+    assert health["ok"] and health["slots"] == 2
+
+  def test_streaming_assembles_to_nonstream(self, httpd):
+    srv, sampler, vocab = httpd
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/generate",
+        data=json.dumps({"prompt": "gamma delta", "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    assembled, final = [], None
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      for line in resp:
+        evt = json.loads(line)
+        assembled.extend(evt.get("tokens", []))
+        if evt.get("done"):
+          final = evt
+    assert final and "text" in final
+    _check(assembled, _solo(sampler, "gamma delta", 8), 8, vocab.eos_id())
+    assert final["text"] == sampler.vocab.DecodeIds(assembled)
+
+  def test_concurrent_requests_isolated(self, httpd):
+    """Two handler threads posting at once; each gets its own answer."""
+    srv, sampler, vocab = httpd
+    results = {}
+
+    def go(prompt):
+      results[prompt] = self._post(srv.port, "/v1/generate",
+                                   {"prompt": prompt})[1]
+
+    threads = [threading.Thread(target=go, args=(p,))
+               for p in ("alpha beta", "zeta eta theta")]
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join(timeout=180)
+    for p, out in results.items():
+      _check(out["tokens"], _solo(sampler, p, 8), 8, vocab.eos_id())
+
+  def test_bad_requests(self, httpd):
+    srv, _, _ = httpd
+    try:
+      self._post(srv.port, "/v1/generate", {"prompt": ""})
+      raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+      assert e.code == 400
+    try:
+      self._post(srv.port, "/v1/nope", {})
+      raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+      assert e.code == 404
