@@ -17,12 +17,18 @@ driver honors on its next tick.
 Endpoints (JSON over stdlib ``http.server``; no third-party deps):
 
   POST /v1/generate   {"prompt": str, "max_tokens": int?, "stream": bool?,
-                       "seed": int?, "image_path": str?, "image_b64": str?}
+                       "seed": int?, "image_path": str?, "image_b64": str?,
+                       "session": str?}
       stream=false → one body: {"id", "tokens", "text"}
       stream=true  → chunked NDJSON: {"id", "tokens": [...]} lines as the
                      request emits tokens, then {"id", "done": true,
                      "tokens": [], "text": full_text}
+      "session" names a conversation: turns chain through per-request
+      PrefixStates (batcher built with preserve_states=True), so each
+      turn prefills only the new message — multi-turn chat at O(new
+      tokens) cost. One turn in flight per session (409 otherwise).
   POST /v1/cancel     {"id": int} → {"cancelled": bool}
+  POST /v1/reset      {"session": str} → {"reset": bool} (drop context)
   GET  /v1/health     → {"ok", "slots", "active", "queued"}
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
@@ -42,6 +48,10 @@ from typing import Any
 from cadence_gemma_tpu.inference import serving as serving_lib
 
 
+class SessionBusy(RuntimeError):
+  """A chat session already has a turn in flight (HTTP maps this to 409)."""
+
+
 class Submission:
   """One queued generation; handlers wait on :attr:`events`.
 
@@ -51,12 +61,14 @@ class Submission:
   """
 
   def __init__(self, prompt: str, max_steps: int, seed: int | None,
-               image_path: str | None, image_b64: str | None):
+               image_path: str | None, image_b64: str | None,
+               session: str | None = None):
     self.prompt = prompt
     self.max_steps = max_steps
     self.seed = seed
     self.image_path = image_path
     self.image_b64 = image_b64
+    self.session = session
     self.events: queue.Queue = queue.Queue()
     self.request_id: int | None = None   # set once admitted
     self.cancelled = False               # host-side flag, driver honors
@@ -99,6 +111,8 @@ class ServingFrontend:
     self.idle_wait_s = idle_wait_s
     self._inbox: queue.Queue[Submission] = queue.Queue()
     self._by_id: dict[int, Submission] = {}
+    self._sessions: dict[str, Any] = {}   # session -> PrefixState
+    self._busy_sessions: set[str] = set()
     self._stop = threading.Event()
     self._wake = threading.Event()
     self._driver = threading.Thread(target=self._run, daemon=True)
@@ -108,14 +122,33 @@ class ServingFrontend:
 
   def submit(self, prompt: str, max_tokens: int | None = None,
              seed: int | None = None, image_path: str | None = None,
-             image_b64: str | None = None) -> Submission:
+             image_b64: str | None = None,
+             session: str | None = None) -> Submission:
+    """Queues one generation. ``session`` names a conversation: its
+    turns chain through the batcher's per-request PrefixState (requires
+    ``preserve_states=True`` on the batcher), so each turn prefills only
+    the new message. One in-flight turn per session (raises
+    ``SessionBusy`` otherwise); turns in different sessions and plain
+    requests batch together freely."""
+    if session is not None:
+      if not self.batcher.preserve_states:
+        raise ValueError(
+            "Chat sessions need ContinuousBatcher(preserve_states=True)."
+        )
+      if session in self._busy_sessions:
+        raise SessionBusy(f"session {session!r} has a turn in flight")
+      self._busy_sessions.add(session)
     sub = Submission(
         prompt, max_tokens or self.batcher.max_steps_default, seed,
-        image_path, image_b64,
+        image_path, image_b64, session=session,
     )
     self._inbox.put(sub)
     self._wake.set()
     return sub
+
+  def reset_session(self, session: str) -> bool:
+    """Drops a session's stored context; its next turn starts fresh."""
+    return self._sessions.pop(session, None) is not None
 
   def cancel(self, request_id: int) -> bool:
     """Marks a request cancelled; the driver frees its slot next tick."""
@@ -154,10 +187,16 @@ class ServingFrontend:
 
   def _admit(self, sub: Submission) -> None:
     if sub.cancelled:
+      self._release_session(sub)
       sub.events.put(("cancelled", None))
       return
     kwargs: dict[str, Any] = {}
     try:
+      if sub.session is not None:
+        state = self._sessions.get(sub.session)
+        if state is not None:
+          kwargs["prefix_state"] = state
+        kwargs["return_state"] = True
       if sub.seed is not None:
         import jax
 
@@ -174,10 +213,15 @@ class ServingFrontend:
           sub.prompt, max_steps=sub.max_steps, **kwargs
       )
     except Exception as e:  # bad image, ragged batch rules, OOM, ...
+      self._release_session(sub)
       sub.events.put(("error", f"{type(e).__name__}: {e}"))
       return
     sub.request_id = rid
     self._by_id[rid] = sub
+
+  def _release_session(self, sub: Submission) -> None:
+    if sub.session is not None:
+      self._busy_sessions.discard(sub.session)
 
   def _run(self) -> None:
     while not self._stop.is_set():
@@ -188,11 +232,14 @@ class ServingFrontend:
           self._admit(self._inbox.get_nowait())
         except queue.Empty:
           break
-      # Honor cancellations before burning decode steps on them.
+      # Honor cancellations before burning decode steps on them. A
+      # cancelled session turn keeps the PREVIOUS turn's context (as if
+      # the turn never happened).
       for rid, sub in list(self._by_id.items()):
         if sub.cancelled:
           self.batcher.cancel(rid)
           del self._by_id[rid]
+          self._release_session(sub)
           sub.events.put(("cancelled", None))
       if not self.batcher.active_count:
         self._wake.wait(timeout=self.idle_wait_s)
@@ -202,15 +249,21 @@ class ServingFrontend:
       for rid, tokens, text in self.batcher.pop_finished():
         sub = self._by_id.pop(rid, None)
         if sub is not None:
+          if sub.session is not None:
+            self._sessions[sub.session] = self.batcher.take_state(rid)
+            self._release_session(sub)
           sub.events.put(("done", (tokens, text)))
     # Drain: anything still queued or live reports cancellation.
     for rid, sub in self._by_id.items():
+      self._release_session(sub)
       sub.events.put(("cancelled", None))
     while True:
       try:
-        self._inbox.get_nowait().events.put(("cancelled", None))
+        sub = self._inbox.get_nowait()
       except queue.Empty:
         break
+      self._release_session(sub)
+      sub.events.put(("cancelled", None))
 
 
 def _make_handler(frontend: ServingFrontend):
@@ -244,18 +297,29 @@ def _make_handler(frontend: ServingFrontend):
         if not isinstance(rid, int):
           return self._json(400, {"error": "id (int) required"})
         return self._json(200, {"cancelled": frontend.cancel(rid)})
+      if self.path == "/v1/reset":
+        session = req.get("session")
+        if not isinstance(session, str):
+          return self._json(400, {"error": "session (str) required"})
+        return self._json(200, {"reset": frontend.reset_session(session)})
       if self.path != "/v1/generate":
         return self._json(404, {"error": f"no route {self.path}"})
       prompt = req.get("prompt")
       if not isinstance(prompt, str) or not prompt:
         return self._json(400, {"error": "prompt (non-empty str) required"})
-      sub = frontend.submit(
-          prompt,
-          max_tokens=req.get("max_tokens"),
-          seed=req.get("seed"),
-          image_path=req.get("image_path"),
-          image_b64=req.get("image_b64"),
-      )
+      try:
+        sub = frontend.submit(
+            prompt,
+            max_tokens=req.get("max_tokens"),
+            seed=req.get("seed"),
+            image_path=req.get("image_path"),
+            image_b64=req.get("image_b64"),
+            session=req.get("session"),
+        )
+      except SessionBusy as e:
+        return self._json(409, {"error": str(e)})
+      except ValueError as e:
+        return self._json(400, {"error": str(e)})
       if not req.get("stream"):
         try:
           tokens, text = sub.result()

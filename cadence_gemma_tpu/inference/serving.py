@@ -67,6 +67,7 @@ class _Request:
   prompt: str
   started: bool = False   # prefill inserted into the slot yet?
   emitted: int = 0        # tokens already delivered via stream_callback
+  want_state: bool = False  # extract a PrefixState when finished
 
 
 @dataclasses.dataclass
@@ -126,6 +127,7 @@ class ContinuousBatcher:
       stream_callback: Any | None = None,
       admission_chunks_per_tick: int | None = None,
       multi_lora: bool = False,
+      preserve_states: bool = False,
   ):
     """See the class docstring.
 
@@ -158,6 +160,15 @@ class ContinuousBatcher:
         rank 16), and the per-step overhead is the batched low-rank
         einsums. Composes with speculation (``draft_len``), categorical
         sampling, chunked admission, and streaming.
+      preserve_states: Freeze each finished slot's cache at its own stop
+        so requests may ask for their post-generation
+        :class:`~cadence_gemma_tpu.inference.sampler.PrefixState`
+        (``add_request(..., return_state=True)`` + :meth:`take_state`) —
+        multi-turn chat through the batcher at O(new tokens) prefill
+        cost. Costs one per-row select over the cache per decode step
+        (cache traffic, not weight traffic; leave off when no request
+        continues). The speculative path (``draft_len > 0``) freezes rows
+        by construction, so there the flag only gates the API.
     """
     self.sampler = sampler
     self.num_slots = num_slots
@@ -241,6 +252,10 @@ class ContinuousBatcher:
           self._scatter_adapters, donate_argnums=0
       )
 
+    self.preserve_states = preserve_states
+    self._states: dict[int, sampler_lib.PrefixState] = {}
+    self._extract_state_fn = jax.jit(self._extract_state)
+
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
                               static_argnums=(4, 7))
     # Params enter as an argument: closing over them would bake ~weights-
@@ -250,6 +265,38 @@ class ContinuousBatcher:
                             static_argnums=2)
 
   # -- device programs --------------------------------------------------------
+
+  def _extract_state(self, state, slot):
+    """Gathers one finished slot into a batch-1 :class:`PrefixState`.
+
+    Mirrors the solo sampler's ``return_state`` construction
+    (``sampler.py _finish_sampling``): the slot's ``last_token`` is the
+    sampled-but-never-fed pending token and ``positions`` is where it
+    would be fed. The gather copies the row, so the slot can be freed
+    and overwritten immediately.
+    """
+    cache = jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0),
+        state["cache"],
+    )
+    if self.draft_len:
+      # Speculative slots: the last emitted (never committed) token lives
+      # in the drafting history at cur_len - 1; "last_token" is stale
+      # (matches SpeculativeSampler's return_state, speculative.py).
+      hist_row = jax.lax.dynamic_slice_in_dim(state["hist"], slot, 1, 0)
+      cur = jax.lax.dynamic_slice_in_dim(state["cur_len"], slot, 1, 0)
+      pending = jnp.take_along_axis(hist_row, cur[:, None] - 1, axis=1)
+    else:
+      pending = jax.lax.dynamic_slice_in_dim(
+          state["last_token"], slot, 1, axis=0
+      )[:, None]
+    return sampler_lib.PrefixState(
+        cache=cache,
+        length=jax.lax.dynamic_slice_in_dim(
+            state["positions"], slot, 1, axis=0
+        )[:, 0],
+        pending_token=pending,
+    )
 
   def _scatter_adapters(self, stacked, new, slot):
     """Writes one request's adapter tree into its slot's stacked row."""
@@ -395,6 +442,18 @@ class ContinuousBatcher:
           return_cache=True,
           model=model,
       )
+      if self.preserve_states:
+        # Freeze finished rows' caches at their own stop: without this a
+        # done slot keeps re-feeding its held last_token (harmless when
+        # the row is only ever overwritten on reuse, but fatal for
+        # per-request return_state — the conv tail shifts and the LRU
+        # carry advances on every re-feed).
+        cache = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                live.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            cache, s["cache"],
+        )
       rng = s["rng"]
       step_logits = logits[:, 0]
       if self.sampler.repetition_penalty != 1.0:
@@ -469,6 +528,7 @@ class ContinuousBatcher:
       img_embed: Any | None = None,
       pixels: Any | None = None,
       img_path: str | None = None,
+      return_state: bool = False,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -494,6 +554,14 @@ class ContinuousBatcher:
     sampler's params — the point of sharing it); only the continuation
     and decode run under the request's adapters.
 
+    ``return_state=True`` (requires ``preserve_states=True`` on the
+    batcher) extracts this request's post-generation context when it
+    finishes; fetch it with :meth:`take_state` and pass it back as the
+    next turn's ``prefix_state`` — multi-turn chat through the batcher
+    at O(new tokens) prefill cost, exactly like the solo sampler's
+    ``return_state``/``prefix_state`` pair (IT turn templating
+    included).
+
     ``img_embed`` grounds the request in an image: fused vision features
     ``[1, vision_tokens, vision_width]`` splice in after the prompt's BOS
     during this request's admission prefill, exactly like the solo
@@ -505,6 +573,12 @@ class ContinuousBatcher:
     encoder). Images are incompatible with ``prefix_state`` (the splice
     needs the in-call BOS), matching the solo sampler.
     """
+    if return_state and not self.preserve_states:
+      raise ValueError(
+          "return_state requires ContinuousBatcher(preserve_states=True) "
+          "— otherwise finished slots' caches keep advancing and the "
+          "extracted context would be corrupt."
+      )
     n_img = sum(x is not None for x in (img_embed, pixels, img_path))
     if n_img > 1:
       raise ValueError(
@@ -634,7 +708,7 @@ class ContinuousBatcher:
     self._next_id += 1
     req = _Request(
         request_id=request_id, slot=slot, max_steps=max_steps,
-        prompt=prompt,
+        prompt=prompt, want_state=return_state,
     )
     self._requests[slot] = req
     self._pending.append(_Pending(
@@ -762,6 +836,12 @@ class ContinuousBatcher:
       # done flag until its prefill inserts; skip unstarted requests.
       if not req.started or not done[slot]:
         continue
+      if req.want_state:
+        # Gathered (copied) BEFORE the slot frees; preserve_states froze
+        # the row's cache at this request's own stop.
+        self._states[req.request_id] = self._extract_state_fn(
+            self._state, req.slot
+        )
       if out is None:
         out = jax.device_get(self._state["out"])
       tokens = out[slot, : int(write_idx[slot])].tolist()
@@ -777,6 +857,19 @@ class ContinuousBatcher:
       self._state["active"] = self._state["active"].at[slot].set(False)
     finished.sort(key=lambda t: t[0])
     return finished
+
+  def take_state(self, request_id: int) -> sampler_lib.PrefixState:
+    """Pops the post-generation context of a finished ``return_state``
+    request (one holder: states are request-sized cache copies, so they
+    are handed over, not retained)."""
+    try:
+      return self._states.pop(request_id)
+    except KeyError:
+      raise KeyError(
+          f"No state for request {request_id}: it was not added with "
+          "return_state=True, has not finished (pop_finished first), or "
+          "its state was already taken."
+      ) from None
 
   def cancel(self, request_id: int) -> bool:
     """Cancels a request; returns False if the id is unknown/finished.

@@ -248,3 +248,84 @@ class TestHTTP:
       raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
       assert e.code == 404
+
+
+class TestChatSessions:
+  """HTTP-level multi-turn chat: turns chain through PrefixStates."""
+
+  @pytest.fixture(scope="class")
+  def chat_httpd(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=6, preserve_states=True
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, sampler, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def test_session_turns_match_solo_chat(self, chat_httpd):
+    srv, sampler, vocab = chat_httpd
+    steps = 6
+    solo1 = sampler(["alpha beta"], total_generation_steps=steps,
+                    return_state=True)
+    solo2 = sampler(["gamma"], total_generation_steps=steps,
+                    prefix_state=solo1.state)
+    _, out1 = self._post(srv.port, "/v1/generate",
+                         {"prompt": "alpha beta", "session": "u1"})
+    _check(out1["tokens"], list(np.asarray(solo1.tokens[0])), steps,
+           vocab.eos_id())
+    _, out2 = self._post(srv.port, "/v1/generate",
+                         {"prompt": "gamma", "session": "u1"})
+    _check(out2["tokens"], list(np.asarray(solo2.tokens[0])), steps,
+           vocab.eos_id())
+
+  def test_sessions_isolated_and_resettable(self, chat_httpd):
+    srv, sampler, vocab = chat_httpd
+    steps = 6
+    # A fresh session is unaffected by other sessions' history.
+    _, fresh = self._post(srv.port, "/v1/generate",
+                          {"prompt": "delta eps", "session": "u2"})
+    _check(fresh["tokens"], _solo(sampler, "delta eps", steps), steps,
+           vocab.eos_id())
+    # Reset: the next turn starts from scratch again.
+    _, r = self._post(srv.port, "/v1/reset", {"session": "u2"})
+    assert r["reset"] is True
+    _, again = self._post(srv.port, "/v1/generate",
+                          {"prompt": "delta eps", "session": "u2"})
+    assert again["tokens"] == fresh["tokens"]
+    _, r2 = self._post(srv.port, "/v1/reset", {"session": "nope"})
+    assert r2["reset"] is False
+
+  def test_busy_session_409(self, chat_httpd):
+    srv, _, _ = chat_httpd
+    fe = srv.frontend
+    sub = fe.submit("alpha beta gamma", max_tokens=64, session="busy1")
+    try:
+      self._post(srv.port, "/v1/generate",
+                 {"prompt": "x", "session": "busy1"})
+      raise AssertionError("expected 409")
+    except urllib.error.HTTPError as e:
+      assert e.code == 409
+    finally:
+      sub.result(timeout=120)
+
+  def test_session_requires_preserve_states(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      with pytest.raises(ValueError, match="preserve_states"):
+        fe.submit("alpha", session="s")
+    finally:
+      fe.close()

@@ -682,3 +682,93 @@ class TestMultimodalBatching:
     with pytest.raises(ValueError, match="BOS"):
       batcher.add_request("gamma", prefix_state=prefix,
                           img_embed=self._img(1))
+
+
+class TestChatThroughBatcher:
+  """Multi-turn chat via per-request return_state + prefix_state.
+
+  Invariant: a conversation run turn-by-turn through the batcher (with
+  neighbors coming and going) produces exactly the tokens of the same
+  conversation run solo via return_state/prefix_state."""
+
+  def test_two_turn_chat_matches_solo(self, setup):
+    sampler, vocab = setup
+    steps = 6
+    solo1 = sampler(["alpha beta"], total_generation_steps=steps,
+                    return_state=True)
+    solo2 = sampler(["gamma"], total_generation_steps=steps,
+                    prefix_state=solo1.state)
+
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=steps,
+        preserve_states=True,
+    )
+    r1 = batcher.add_request("alpha beta", return_state=True)
+    noise1 = batcher.add_request("zeta eta theta")  # live neighbor
+    res1 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res1[r1], np.asarray(solo1.tokens[0]), steps, vocab.eos_id())
+    _check(res1[noise1], _solo(sampler, "zeta eta theta", steps),
+           steps, vocab.eos_id())
+
+    st = batcher.take_state(r1)
+    r2 = batcher.add_request("gamma", prefix_state=st)
+    noise2 = batcher.add_request("delta eps")
+    res2 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res2[r2], np.asarray(solo2.tokens[0]), steps, vocab.eos_id())
+    _check(res2[noise2], _solo(sampler, "delta eps", steps),
+           steps, vocab.eos_id())
+
+  def test_three_turn_chain(self, setup):
+    sampler, vocab = setup
+    steps = 5
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=steps,
+        preserve_states=True,
+    )
+    state, solo_state = None, None
+    for prompt in ("alpha beta", "gamma", "delta"):
+      solo = sampler([prompt], total_generation_steps=steps,
+                     prefix_state=solo_state, return_state=True)
+      solo_state = solo.state
+      rid = batcher.add_request(prompt, prefix_state=state,
+                                return_state=True)
+      res = {r: t for r, t, _ in batcher.run_until_drained(2)}
+      _check(res[rid], np.asarray(solo.tokens[0]), steps, vocab.eos_id())
+      state = batcher.take_state(rid)
+
+  def test_speculative_chat_matches_plain(self, setup):
+    """Chat turns through a SPECULATIVE batcher equal plain-greedy chat."""
+    sampler, vocab = setup
+    steps = 8
+    solo1 = sampler(["alpha beta alpha beta"],
+                    total_generation_steps=steps, return_state=True)
+    solo2 = sampler(["gamma delta"], total_generation_steps=steps,
+                    prefix_state=solo1.state)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=steps, draft_len=2,
+        preserve_states=True,
+    )
+    r1 = batcher.add_request("alpha beta alpha beta", return_state=True)
+    res1 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res1[r1], np.asarray(solo1.tokens[0]), steps, vocab.eos_id())
+    st = batcher.take_state(r1)
+    r2 = batcher.add_request("gamma delta", prefix_state=st)
+    res2 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res2[r2], np.asarray(solo2.tokens[0]), steps, vocab.eos_id())
+
+  def test_requires_flag_and_single_take(self, setup):
+    sampler, vocab = setup
+    plain = serving.ContinuousBatcher(sampler, num_slots=1,
+                                      max_steps_default=4)
+    with pytest.raises(ValueError, match="preserve_states"):
+      plain.add_request("alpha", return_state=True)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=4, preserve_states=True
+    )
+    rid = batcher.add_request("alpha beta", return_state=True)
+    batcher.run_until_drained(2)
+    batcher.take_state(rid)
+    with pytest.raises(KeyError, match="already taken|No state"):
+      batcher.take_state(rid)
+    with pytest.raises(KeyError, match="No state"):
+      batcher.take_state(999)
