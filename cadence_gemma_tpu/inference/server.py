@@ -18,7 +18,7 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
 
   POST /v1/generate   {"prompt": str, "max_tokens": int?, "stream": bool?,
                        "seed": int?, "image_path": str?, "image_b64": str?,
-                       "session": str?}
+                       "session": str?, "adapter": any?}
       stream=false → one body: {"id", "tokens", "text"}
       stream=true  → chunked NDJSON: {"id", "tokens": [...]} lines as the
                      request emits tokens, then {"id", "done": true,
@@ -27,9 +27,14 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
       PrefixStates (batcher built with preserve_states=True), so each
       turn prefills only the new message — multi-turn chat at O(new
       tokens) cost. One turn in flight per session (409 otherwise).
+      "adapter" is an opaque reference the frontend's adapter_resolver
+      maps to a per-request LoRA tree (multi_lora batchers).
   POST /v1/cancel     {"id": int} → {"cancelled": bool}
-  POST /v1/reset      {"session": str} → {"reset": bool} (drop context)
-  GET  /v1/health     → {"ok", "slots", "active", "queued"}
+  POST /v1/reset      {"session": str} → {"reset": bool} (drop context;
+                      epoch-fenced against a turn finishing mid-reset)
+  GET  /v1/health     → {"ok", "slots", "active", "queued"}; 503 with
+                      "error" once the driver thread has died — every
+                      in-flight request is failed rather than stranded
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -52,6 +57,10 @@ class SessionBusy(RuntimeError):
   """A chat session already has a turn in flight (HTTP maps this to 409)."""
 
 
+class FrontendDead(RuntimeError):
+  """The driver thread died on a device error (HTTP maps this to 503)."""
+
+
 class Submission:
   """One queued generation; handlers wait on :attr:`events`.
 
@@ -62,13 +71,16 @@ class Submission:
 
   def __init__(self, prompt: str, max_steps: int, seed: int | None,
                image_path: str | None, image_b64: str | None,
-               session: str | None = None):
+               session: str | None = None, adapter: Any | None = None,
+               session_epoch: int = 0):
     self.prompt = prompt
     self.max_steps = max_steps
     self.seed = seed
     self.image_path = image_path
     self.image_b64 = image_b64
     self.session = session
+    self.adapter = adapter               # opaque ref; adapter_resolver maps it
+    self.session_epoch = session_epoch   # reset_session() generation at submit
     self.events: queue.Queue = queue.Queue()
     self.request_id: int | None = None   # set once admitted
     self.cancelled = False               # host-side flag, driver honors
@@ -96,10 +108,19 @@ class ServingFrontend:
       larger = fewer host round-trips per token.
     idle_wait_s: How long the driver sleeps waiting for work when no
       request is live (new submissions wake it immediately).
+    default_prefix_state: Optional shared context (e.g. a system prompt
+      from ``Sampler.prefill_prefix``) applied to every request that has
+      no session history and no image; a session's FIRST turn starts from
+      it, later turns from their own stored state.
+    adapter_resolver: Optional ``f(adapter_ref) -> adapter tree`` mapping
+      the opaque ``adapter=`` field of a submission to a LoRA tree for
+      ``multi_lora`` batchers (e.g. an index into preloaded adapters).
   """
 
   def __init__(self, batcher: serving_lib.ContinuousBatcher,
-               step_size: int = 8, idle_wait_s: float = 0.05):
+               step_size: int = 8, idle_wait_s: float = 0.05,
+               default_prefix_state: Any | None = None,
+               adapter_resolver: Any | None = None):
     if batcher.stream_callback is not None:
       raise ValueError(
           "Build the batcher without stream_callback; the frontend "
@@ -109,10 +130,15 @@ class ServingFrontend:
     self.batcher = batcher
     self.step_size = step_size
     self.idle_wait_s = idle_wait_s
+    self.default_prefix_state = default_prefix_state
+    self.adapter_resolver = adapter_resolver
     self._inbox: queue.Queue[Submission] = queue.Queue()
     self._by_id: dict[int, Submission] = {}
     self._sessions: dict[str, Any] = {}   # session -> PrefixState
     self._busy_sessions: set[str] = set()
+    self._session_epoch: dict[str, int] = {}  # bumped by reset_session
+    self._session_lock = threading.Lock()
+    self._error: str | None = None       # set if the driver thread died
     self._stop = threading.Event()
     self._wake = threading.Event()
     self._driver = threading.Thread(target=self._run, daemon=True)
@@ -123,32 +149,53 @@ class ServingFrontend:
   def submit(self, prompt: str, max_tokens: int | None = None,
              seed: int | None = None, image_path: str | None = None,
              image_b64: str | None = None,
-             session: str | None = None) -> Submission:
+             session: str | None = None,
+             adapter: Any | None = None) -> Submission:
     """Queues one generation. ``session`` names a conversation: its
     turns chain through the batcher's per-request PrefixState (requires
     ``preserve_states=True`` on the batcher), so each turn prefills only
     the new message. One in-flight turn per session (raises
     ``SessionBusy`` otherwise); turns in different sessions and plain
-    requests batch together freely."""
+    requests batch together freely. ``adapter`` is resolved by the
+    frontend's ``adapter_resolver`` into a per-request LoRA tree."""
+    if self._error is not None:
+      raise FrontendDead(f"serving driver died: {self._error}")
+    if adapter is not None and self.adapter_resolver is None:
+      raise ValueError(
+          "adapter= needs ServingFrontend(adapter_resolver=...) to map "
+          "it to a LoRA tree."
+      )
+    epoch = 0
     if session is not None:
       if not self.batcher.preserve_states:
         raise ValueError(
             "Chat sessions need ContinuousBatcher(preserve_states=True)."
         )
-      if session in self._busy_sessions:
-        raise SessionBusy(f"session {session!r} has a turn in flight")
-      self._busy_sessions.add(session)
+      with self._session_lock:
+        if session in self._busy_sessions:
+          raise SessionBusy(f"session {session!r} has a turn in flight")
+        self._busy_sessions.add(session)
+        epoch = self._session_epoch.get(session, 0)
     sub = Submission(
-        prompt, max_tokens or self.batcher.max_steps_default, seed,
-        image_path, image_b64, session=session,
+        prompt,
+        self.batcher.max_steps_default if max_tokens is None
+        else max_tokens,
+        seed, image_path, image_b64, session=session, adapter=adapter,
+        session_epoch=epoch,
     )
     self._inbox.put(sub)
     self._wake.set()
     return sub
 
   def reset_session(self, session: str) -> bool:
-    """Drops a session's stored context; its next turn starts fresh."""
-    return self._sessions.pop(session, None) is not None
+    """Drops a session's stored context; its next turn starts fresh.
+
+    A turn in flight when the reset lands is epoch-fenced: its extracted
+    state is discarded instead of silently re-installing the context the
+    caller was just told was dropped."""
+    with self._session_lock:
+      self._session_epoch[session] = self._session_epoch.get(session, 0) + 1
+      return self._sessions.pop(session, None) is not None
 
   def cancel(self, request_id: int) -> bool:
     """Marks a request cancelled; the driver frees its slot next tick."""
@@ -160,12 +207,16 @@ class ServingFrontend:
     return True
 
   @property
-  def stats(self) -> dict[str, int]:
-    return {
+  def stats(self) -> dict[str, Any]:
+    out: dict[str, Any] = {
+        "ok": self._error is None,
         "slots": self.batcher.num_slots,
         "active": self.batcher.active_count,
         "queued": self._inbox.qsize(),
     }
+    if self._error is not None:
+      out["error"] = self._error
+    return out
 
   def close(self) -> None:
     self._stop.set()
@@ -192,11 +243,19 @@ class ServingFrontend:
       return
     kwargs: dict[str, Any] = {}
     try:
+      has_image = sub.image_b64 is not None or sub.image_path is not None
       if sub.session is not None:
         state = self._sessions.get(sub.session)
         if state is not None:
           kwargs["prefix_state"] = state
+        elif self.default_prefix_state is not None and not has_image:
+          # A session's first turn starts from the shared context.
+          kwargs["prefix_state"] = self.default_prefix_state
         kwargs["return_state"] = True
+      elif self.default_prefix_state is not None and not has_image:
+        kwargs["prefix_state"] = self.default_prefix_state
+      if sub.adapter is not None:
+        kwargs["adapters"] = self.adapter_resolver(sub.adapter)
       if sub.seed is not None:
         import jax
 
@@ -221,49 +280,70 @@ class ServingFrontend:
 
   def _release_session(self, sub: Submission) -> None:
     if sub.session is not None:
+      with self._session_lock:
+        self._busy_sessions.discard(sub.session)
+
+  def _store_session_state(self, sub: Submission, rid: int) -> None:
+    """Stores the finished turn's context unless a reset fenced it out."""
+    state = self.batcher.take_state(rid)
+    with self._session_lock:
+      if self._session_epoch.get(sub.session, 0) == sub.session_epoch:
+        self._sessions[sub.session] = state
       self._busy_sessions.discard(sub.session)
 
   def _run(self) -> None:
-    while not self._stop.is_set():
-      # Admit while there is capacity (admission prefill is device work,
-      # so it stays on this thread).
-      while self.batcher.has_capacity:
-        try:
-          self._admit(self._inbox.get_nowait())
-        except queue.Empty:
-          break
-      # Honor cancellations before burning decode steps on them. A
-      # cancelled session turn keeps the PREVIOUS turn's context (as if
-      # the turn never happened).
-      for rid, sub in list(self._by_id.items()):
-        if sub.cancelled:
-          self.batcher.cancel(rid)
-          del self._by_id[rid]
-          self._release_session(sub)
-          sub.events.put(("cancelled", None))
-      if not self.batcher.active_count:
-        self._wake.wait(timeout=self.idle_wait_s)
-        self._wake.clear()
-        continue
-      self.batcher.step(self.step_size)
-      for rid, tokens, text in self.batcher.pop_finished():
-        sub = self._by_id.pop(rid, None)
-        if sub is not None:
-          if sub.session is not None:
-            self._sessions[sub.session] = self.batcher.take_state(rid)
-            self._release_session(sub)
-          sub.events.put(("done", (tokens, text)))
-    # Drain: anything still queued or live reports cancellation.
+    try:
+      while not self._stop.is_set():
+        self._tick()
+    except Exception as e:  # device OOM, compile failure, relay loss, ...
+      # A wedged driver must not strand handlers in events.get() forever
+      # or let /v1/health keep reporting ok: record the failure, fail
+      # every in-flight and queued submission, and refuse new ones.
+      self._error = f"{type(e).__name__}: {e}"
+    terminal = (
+        ("cancelled", None) if self._error is None
+        else ("error", f"serving driver died: {self._error}")
+    )
     for rid, sub in self._by_id.items():
       self._release_session(sub)
-      sub.events.put(("cancelled", None))
+      sub.events.put(terminal)
+    self._by_id.clear()
     while True:
       try:
         sub = self._inbox.get_nowait()
       except queue.Empty:
         break
       self._release_session(sub)
-      sub.events.put(("cancelled", None))
+      sub.events.put(terminal)
+
+  def _tick(self) -> None:
+    # Admit while there is capacity (admission prefill is device work,
+    # so it stays on this thread).
+    while self.batcher.has_capacity:
+      try:
+        self._admit(self._inbox.get_nowait())
+      except queue.Empty:
+        break
+    # Honor cancellations before burning decode steps on them. A
+    # cancelled session turn keeps the PREVIOUS turn's context (as if
+    # the turn never happened).
+    for rid, sub in list(self._by_id.items()):
+      if sub.cancelled:
+        self.batcher.cancel(rid)
+        del self._by_id[rid]
+        self._release_session(sub)
+        sub.events.put(("cancelled", None))
+    if not self.batcher.active_count:
+      self._wake.wait(timeout=self.idle_wait_s)
+      self._wake.clear()
+      return
+    self.batcher.step(self.step_size)
+    for rid, tokens, text in self.batcher.pop_finished():
+      sub = self._by_id.pop(rid, None)
+      if sub is not None:
+        if sub.session is not None:
+          self._store_session_state(sub, rid)
+        sub.events.put(("done", (tokens, text)))
 
 
 def _make_handler(frontend: ServingFrontend):
@@ -284,7 +364,8 @@ def _make_handler(frontend: ServingFrontend):
     def do_GET(self):
       if self.path != "/v1/health":
         return self._json(404, {"error": f"no route {self.path}"})
-      self._json(200, {"ok": True, **frontend.stats})
+      stats = frontend.stats
+      self._json(200 if stats["ok"] else 503, stats)
 
     def do_POST(self):
       try:
@@ -315,9 +396,12 @@ def _make_handler(frontend: ServingFrontend):
             image_path=req.get("image_path"),
             image_b64=req.get("image_b64"),
             session=req.get("session"),
+            adapter=req.get("adapter"),
         )
       except SessionBusy as e:
         return self._json(409, {"error": str(e)})
+      except FrontendDead as e:
+        return self._json(503, {"error": str(e)})
       except ValueError as e:
         return self._json(400, {"error": str(e)})
       if not req.get("stream"):

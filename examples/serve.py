@@ -148,14 +148,27 @@ def main(argv):
     batcher = cg.ContinuousBatcher(
         sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value,
         admission_chunks_per_tick=1, multi_lora=bool(adapter_trees),
+        # Chat sessions extract per-request states; the per-step cache
+        # select it costs is cache traffic, not weight traffic.
+        preserve_states=True,
     )
-    frontend = cg.ServingFrontend(batcher)
+    frontend = cg.ServingFrontend(
+        batcher,
+        # --system applies to every request (sessions start from it).
+        default_prefix_state=prefix if _SYSTEM.value else None,
+        # HTTP requests pick an adapter with {"adapter": i}.
+        adapter_resolver=(
+            (lambda i: adapter_trees[int(i) % len(adapter_trees)])
+            if adapter_trees else None
+        ),
+    )
     server = cg.ServingHTTPServer(
         frontend, host="0.0.0.0", port=_HTTP_PORT.value
     )
     print(f"[serve] HTTP serving on :{server.port} — "
-          "POST /v1/generate {'prompt': ..., 'stream': true}, "
-          "POST /v1/cancel, GET /v1/health. Ctrl-C to stop.")
+          "POST /v1/generate {'prompt': ..., 'stream': true, "
+          "'session': ..., 'adapter': i}, POST /v1/cancel, POST "
+          "/v1/reset, GET /v1/health. Ctrl-C to stop.")
     try:
       while True:
         time.sleep(60)

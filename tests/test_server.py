@@ -329,3 +329,147 @@ class TestChatSessions:
         fe.submit("alpha", session="s")
     finally:
       fe.close()
+
+
+class TestReviewHardening:
+  """Regression tests for the production-hardening review findings."""
+
+  def test_driver_death_fails_inflight_and_health(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=64)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      boom = RuntimeError("synthetic device OOM")
+
+      def dying_step(n):
+        raise boom
+
+      batcher.step = dying_step
+      sub = fe.submit("alpha beta")
+      with pytest.raises(RuntimeError, match="driver died"):
+        sub.result(timeout=120)
+      assert fe.stats["ok"] is False
+      assert "synthetic device OOM" in fe.stats["error"]
+      with pytest.raises(server_lib.FrontendDead):
+        fe.submit("gamma")
+    finally:
+      fe.close()
+
+  def test_reset_mid_turn_is_epoch_fenced(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=6, preserve_states=True
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=1)
+    try:
+      sub = fe.submit("alpha beta", session="u")
+      fe.reset_session("u")       # lands while the turn is in flight
+      sub.result(timeout=120)
+      # The finished turn's state must NOT have been re-installed.
+      nxt = fe.submit("gamma delta", session="u")
+      tokens, _ = nxt.result(timeout=120)
+      _check(tokens, _solo(sampler, "gamma delta", 6), 6, vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_max_tokens_zero_is_an_error_not_default(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      sub = fe.submit("alpha", max_tokens=0)
+      with pytest.raises(RuntimeError, match="max_steps must be >= 1"):
+        sub.result(timeout=120)
+    finally:
+      fe.close()
+
+  def test_default_prefix_applies_and_chains_into_sessions(self, setup):
+    sampler, vocab = setup
+    steps = 6
+    prefix = sampler.prefill_prefix("alpha beta gamma")
+    solo1 = sampler(["delta"], total_generation_steps=steps,
+                    prefix_state=prefix, return_state=True)
+    solo2 = sampler(["eps"], total_generation_steps=steps,
+                    prefix_state=solo1.state)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=steps,
+        preserve_states=True,
+    )
+    fe = server_lib.ServingFrontend(
+        batcher, step_size=2, default_prefix_state=prefix
+    )
+    try:
+      t1, _ = fe.submit("delta", session="u").result(timeout=120)
+      _check(t1, list(np.asarray(solo1.tokens[0])), steps, vocab.eos_id())
+      t2, _ = fe.submit("eps", session="u").result(timeout=120)
+      _check(t2, list(np.asarray(solo2.tokens[0])), steps, vocab.eos_id())
+      # Plain (session-less) requests also get the shared prefix.
+      t3, _ = fe.submit("delta").result(timeout=120)
+      _check(t3, list(np.asarray(solo1.tokens[0])), steps, vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_adapter_resolver_serves_per_request_lora(self, setup):
+    from cadence_gemma_tpu.training import lora
+
+    _, vocab = setup
+    config = common.GriffinConfig(
+        vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+        num_heads=2,
+        block_types=(
+            common.TemporalBlockType.RECURRENT,
+            common.TemporalBlockType.ATTENTION,
+        ),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+        logits_soft_cap=30.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+    )
+    model = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, lora_rank=4,
+    )
+    params = model.init(
+        jax.random.PRNGKey(11), jnp.ones((1, 4), jnp.int32),
+        jnp.arange(4)[None],
+    )["params"]
+    adapters0, _ = lora.split_lora(params)
+    leaves, td = jax.tree_util.tree_flatten(adapters0)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    tuned = jax.tree_util.tree_unflatten(
+        td, [0.5 * jax.random.normal(k, l.shape, l.dtype)
+             for k, l in zip(keys, leaves)]
+    )
+    sampler = sampler_lib.Sampler(model, vocab, params)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=6, multi_lora=True
+    )
+    fe = server_lib.ServingFrontend(
+        batcher, step_size=2,
+        adapter_resolver=lambda i: [tuned][int(i)],
+    )
+    try:
+      got, _ = fe.submit("alpha beta", adapter=0).result(timeout=120)
+      solo = sampler_lib.Sampler(
+          model, vocab, lora.merge_params(params, tuned)
+      )
+      want = list(np.asarray(
+          solo(["alpha beta"], total_generation_steps=6).tokens[0]
+      ))
+      _check(got, want, 6, vocab.eos_id())
+      plain, _ = fe.submit("gamma delta").result(timeout=120)
+      _check(plain, _solo(sampler, "gamma delta", 6), 6, vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_adapter_without_resolver_rejected(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      with pytest.raises(ValueError, match="adapter_resolver"):
+        fe.submit("alpha", adapter=0)
+    finally:
+      fe.close()
