@@ -832,6 +832,116 @@ def bench_poisson_serving(num_slots=4, steps=48, prompt_len=256,
   }))
 
 
+def bench_frontend_serving(num_slots=4, n_requests=16, steps=48,
+                           prompt_len=128, mean_interarrival_s=0.05):
+  """End-to-end HTTP-frontend latency under a Poisson client load.
+
+  Unlike ``bench_poisson_serving`` (which measures the raw batcher tick
+  loop), this drives the production path — ServingFrontend's single
+  driver thread + handler-side submissions — and reports what a CLIENT
+  experiences: time-to-first-token and request wall time from submit,
+  queueing included, straight from the frontend's /v1/health metrics.
+  """
+  import threading as _threading
+
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.inference import server as server_lib
+  from cadence_gemma_tpu.inference import serving
+  from cadence_gemma_tpu.models import griffin
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (1, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  sampler = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+
+  def words(n, seed):
+    return " ".join(f"w{seed}_{i}" for i in range(n - 1))
+
+  gaps = np.random.RandomState(0).exponential(
+      mean_interarrival_s, n_requests
+  )
+
+  def run(seed0):
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=num_slots, max_steps_default=steps
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=8)
+    subs = []
+
+    def client():
+      for i in range(n_requests):
+        time.sleep(float(gaps[i]))
+        subs.append(fe.submit(words(prompt_len, seed0 + i)))
+
+    t0 = time.perf_counter()
+    th = _threading.Thread(target=client)
+    th.start()
+    th.join()
+    total = 0
+    while len(subs) < n_requests:
+      time.sleep(0.01)
+    for sub in subs:
+      tokens, _ = sub.result(timeout=600)
+      total += len(tokens)
+    dt = time.perf_counter() - t0
+    stats = fe.stats
+    fe.close()
+    return total / dt, stats
+
+  run(100)  # warmup: compile at the exact shapes used
+  tps, stats = run(500)
+  print(json.dumps({
+      "metric": "frontend_serving_tokens_per_sec_per_chip",
+      "value": round(tps, 1),
+      "unit": f"tokens/sec/chip ({n_requests} Poisson clients, "
+              f"{num_slots} slots, {prompt_len}-token prompts, "
+              f"{steps} steps each, through the HTTP frontend driver)",
+      "ttft_s_p50": stats.get("ttft_s_p50"),
+      "ttft_s_p90": stats.get("ttft_s_p90"),
+      "wall_s_p50": stats.get("wall_s_p50"),
+      "wall_s_p90": stats.get("wall_s_p90"),
+      "notes": "client-experienced latency from submit (queueing "
+               "included), read from the frontend\'s /v1/health metrics.",
+  }))
+
+
 def bench_multilora_serving(num_slots=4, rank=16, ticks=6, step_size=16):
   """Per-step cost of multi-adapter serving vs the plain batcher.
 
@@ -1405,6 +1515,8 @@ if __name__ == "__main__":
     bench_poisson_serving()
   if which in ("all", "multilora"):
     bench_multilora_serving()
+  if which in ("all", "frontend"):
+    bench_frontend_serving()
   if which in ("all", "roofline"):
     bench_decode_roofline(int8=True)
   if which == "roofline_bf16":

@@ -32,9 +32,13 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
   POST /v1/cancel     {"id": int} → {"cancelled": bool}
   POST /v1/reset      {"session": str} → {"reset": bool} (drop context;
                       epoch-fenced against a turn finishing mid-reset)
-  GET  /v1/health     → {"ok", "slots", "active", "queued"}; 503 with
-                      "error" once the driver thread has died — every
-                      in-flight request is failed rather than stranded
+  GET  /v1/health     → {"ok", "slots", "active", "queued", "completed",
+                      "cancelled", "errors", "tokens_out", and — over the
+                      last 512 completions — "ttft_s_p50/p90",
+                      "wall_s_p50/p90" measured from submit (queueing
+                      included)}; 503 with "error" once the driver thread
+                      has died — every in-flight request is failed rather
+                      than stranded
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -43,10 +47,13 @@ wait); ``ServingHTTPServer`` wraps it for the wire.
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import queue
+import statistics
 import tempfile
 import threading
+import time
 from http import server as http_server
 from typing import Any
 
@@ -84,6 +91,21 @@ class Submission:
     self.events: queue.Queue = queue.Queue()
     self.request_id: int | None = None   # set once admitted
     self.cancelled = False               # host-side flag, driver honors
+    # Latency bookkeeping (time.monotonic, driver-side except submit).
+    self.t_submit = time.monotonic()
+    self.t_first_token: float | None = None
+    self.t_done: float | None = None
+
+  @property
+  def metrics(self) -> dict[str, float]:
+    """Per-request latency: time-to-first-token and wall time (seconds,
+    from submit — queueing included, which is what a client experiences)."""
+    out = {}
+    if self.t_first_token is not None:
+      out["ttft_s"] = self.t_first_token - self.t_submit
+    if self.t_done is not None:
+      out["wall_s"] = self.t_done - self.t_submit
+    return out
 
   def result(self, timeout: float | None = None) -> tuple[list[int], str]:
     """Blocks until the terminal event; drains token deltas."""
@@ -139,6 +161,12 @@ class ServingFrontend:
     self._session_epoch: dict[str, int] = {}  # bumped by reset_session
     self._session_lock = threading.Lock()
     self._error: str | None = None       # set if the driver thread died
+    # Aggregate serving metrics (driver-thread writes, stats reads).
+    self._completed = 0
+    self._cancelled = 0
+    self._errors = 0
+    self._tokens_out = 0
+    self._recent: collections.deque = collections.deque(maxlen=512)
     self._stop = threading.Event()
     self._wake = threading.Event()
     self._driver = threading.Thread(target=self._run, daemon=True)
@@ -208,12 +236,29 @@ class ServingFrontend:
 
   @property
   def stats(self) -> dict[str, Any]:
+    """Liveness + aggregate serving metrics (served on /v1/health).
+
+    Latency percentiles cover the last 512 completions and are measured
+    from submit — queueing included, the latency a client experiences."""
     out: dict[str, Any] = {
         "ok": self._error is None,
         "slots": self.batcher.num_slots,
         "active": self.batcher.active_count,
         "queued": self._inbox.qsize(),
+        "completed": self._completed,
+        "cancelled": self._cancelled,
+        "errors": self._errors,
+        "tokens_out": self._tokens_out,
     }
+    recent = list(self._recent)
+    if recent:
+      ttfts = sorted(t for t, _, _ in recent)
+      walls = sorted(w for _, w, _ in recent)
+      q = lambda xs, p: xs[min(len(xs) - 1, int(p * len(xs)))]  # noqa: E731
+      out["ttft_s_p50"] = round(statistics.median(ttfts), 4)
+      out["ttft_s_p90"] = round(q(ttfts, 0.9), 4)
+      out["wall_s_p50"] = round(statistics.median(walls), 4)
+      out["wall_s_p90"] = round(q(walls, 0.9), 4)
     if self._error is not None:
       out["error"] = self._error
     return out
@@ -234,6 +279,8 @@ class ServingFrontend:
     # token.
     sub = self._by_id.get(request_id)
     if sub is not None and token_ids:
+      if sub.t_first_token is None:
+        sub.t_first_token = time.monotonic()
       sub.events.put(("tokens", list(token_ids)))
 
   def _admit(self, sub: Submission) -> None:
@@ -273,6 +320,7 @@ class ServingFrontend:
       )
     except Exception as e:  # bad image, ragged batch rules, OOM, ...
       self._release_session(sub)
+      self._errors += 1
       sub.events.put(("error", f"{type(e).__name__}: {e}"))
       return
     sub.request_id = rid
@@ -332,6 +380,7 @@ class ServingFrontend:
         self.batcher.cancel(rid)
         del self._by_id[rid]
         self._release_session(sub)
+        self._cancelled += 1
         sub.events.put(("cancelled", None))
     if not self.batcher.active_count:
       self._wake.wait(timeout=self.idle_wait_s)
@@ -343,6 +392,17 @@ class ServingFrontend:
       if sub is not None:
         if sub.session is not None:
           self._store_session_state(sub, rid)
+        sub.t_done = time.monotonic()
+        if sub.t_first_token is None:
+          # Streaming callbacks may be disabled mid-run only by design;
+          # the first token at latest arrives with the finish.
+          sub.t_first_token = sub.t_done
+        self._completed += 1
+        self._tokens_out += len(tokens)
+        self._recent.append(
+            (sub.t_first_token - sub.t_submit,
+             sub.t_done - sub.t_submit, len(tokens))
+        )
         sub.events.put(("done", (tokens, text)))
 
 

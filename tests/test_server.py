@@ -473,3 +473,38 @@ class TestReviewHardening:
         fe.submit("alpha", adapter=0)
     finally:
       fe.close()
+
+
+class TestMetrics:
+
+  def test_counters_and_latency_percentiles(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=6)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      subs = [fe.submit(p) for p in
+              ("alpha beta", "gamma delta", "zeta eta")]
+      for sub in subs:
+        sub.result(timeout=120)
+        m = sub.metrics
+        assert 0 <= m["ttft_s"] <= m["wall_s"]
+      stats = fe.stats
+      assert stats["completed"] == 3
+      assert stats["cancelled"] == 0 and stats["errors"] == 0
+      assert stats["tokens_out"] >= 3
+      assert 0 <= stats["ttft_s_p50"] <= stats["wall_s_p90"]
+      # A cancelled and an errored request hit their own counters.
+      long = fe.submit("alpha beta gamma", max_tokens=512)
+      long.events.get(timeout=120)        # admitted and decoding
+      fe.cancel(long.request_id)
+      with pytest.raises(RuntimeError):
+        long.result(timeout=120)
+      bad = fe.submit("alpha", max_tokens=0)
+      with pytest.raises(RuntimeError):
+        bad.result(timeout=120)
+      stats = fe.stats
+      assert stats["cancelled"] == 1 and stats["errors"] == 1
+      assert stats["completed"] == 3
+    finally:
+      fe.close()
