@@ -40,6 +40,23 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
                       has died — every in-flight request is failed rather
                       than stranded
 
+OpenAI-compatible surface (same frontend, standard clients work as-is):
+
+  GET  /v1/models           → {"object": "list", "data": [{"id": ...}]}
+  POST /v1/completions      {"prompt": str|[str], "max_tokens": int?,
+                             "stream": bool?, "seed": int?}
+  POST /v1/chat/completions {"messages": [{"role", "content"}], ...}
+      ``content`` may be a string or OpenAI content-part lists; image
+      parts must be ``data:`` URLs (no egress from the server). System
+      messages prepend to the first user turn (Gemma has no system
+      role); multi-turn histories render through the same IT template
+      fragments the samplers use, so a stateless chat request tokenizes
+      exactly like the equivalent session-based conversation.
+      ``stream=true`` emits SSE ``data:`` chunks, then ``data: [DONE]``.
+      Per-request sampling knobs the batcher compiles statically
+      (temperature/top_p/stop) are IGNORED — configure them on the
+      sampler; unsupported result shapes (n>1, echo, logprobs) are 400s.
+
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
 """
@@ -137,12 +154,18 @@ class ServingFrontend:
     adapter_resolver: Optional ``f(adapter_ref) -> adapter tree`` mapping
       the opaque ``adapter=`` field of a submission to a LoRA tree for
       ``multi_lora`` batchers (e.g. an index into preloaded adapters).
+    max_sessions: Stored session contexts are device-cache copies (MBs of
+      HBM each at real model sizes), so they are LRU-capped: storing the
+      ``max_sessions+1``-th context evicts the least-recently-used one,
+      whose session transparently restarts from scratch (or the default
+      prefix) on its next turn.
   """
 
   def __init__(self, batcher: serving_lib.ContinuousBatcher,
                step_size: int = 8, idle_wait_s: float = 0.05,
                default_prefix_state: Any | None = None,
-               adapter_resolver: Any | None = None):
+               adapter_resolver: Any | None = None,
+               max_sessions: int = 64):
     if batcher.stream_callback is not None:
       raise ValueError(
           "Build the batcher without stream_callback; the frontend "
@@ -154,9 +177,13 @@ class ServingFrontend:
     self.idle_wait_s = idle_wait_s
     self.default_prefix_state = default_prefix_state
     self.adapter_resolver = adapter_resolver
+    self.max_sessions = max_sessions
     self._inbox: queue.Queue[Submission] = queue.Queue()
     self._by_id: dict[int, Submission] = {}
-    self._sessions: dict[str, Any] = {}   # session -> PrefixState
+    # session -> PrefixState, insertion-ordered for LRU eviction.
+    self._sessions: collections.OrderedDict[str, Any] = (
+        collections.OrderedDict()
+    )
     self._busy_sessions: set[str] = set()
     self._session_epoch: dict[str, int] = {}  # bumped by reset_session
     self._session_lock = threading.Lock()
@@ -249,6 +276,7 @@ class ServingFrontend:
         "cancelled": self._cancelled,
         "errors": self._errors,
         "tokens_out": self._tokens_out,
+        "sessions": len(self._sessions),
     }
     recent = list(self._recent)
     if recent:
@@ -286,13 +314,17 @@ class ServingFrontend:
   def _admit(self, sub: Submission) -> None:
     if sub.cancelled:
       self._release_session(sub)
+      self._cancelled += 1
       sub.events.put(("cancelled", None))
       return
     kwargs: dict[str, Any] = {}
     try:
       has_image = sub.image_b64 is not None or sub.image_path is not None
       if sub.session is not None:
-        state = self._sessions.get(sub.session)
+        with self._session_lock:
+          state = self._sessions.get(sub.session)
+          if state is not None:
+            self._sessions.move_to_end(sub.session)  # LRU touch
         if state is not None:
           kwargs["prefix_state"] = state
         elif self.default_prefix_state is not None and not has_image:
@@ -337,6 +369,9 @@ class ServingFrontend:
     with self._session_lock:
       if self._session_epoch.get(sub.session, 0) == sub.session_epoch:
         self._sessions[sub.session] = state
+        self._sessions.move_to_end(sub.session)
+        while len(self._sessions) > self.max_sessions:
+          self._sessions.popitem(last=False)  # evict least-recently-used
       self._busy_sessions.discard(sub.session)
 
   def _run(self) -> None:

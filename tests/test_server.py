@@ -508,3 +508,30 @@ class TestMetrics:
       assert stats["completed"] == 3
     finally:
       fe.close()
+
+
+class TestSessionLRU:
+
+  def test_eviction_is_least_recently_used(self, setup):
+    sampler, vocab = setup
+    steps = 5
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=1, max_steps_default=steps,
+        preserve_states=True,
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=2, max_sessions=2)
+    try:
+      for name in ("a", "b", "c"):   # third store evicts session "a"
+        fe.submit("alpha beta", session=name).result(timeout=120)
+      assert fe.stats["sessions"] == 2
+      assert set(fe._sessions) == {"b", "c"}
+      # Touching "b" refreshes it, so the next store evicts "c".
+      fe.submit("gamma", session="b").result(timeout=120)
+      fe.submit("alpha beta", session="d").result(timeout=120)
+      assert set(fe._sessions) == {"b", "d"}
+      # An evicted session still serves — it just restarts from scratch.
+      tokens, _ = fe.submit("delta eps", session="c").result(timeout=120)
+      _check(tokens, _solo(sampler, "delta eps", steps), steps,
+             vocab.eos_id())
+    finally:
+      fe.close()
