@@ -49,6 +49,30 @@ except Exception:
   pass
 
 
+def _probe_backend(timeout_s: float = 120.0) -> str | None:
+  """Fails fast when the remote TPU relay is down.
+
+  Device initialization on the axon backend HANGS (not errors) while the
+  relay is unreachable, which would stall the driver's unattended bench run
+  indefinitely. Probe ``jax.devices()`` in a subprocess with a hard
+  timeout — the sitecustomize registers the same backend there — and
+  return an error string if it cannot come up.
+  """
+  import subprocess
+
+  try:
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        capture_output=True, text=True, timeout=timeout_s,
+    )
+  except subprocess.TimeoutExpired:
+    return f"backend init did not complete within {timeout_s:.0f}s"
+  if proc.returncode != 0:
+    return f"backend init failed: {proc.stderr.strip()[-300:]}"
+  return None
+
+
 def _sync(array) -> None:
   """Forces completion of the program producing ``array`` via a host fetch."""
   np.asarray(jax.device_get(jnp.sum(array)))
@@ -510,6 +534,23 @@ def bench_reference():
 
 
 def main():
+  probe_error = _probe_backend()
+  if probe_error is not None:
+    # An honest failure record beats a hang: value 0 is unmistakably not a
+    # measurement, and the error field says why.
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip_2b_multimodal",
+        "value": 0.0,
+        "unit": "tokens/sec/chip",
+        "vs_baseline": 0.0,
+        "error": f"tpu_relay_unavailable: {probe_error}",
+        "notes": (
+            "The remote TPU relay did not come up; no measurement was "
+            "taken this run. See BASELINE.md for the most recent recorded "
+            "numbers from this same benchmark."
+        ),
+    }))
+    return
   # Kernel numerics on the real hardware first (tiling/layout bugs don't
   # show in CPU interpret mode; a kernel can be fast and wrong).
   try:
