@@ -74,7 +74,110 @@ import time
 from http import server as http_server
 from typing import Any
 
+from cadence_gemma_tpu import common
 from cadence_gemma_tpu.inference import serving as serving_lib
+
+
+def _message_parts(content: Any) -> tuple[str, str | None]:
+  """Extracts (text, image_b64) from an OpenAI message ``content``.
+
+  ``content`` is a plain string or a list of typed parts. Image parts
+  must be ``data:`` URLs — the server never fetches remote URLs.
+  """
+  if isinstance(content, str):
+    return content, None
+  if not isinstance(content, list):
+    raise ValueError("message content must be a string or a list of parts")
+  texts: list[str] = []
+  image_b64 = None
+  for part in content:
+    kind = part.get("type") if isinstance(part, dict) else None
+    if kind == "text":
+      texts.append(part.get("text", ""))
+    elif kind == "image_url":
+      url = (part.get("image_url") or {}).get("url", "")
+      if not url.startswith("data:"):
+        raise ValueError(
+            "image_url must be a data: URL (the server does not fetch "
+            "remote images)"
+        )
+      header, _, payload = url.partition(",")
+      if "base64" not in header or not payload:
+        raise ValueError("image data: URL must be base64-encoded")
+      if image_b64 is not None:
+        raise ValueError("at most one image per request")
+      image_b64 = payload
+    else:
+      raise ValueError(f"unsupported content part type: {kind!r}")
+  return "\n".join(t for t in texts if t), image_b64
+
+
+def render_chat_messages(
+    messages: list, is_it_model: bool
+) -> tuple[str, str | None]:
+  """Renders an OpenAI ``messages`` list to one submit()-able prompt.
+
+  Gemma has no system role, so system content prepends to the first user
+  turn. For IT models the history renders through the same template
+  fragments the samplers use: the sampler's own ``apply_it_formatter``
+  wrap (``/root/reference/recurrentgemma/common.py:413-414`` semantics)
+  supplies the outer ``<start_of_turn>user`` … ``<start_of_turn>model``
+  shell, and this function joins the interior turns with
+  ``IT_TURN_CLOSE``/``IT_MODEL_OPEN``/``IT_USER_OPEN`` transitions — so a
+  stateless chat request tokenizes exactly like the canonical multi-turn
+  template (and like the equivalent chained-session conversation).
+
+  Returns (prompt, image_b64). At most one image across all messages.
+  """
+  if not isinstance(messages, list) or not messages:
+    raise ValueError("messages must be a non-empty list")
+  system_texts: list[str] = []
+  turns: list[tuple[str, str]] = []  # (role, text), roles user/assistant
+  image_b64 = None
+  for msg in messages:
+    if not isinstance(msg, dict):
+      raise ValueError("each message must be an object")
+    role = msg.get("role")
+    text, img = _message_parts(msg.get("content"))
+    if img is not None:
+      if image_b64 is not None:
+        raise ValueError("at most one image per request")
+      image_b64 = img
+    if role == "system":
+      if turns:
+        raise ValueError("system messages must precede the conversation")
+      system_texts.append(text)
+    elif role in ("user", "assistant"):
+      turns.append((role, text))
+    else:
+      raise ValueError(f"unsupported role: {role!r}")
+  if not turns or turns[0][0] != "user":
+    raise ValueError("the conversation must start with a user message")
+  if turns[-1][0] != "user":
+    raise ValueError(
+        "the conversation must end with a user message (assistant "
+        "continuation is not supported)"
+    )
+  for (role_a, _), (role_b, _) in zip(turns, turns[1:]):
+    if role_a == role_b:
+      raise ValueError("user/assistant messages must alternate")
+  if system_texts:
+    sys_text = "\n\n".join(system_texts)
+    turns[0] = ("user", f"{sys_text}\n\n{turns[0][1]}" if turns[0][1]
+                else sys_text)
+  if not is_it_model:
+    return "\n".join(t for _, t in turns), image_b64
+  rendered = [turns[0][1]]
+  for role, text in turns[1:]:
+    opener = (common.IT_MODEL_OPEN if role == "assistant"
+              else common.IT_USER_OPEN)
+    rendered.append(f"{common.IT_TURN_CLOSE}{opener}{text}")
+  return "".join(rendered), image_b64
+
+
+def _openai_error(message: str, kind: str = "invalid_request_error") -> dict:
+  """OpenAI error envelope: {"error": {"message", "type"}}."""
+  return {"error": {"message": message, "type": kind}}
 
 
 class SessionBusy(RuntimeError):
@@ -441,7 +544,17 @@ class ServingFrontend:
         sub.events.put(("done", (tokens, text)))
 
 
-def _make_handler(frontend: ServingFrontend):
+def _make_handler(frontend: ServingFrontend, model_name: str):
+  vocab = frontend.batcher.sampler.vocab
+  is_it_model = getattr(frontend.batcher.sampler, "_is_it_model", False)
+
+  def prompt_token_count(prompt: str, has_image: bool) -> int:
+    text = common.apply_it_formatter(prompt) if is_it_model else prompt
+    n = 1 + len(vocab.EncodeAsIds(text))  # +1: BOS
+    if has_image:
+      n += getattr(frontend.batcher.sampler, "_vision_tokens", 0)
+    return n
+
   class Handler(http_server.BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
 
@@ -457,10 +570,163 @@ def _make_handler(frontend: ServingFrontend):
       self.wfile.write(body)
 
     def do_GET(self):
+      if self.path == "/v1/models":
+        return self._json(200, {
+            "object": "list",
+            "data": [{"id": model_name, "object": "model",
+                      "owned_by": "cadence-gemma-tpu"}],
+        })
       if self.path != "/v1/health":
         return self._json(404, {"error": f"no route {self.path}"})
       stats = frontend.stats
       self._json(200 if stats["ok"] else 503, stats)
+
+    # -- OpenAI-compatible routes ---------------------------------------------
+
+    def _openai_reject_unsupported(self, req: dict) -> bool:
+      """400s result shapes we cannot produce; returns True if rejected.
+
+      Sampling knobs the batcher compiles statically (temperature, top_p,
+      stop, penalties) are deliberately IGNORED rather than rejected —
+      clients send them unconditionally; configure them on the sampler.
+      """
+      if req.get("n") not in (None, 1):
+        self._json(400, _openai_error("n > 1 is not supported"))
+        return True
+      if req.get("echo"):
+        self._json(400, _openai_error("echo is not supported"))
+        return True
+      if req.get("logprobs"):
+        self._json(400, _openai_error("logprobs are not supported"))
+        return True
+      return False
+
+    def _openai_generate(self, req: dict, prompt: str,
+                         image_b64: str | None, chat: bool) -> None:
+      """Shared tail of /v1/completions and /v1/chat/completions."""
+      max_tokens = req.get("max_tokens")
+      if max_tokens is None:
+        max_tokens = req.get("max_completion_tokens")
+      try:
+        sub = frontend.submit(
+            prompt, max_tokens=max_tokens, seed=req.get("seed"),
+            image_b64=image_b64,
+        )
+      except FrontendDead as e:
+        return self._json(503, _openai_error(str(e)))
+      except ValueError as e:
+        return self._json(400, _openai_error(str(e)))
+      created = int(time.time())
+      oid = f"{'chatcmpl' if chat else 'cmpl'}-{id(sub):x}-{created}"
+      obj = "chat.completion" if chat else "text_completion"
+
+      def finish_reason(tokens: list[int]) -> str:
+        return "length" if len(tokens) >= sub.max_steps else "stop"
+
+      if not req.get("stream"):
+        try:
+          tokens, text = sub.result()
+        except RuntimeError as e:
+          return self._json(400, _openai_error(str(e)))
+        choice: dict[str, Any] = {
+            "index": 0, "logprobs": None,
+            "finish_reason": finish_reason(tokens),
+        }
+        if chat:
+          choice["message"] = {"role": "assistant", "content": text}
+        else:
+          choice["text"] = text
+        n_prompt = prompt_token_count(prompt, image_b64 is not None)
+        return self._json(200, {
+            "id": oid, "object": obj, "created": created,
+            "model": model_name, "choices": [choice],
+            "usage": {
+                "prompt_tokens": n_prompt,
+                "completion_tokens": len(tokens),
+                "total_tokens": n_prompt + len(tokens),
+            },
+        })
+      # Streaming: SSE data: chunks, then data: [DONE].
+      self.send_response(200)
+      self.send_header("Content-Type", "text/event-stream")
+      self.send_header("Cache-Control", "no-cache")
+      self.send_header("Transfer-Encoding", "chunked")
+      self.end_headers()
+
+      def sse(payload: str) -> None:
+        frame = f"data: {payload}\n\n".encode()
+        self.wfile.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
+
+      def sse_chunk(delta_text: str | None, reason: str | None,
+                    first: bool = False) -> None:
+        if chat:
+          delta: dict[str, Any] = {}
+          if first:
+            delta["role"] = "assistant"
+          if delta_text:
+            delta["content"] = delta_text
+          choice = {"index": 0, "delta": delta, "finish_reason": reason}
+        else:
+          choice = {"index": 0, "text": delta_text or "",
+                    "finish_reason": reason}
+        sse(json.dumps({
+            "id": oid, "object": obj + ".chunk", "created": created,
+            "model": model_name, "choices": [choice],
+        }))
+
+      all_ids: list[int] = []
+      emitted = ""
+      first = True
+      while True:
+        kind, payload = sub.events.get()
+        if kind == "tokens":
+          all_ids.extend(payload)
+          text_now = vocab.DecodeIds(all_ids)
+          if len(text_now) > len(emitted):
+            sse_chunk(text_now[len(emitted):], None, first=first)
+            emitted = text_now
+            first = False
+          continue
+        if kind == "done":
+          tokens, text = payload
+          tail = text[len(emitted):] if text.startswith(emitted) else ""
+          sse_chunk(tail or None, finish_reason(tokens), first=first)
+        elif kind == "cancelled":
+          sse_chunk(None, "stop", first=first)
+        else:  # error mid-stream: terminate the stream with a reason
+          sse_chunk(None, "error", first=first)
+        sse("[DONE]")
+        self.wfile.write(b"0\r\n\r\n")
+        return
+
+    def _openai_completions(self, req: dict) -> None:
+      prompt = req.get("prompt")
+      if isinstance(prompt, list):
+        if len(prompt) != 1 or not isinstance(prompt[0], str):
+          return self._json(
+              400, _openai_error("prompt must be one string")
+          )
+        prompt = prompt[0]
+      if not isinstance(prompt, str) or not prompt:
+        return self._json(
+            400, _openai_error("prompt (non-empty string) required")
+        )
+      if self._openai_reject_unsupported(req):
+        return
+      self._openai_generate(req, prompt, None, chat=False)
+
+    def _openai_chat(self, req: dict) -> None:
+      if self._openai_reject_unsupported(req):
+        return
+      try:
+        prompt, image_b64 = render_chat_messages(
+            req.get("messages"), is_it_model
+        )
+      except ValueError as e:
+        return self._json(400, _openai_error(str(e)))
+      if not prompt:
+        return self._json(400, _openai_error("empty conversation"))
+      self._openai_generate(req, prompt, image_b64, chat=True)
 
     def do_POST(self):
       try:
@@ -468,6 +734,10 @@ def _make_handler(frontend: ServingFrontend):
         req = json.loads(self.rfile.read(length) or b"{}")
       except (ValueError, json.JSONDecodeError) as e:
         return self._json(400, {"error": f"bad JSON: {e}"})
+      if self.path == "/v1/completions":
+        return self._openai_completions(req)
+      if self.path == "/v1/chat/completions":
+        return self._openai_chat(req)
       if self.path == "/v1/cancel":
         rid = req.get("id")
         if not isinstance(rid, int):
@@ -545,10 +815,10 @@ class ServingHTTPServer:
   """
 
   def __init__(self, frontend: ServingFrontend, host: str = "127.0.0.1",
-               port: int = 0):
+               port: int = 0, model_name: str = "cadence-gemma-tpu"):
     self.frontend = frontend
     self._httpd = http_server.ThreadingHTTPServer(
-        (host, port), _make_handler(frontend)
+        (host, port), _make_handler(frontend, model_name)
     )
     self._thread = threading.Thread(
         target=self._httpd.serve_forever, daemon=True

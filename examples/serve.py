@@ -54,8 +54,9 @@ _HTTP_PORT = flags.DEFINE_integer(
     "http_port", None,
     "Serve over HTTP instead of running --requests: starts "
     "ServingHTTPServer (POST /v1/generate with optional streaming, "
-    "POST /v1/cancel, GET /v1/health) on this port and blocks. 0 binds "
-    "an ephemeral port.",
+    "POST /v1/cancel, GET /v1/health, plus the OpenAI-compatible "
+    "GET /v1/models, POST /v1/completions and /v1/chat/completions) "
+    "on this port and blocks. 0 binds an ephemeral port.",
 )
 _ADAPTERS = flags.DEFINE_multi_string(
     "adapter_path", [],
@@ -168,7 +169,9 @@ def main(argv):
     print(f"[serve] HTTP serving on :{server.port} — "
           "POST /v1/generate {'prompt': ..., 'stream': true, "
           "'session': ..., 'adapter': i}, POST /v1/cancel, POST "
-          "/v1/reset, GET /v1/health. Ctrl-C to stop.")
+          "/v1/reset, GET /v1/health; OpenAI-compatible: GET "
+          "/v1/models, POST /v1/completions, POST /v1/chat/completions "
+          "(SSE streaming). Ctrl-C to stop.")
     try:
       while True:
         time.sleep(60)

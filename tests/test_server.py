@@ -535,3 +535,217 @@ class TestSessionLRU:
              vocab.eos_id())
     finally:
       fe.close()
+
+
+class TestRenderChatMessages:
+  """OpenAI messages[] → one submit()-able prompt string."""
+
+  def test_it_multiturn_matches_canonical_template(self):
+    msgs = [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "bye"},
+    ]
+    prompt, img = server_lib.render_chat_messages(msgs, is_it_model=True)
+    assert img is None
+    # The sampler's apply_it_formatter wrap of the rendered interior must
+    # equal the canonical alternating multi-turn template.
+    assert common.apply_it_formatter(prompt) == (
+        f"{common.IT_USER_OPEN}hi{common.IT_TURN_CLOSE}"
+        f"{common.IT_MODEL_OPEN}hello{common.IT_TURN_CLOSE}"
+        f"{common.IT_USER_OPEN}bye{common.IT_TURN_CLOSE}"
+        f"{common.IT_MODEL_OPEN}"
+    )
+
+  def test_system_folds_into_first_user_turn(self):
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hi"},
+    ]
+    prompt, _ = server_lib.render_chat_messages(msgs, is_it_model=True)
+    assert prompt == "be brief\n\nhi"
+
+  def test_content_parts_and_data_url_image(self):
+    msgs = [{
+        "role": "user",
+        "content": [
+            {"type": "text", "text": "what is"},
+            {"type": "image_url",
+             "image_url": {"url": "data:image/jpeg;base64,QUJD"}},
+            {"type": "text", "text": "this"},
+        ],
+    }]
+    prompt, img = server_lib.render_chat_messages(msgs, is_it_model=False)
+    assert prompt == "what is\nthis"
+    assert img == "QUJD"
+
+  @pytest.mark.parametrize("msgs,err", [
+      ([], "non-empty"),
+      ([{"role": "assistant", "content": "x"}], "start with a user"),
+      ([{"role": "user", "content": "a"},
+        {"role": "assistant", "content": "b"}], "end with a user"),
+      ([{"role": "user", "content": "a"},
+        {"role": "user", "content": "b"}], "alternate"),
+      ([{"role": "user", "content": "a"},
+        {"role": "system", "content": "late"}], "precede"),
+      ([{"role": "tool", "content": "x"}], "unsupported role"),
+      ([{"role": "user", "content": [
+          {"type": "image_url",
+           "image_url": {"url": "http://example.com/x.jpg"}}]}], "data:"),
+  ])
+  def test_invalid_conversations_rejected(self, msgs, err):
+    with pytest.raises(ValueError, match=err):
+      server_lib.render_chat_messages(msgs, is_it_model=True)
+
+
+class TestOpenAICompat:
+  """OpenAI-compatible endpoints over the same frontend."""
+
+  @pytest.fixture()
+  def httpd(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0, model_name="test-2b")
+    yield srv, sampler, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def _sse_events(self, port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      assert resp.headers["Content-Type"] == "text/event-stream"
+      for line in resp:
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+          continue
+        payload = line[len("data: "):]
+        if payload == "[DONE]":
+          done = True
+          break
+        events.append(json.loads(payload))
+    assert done, "stream must terminate with data: [DONE]"
+    return events
+
+  def test_models_route(self, httpd):
+    srv, _, _ = httpd
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/v1/models", timeout=30
+    ) as resp:
+      out = json.loads(resp.read())
+    assert out["object"] == "list"
+    assert out["data"][0]["id"] == "test-2b"
+
+  def test_completions_matches_solo(self, httpd):
+    srv, sampler, vocab = httpd
+    status, out = self._post(srv.port, "/v1/completions",
+                             {"prompt": "alpha beta", "max_tokens": 8})
+    assert status == 200
+    assert out["object"] == "text_completion"
+    assert out["model"] == "test-2b"
+    choice = out["choices"][0]
+    solo = _solo(sampler, "alpha beta", 8)
+    assert choice["text"] == vocab.DecodeIds(solo)
+    assert choice["finish_reason"] in ("stop", "length")
+    usage = out["usage"]
+    assert usage["prompt_tokens"] == 1 + len(vocab.EncodeAsIds("alpha beta"))
+    assert usage["total_tokens"] == (
+        usage["prompt_tokens"] + usage["completion_tokens"]
+    )
+
+  def test_completions_stream_assembles_to_nonstream(self, httpd):
+    srv, sampler, vocab = httpd
+    events = self._sse_events(srv.port, "/v1/completions",
+                              {"prompt": "gamma delta", "stream": True})
+    text = "".join(e["choices"][0]["text"] for e in events)
+    assert text == vocab.DecodeIds(_solo(sampler, "gamma delta", 8))
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    assert all(e["object"] == "text_completion.chunk" for e in events)
+
+  def test_chat_completions_multiturn_matches_solo_it(self, setup):
+    """A stateless chat request tokenizes exactly like the solo IT
+    sampler on the rendered conversation."""
+    sampler, vocab = setup
+    it_sampler = sampler_lib.Sampler(
+        sampler.model, vocab, sampler.params, is_it_model=True,
+        bucket_prompt_lengths=False,
+    )
+    batcher = serving.ContinuousBatcher(it_sampler, num_slots=2,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0, model_name="test-it")
+    try:
+      msgs = [
+          {"role": "user", "content": "alpha beta"},
+          {"role": "assistant", "content": "gamma"},
+          {"role": "user", "content": "delta eps"},
+      ]
+      status, out = self._post(srv.port, "/v1/chat/completions",
+                               {"messages": msgs, "max_tokens": 8})
+      assert status == 200
+      assert out["object"] == "chat.completion"
+      msg = out["choices"][0]["message"]
+      assert msg["role"] == "assistant"
+      rendered, _ = server_lib.render_chat_messages(msgs, is_it_model=True)
+      want = _solo(it_sampler, rendered, 8)
+      assert msg["content"] == vocab.DecodeIds(want)
+    finally:
+      srv.close()
+
+  def test_chat_stream_roles_and_content(self, httpd):
+    srv, sampler, vocab = httpd
+    events = self._sse_events(
+        srv.port, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "zeta eta"}],
+         "stream": True},
+    )
+    assert events[0]["choices"][0]["delta"].get("role") == "assistant"
+    text = "".join(
+        e["choices"][0]["delta"].get("content", "") for e in events
+    )
+    assert text == vocab.DecodeIds(_solo(sampler, "zeta eta", 8))
+    assert events[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+  def test_unsupported_shapes_rejected(self, httpd):
+    srv, _, _ = httpd
+    for body in (
+        {"prompt": "alpha", "n": 2},
+        {"prompt": "alpha", "echo": True},
+        {"prompt": "alpha", "logprobs": 1},
+        {"prompt": ["a", "b"]},
+    ):
+      try:
+        self._post(srv.port, "/v1/completions", body)
+        raise AssertionError(f"expected 400 for {body}")
+      except urllib.error.HTTPError as e:
+        assert e.code == 400
+        err = json.loads(e.read())["error"]
+        assert err["type"] == "invalid_request_error"
+
+  def test_ignored_sampling_knobs_do_not_change_tokens(self, httpd):
+    """Clients send temperature/top_p/stop unconditionally; they are
+    documented as sampler-level config and must not 400 or alter
+    output."""
+    srv, sampler, vocab = httpd
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 8, "temperature": 0.2,
+         "top_p": 0.9, "stop": ["###"], "presence_penalty": 0.5},
+    )
+    assert out["choices"][0]["text"] == vocab.DecodeIds(
+        _solo(sampler, "alpha beta", 8)
+    )
