@@ -40,6 +40,12 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
                       has died — every in-flight request is failed rather
                       than stranded
 
+  GET  /metrics       → Prometheus text exposition of the same counters,
+                      gauges, and latency quantiles
+  429 (QueueFull) once ``max_queue`` submissions are waiting — bounded
+  admission beats silently growing latency under overload; ``close
+  (drain=True)`` finishes queued + in-flight requests before stopping.
+
 OpenAI-compatible surface (same frontend, standard clients work as-is):
 
   GET  /v1/models           → {"object": "list", "data": [{"id": ...}]}
@@ -184,6 +190,10 @@ class SessionBusy(RuntimeError):
   """A chat session already has a turn in flight (HTTP maps this to 409)."""
 
 
+class QueueFull(RuntimeError):
+  """The submission queue is at max_queue (HTTP maps this to 429)."""
+
+
 class FrontendDead(RuntimeError):
   """The driver thread died on a device error (HTTP maps this to 503)."""
 
@@ -262,13 +272,19 @@ class ServingFrontend:
       ``max_sessions+1``-th context evicts the least-recently-used one,
       whose session transparently restarts from scratch (or the default
       prefix) on its next turn.
+    max_queue: Admission backpressure: ``submit`` raises
+      :class:`QueueFull` (HTTP 429) once this many submissions are
+      waiting for a slot. ``None`` = unbounded (library use); servers
+      should bound it — an unbounded queue converts overload into
+      silently growing latency instead of an explicit retry signal.
   """
 
   def __init__(self, batcher: serving_lib.ContinuousBatcher,
                step_size: int = 8, idle_wait_s: float = 0.05,
                default_prefix_state: Any | None = None,
                adapter_resolver: Any | None = None,
-               max_sessions: int = 64):
+               max_sessions: int = 64,
+               max_queue: int | None = None):
     if batcher.stream_callback is not None:
       raise ValueError(
           "Build the batcher without stream_callback; the frontend "
@@ -281,6 +297,7 @@ class ServingFrontend:
     self.default_prefix_state = default_prefix_state
     self.adapter_resolver = adapter_resolver
     self.max_sessions = max_sessions
+    self.max_queue = max_queue
     self._inbox: queue.Queue[Submission] = queue.Queue()
     self._by_id: dict[int, Submission] = {}
     # session -> PrefixState, insertion-ordered for LRU eviction.
@@ -318,6 +335,11 @@ class ServingFrontend:
     frontend's ``adapter_resolver`` into a per-request LoRA tree."""
     if self._error is not None:
       raise FrontendDead(f"serving driver died: {self._error}")
+    if self.max_queue is not None and self._inbox.qsize() >= self.max_queue:
+      raise QueueFull(
+          f"submission queue is full ({self.max_queue} waiting); retry "
+          "later"
+      )
     if adapter is not None and self.adapter_resolver is None:
       raise ValueError(
           "adapter= needs ServingFrontend(adapter_resolver=...) to map "
@@ -394,7 +416,41 @@ class ServingFrontend:
       out["error"] = self._error
     return out
 
-  def close(self) -> None:
+  def prometheus_metrics(self) -> str:
+    """Serving metrics in Prometheus text exposition format."""
+    stats = self.stats
+    lines = [
+        "# HELP cadence_up 1 while the serving driver thread is alive.",
+        "# TYPE cadence_up gauge",
+        f"cadence_up {int(stats['ok'])}",
+    ]
+    gauges = ("slots", "active", "queued", "sessions")
+    counters = ("completed", "cancelled", "errors", "tokens_out")
+    for name in gauges + counters:
+      kind = "gauge" if name in gauges else "counter"
+      metric = f"cadence_{name}" + ("_total" if kind == "counter" else "")
+      lines += [f"# TYPE {metric} {kind}", f"{metric} {stats[name]}"]
+    for stem in ("ttft_s", "wall_s"):
+      if f"{stem}_p50" in stats:
+        metric = f"cadence_{stem.replace('_s', '_seconds')}"
+        lines.append(f"# TYPE {metric} summary")
+        for q, key in (("0.5", f"{stem}_p50"), ("0.9", f"{stem}_p90")):
+          lines.append(f'{metric}{{quantile="{q}"}} {stats[key]}')
+    return "\n".join(lines) + "\n"
+
+  def close(self, drain: bool = False, drain_timeout_s: float = 600) -> None:
+    """Stops the driver thread.
+
+    ``drain=True`` first waits (up to ``drain_timeout_s``) for every
+    queued and in-flight request to finish — a graceful shutdown; callers
+    must have stopped submitting. Without it, in-flight requests receive
+    a terminal ``cancelled`` event.
+    """
+    if drain:
+      deadline = time.monotonic() + drain_timeout_s
+      while (self._error is None and time.monotonic() < deadline
+             and (self._inbox.qsize() or self._by_id)):
+        time.sleep(0.02)
     self._stop.set()
     self._wake.set()
     self._driver.join(timeout=60)
@@ -576,6 +632,15 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             "data": [{"id": model_name, "object": "model",
                       "owned_by": "cadence-gemma-tpu"}],
         })
+      if self.path == "/metrics":
+        body = frontend.prometheus_metrics().encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return
       if self.path != "/v1/health":
         return self._json(404, {"error": f"no route {self.path}"})
       stats = frontend.stats
@@ -612,6 +677,8 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             prompt, max_tokens=max_tokens, seed=req.get("seed"),
             image_b64=image_b64,
         )
+      except QueueFull as e:
+        return self._json(429, _openai_error(str(e), "overloaded_error"))
       except FrontendDead as e:
         return self._json(503, _openai_error(str(e)))
       except ValueError as e:
@@ -765,6 +832,8 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
         )
       except SessionBusy as e:
         return self._json(409, {"error": str(e)})
+      except QueueFull as e:
+        return self._json(429, {"error": str(e)})
       except FrontendDead as e:
         return self._json(503, {"error": str(e)})
       except ValueError as e:
@@ -829,8 +898,10 @@ class ServingHTTPServer:
   def port(self) -> int:
     return self._httpd.server_address[1]
 
-  def close(self) -> None:
+  def close(self, drain: bool = False) -> None:
+    """Shuts down: stop accepting connections, then close the frontend
+    (``drain=True`` = finish queued + in-flight requests first)."""
     self._httpd.shutdown()
     self._httpd.server_close()
     self._thread.join(timeout=30)
-    self.frontend.close()
+    self.frontend.close(drain=drain)

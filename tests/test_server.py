@@ -749,3 +749,99 @@ class TestOpenAICompat:
     assert out["choices"][0]["text"] == vocab.DecodeIds(
         _solo(sampler, "alpha beta", 8)
     )
+
+
+class TestProductionHardening:
+  """Backpressure, Prometheus metrics, graceful drain."""
+
+  @staticmethod
+  def _block_slots(fe, n, prompt="theta zeta", steps=100_000):
+    """Occupies all ``n`` slots with long-running requests and waits until
+    they are admitted (the inbox is then deterministically stuck)."""
+    import time as time_lib
+    blockers = [fe.submit(prompt, max_tokens=steps) for _ in range(n)]
+    deadline = time_lib.monotonic() + 120
+    while fe.batcher.active_count < n:
+      assert time_lib.monotonic() < deadline, "blockers never admitted"
+      time_lib.sleep(0.02)
+    return blockers
+
+  def test_queue_full_backpressure(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2, max_queue=2)
+    try:
+      blockers = self._block_slots(fe, 1)
+      queued = [fe.submit("alpha beta") for _ in range(2)]
+      with pytest.raises(server_lib.QueueFull):
+        fe.submit("gamma")
+      fe.cancel(blockers[0].request_id)
+      for sub in queued:
+        tokens, _ = sub.result(timeout=120)
+        _check(tokens, _solo(sampler, "alpha beta", 8), 8, vocab.eos_id())
+      # Queue drained → admission reopens.
+      tokens, _ = fe.submit("gamma").result(timeout=120)
+      _check(tokens, _solo(sampler, "gamma", 8), 8, vocab.eos_id())
+    finally:
+      fe.close()
+
+  def test_http_429_and_metrics_endpoint(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2, max_queue=1)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      blockers = self._block_slots(fe, 1)
+      fe.submit("alpha beta")  # fills the queue
+      body = json.dumps({"prompt": "gamma", "max_tokens": 4}).encode()
+      for path in ("/v1/generate", "/v1/completions"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+          urllib.request.urlopen(req, timeout=30)
+          raise AssertionError("expected 429")
+        except urllib.error.HTTPError as e:
+          assert e.code == 429
+          err = json.loads(e.read())["error"]
+          if path == "/v1/completions":
+            assert err["type"] == "overloaded_error"
+      fe._wake.set()
+      while fe.stats["completed"] < 1:
+        import time as time_lib
+        time_lib.sleep(0.05)
+      with urllib.request.urlopen(
+          f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+      ) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+      assert "cadence_up 1" in text
+      assert "cadence_completed_total 1" in text
+      assert "# TYPE cadence_tokens_out_total counter" in text
+      assert 'cadence_ttft_seconds{quantile="0.5"}' in text
+    finally:
+      srv.close()
+
+  def test_close_drain_finishes_inflight(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    subs = [fe.submit(p) for p in ("alpha beta", "gamma delta", "eps")]
+    fe.close(drain=True)
+    for sub, prompt in zip(subs, ("alpha beta", "gamma delta", "eps")):
+      tokens, _ = sub.result(timeout=5)  # already delivered
+      _check(tokens, _solo(sampler, prompt, 8), 8, vocab.eos_id())
+
+  def test_close_without_drain_cancels_inflight(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=200)
+    fe = server_lib.ServingFrontend(batcher, step_size=1)
+    sub = fe.submit("alpha beta gamma delta")
+    fe.close()
+    with pytest.raises(RuntimeError, match="cancelled"):
+      sub.result(timeout=30)
