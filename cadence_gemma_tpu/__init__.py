@@ -21,6 +21,13 @@ from cadence_gemma_tpu.checkpoint.io import load_parameters
 from cadence_gemma_tpu.checkpoint.io import load_train_state
 from cadence_gemma_tpu.checkpoint.io import save_parameters
 from cadence_gemma_tpu.checkpoint.io import save_train_state
+from cadence_gemma_tpu.inference.constrain import choice_regex
+from cadence_gemma_tpu.inference.constrain import json_mode_dfa
+from cadence_gemma_tpu.inference.constrain import json_regex
+from cadence_gemma_tpu.inference.constrain import schema_dfa
+from cadence_gemma_tpu.inference.constrain import schema_regex
+from cadence_gemma_tpu.inference.constrain import token_strings_from_vocab
+from cadence_gemma_tpu.inference.constrain import TokenDFA
 from cadence_gemma_tpu.inference.modal_sampler import ModalSampler
 from cadence_gemma_tpu.inference.sampler import PrefixState
 from cadence_gemma_tpu.inference.serving import ContinuousBatcher

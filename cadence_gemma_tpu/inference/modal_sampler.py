@@ -95,6 +95,7 @@ class ModalSampler(sampler_lib.Sampler):
       total_generation_steps,
       return_logits,
       echo,
+      constraint_tables=None,
   ):
     features = self.vision_encoder.apply(
         {"params": vision_params}, pixels
@@ -108,6 +109,9 @@ class ModalSampler(sampler_lib.Sampler):
         return_logits,
         echo,
         features,
+        None,
+        None,
+        constraint_tables,
     )
 
   def encode_image(self, img_path: str) -> at.Image:
@@ -134,6 +138,7 @@ class ModalSampler(sampler_lib.Sampler):
       img_embed: at.Image | None = None,
       prefix_state=None,
       return_state: bool = False,
+      constraint=None,
   ) -> SamplerOutput:
     """Samples completions, optionally conditioned on one image.
 
@@ -187,6 +192,7 @@ class ModalSampler(sampler_lib.Sampler):
       padded_tokens = jnp.stack(all_ids, axis=0)
       input_lengths = jnp.asarray(lengths)
       pad_lengths = padded_tokens.shape[1] - input_lengths
+      constraint_tables = self._resolve_constraint(constraint)
       state = self._fused_prefill_fn(
           self.params,
           self.vision_params,
@@ -197,10 +203,11 @@ class ModalSampler(sampler_lib.Sampler):
           total_generation_steps,
           return_logits,
           echo,
+          constraint_tables,
       )
       return self._finish_sampling(
           state, pad_lengths, total_generation_steps, echo, return_logits,
-          end_sampling_at_eos_token, return_state,
+          end_sampling_at_eos_token, return_state, constraint_tables,
       )
 
     return super().__call__(
@@ -213,4 +220,5 @@ class ModalSampler(sampler_lib.Sampler):
         img_embed=img_embed,
         prefix_state=prefix_state,
         return_state=return_state,
+        constraint=constraint,
     )

@@ -59,6 +59,9 @@ class SamplingState(Generic[Cache]):
     gen_start: First buffer index holding a GENERATED token (0 without
       echo, the prompt length with echo). Keeps the repetition-penalty
       scope generated-only regardless of the echo output format.
+    constraint_state: Per-row grammar-DFA state, [b] int32, when the call
+      carries a ``constraint`` (see ``inference/constrain.py``); None
+      otherwise.
   """
 
   tokens_buffer: jt.Integer[jt.Array, "*b l"]
@@ -70,6 +73,7 @@ class SamplingState(Generic[Cache]):
   done: jt.Bool[jt.Array, "*b"]
   logits_buffer: jt.Float[jt.Array, "*b l v"] | None = None
   gen_start: jt.Integer[jt.Array, ""] | int = 0
+  constraint_state: jt.Integer[jt.Array, "*b"] | None = None
 
 
 @struct.dataclass
@@ -432,6 +436,7 @@ class Sampler(Generic[Cache]):
       params: at.Params,
       state: SamplingState,
       end_sampling_at_eos_token: bool = True,
+      constraint_tables=None,
   ) -> SamplingState:
     """One decode step: feed the last token, sample the next."""
     last_token = state.tokens_buffer[:, state.step][:, None]
@@ -456,7 +461,17 @@ class Sampler(Generic[Cache]):
       step_logits = self._apply_repetition_penalty(
           step_logits, state.tokens_buffer, written
       )
+    constraint_state = state.constraint_state
+    if constraint_tables is not None:
+      # Grammar mask LAST (after penalty/temperature-independent shaping):
+      # forbidden tokens are -inf for greedy and categorical alike, then
+      # the sampled token advances the per-row DFA state.
+      step_logits = constraint_tables.mask(constraint_state, step_logits)
     next_token, rng = self._sample_from_logits(state.rng, step_logits)
+    if constraint_tables is not None:
+      constraint_state = constraint_tables.advance(
+          constraint_state, next_token
+      )
     tokens_buffer = state.tokens_buffer.at[:, state.step + 1].set(next_token)
 
     logits_buffer = state.logits_buffer
@@ -478,6 +493,7 @@ class Sampler(Generic[Cache]):
         done=state.done | done_now,
         logits_buffer=logits_buffer,
         gen_start=state.gen_start,
+        constraint_state=constraint_state,
     )
 
   def _sample_fn(
@@ -485,6 +501,7 @@ class Sampler(Generic[Cache]):
       params: at.Params,
       state: SamplingState,
       end_sampling_at_eos_token: bool = True,
+      constraint_tables=None,
   ) -> SamplingState:
     """Whole decode loop as one XLA while-loop program."""
     if end_sampling_at_eos_token:
@@ -500,7 +517,9 @@ class Sampler(Generic[Cache]):
       )
 
     def body(s):
-      return self._sample_step(params, s, end_sampling_at_eos_token)
+      return self._sample_step(
+          params, s, end_sampling_at_eos_token, constraint_tables
+      )
 
     def cond(s):
       # total_steps - 1 because the first token was sampled from the prompt.
@@ -544,12 +563,15 @@ class Sampler(Generic[Cache]):
       img_embed: at.Image | None = None,
       initial_cache: Cache | None = None,
       start_positions: at.NumTokens | None = None,
+      constraint_tables=None,
   ) -> SamplingState:
     """Prefill: builds the cache, samples the first token, allocates buffers.
 
     ``initial_cache``/``start_positions`` continue a chunked prefill: the
     cache already holds earlier chunks and this call's positions start at
-    ``start_positions`` instead of 0.
+    ``start_positions`` instead of 0. ``constraint_tables`` masks the
+    first sampled token with the grammar (decode steps continue from the
+    resulting DFA state).
     """
     batch_size, prompt_length = tokens.shape
 
@@ -632,8 +654,20 @@ class Sampler(Generic[Cache]):
         self.vocab.pad_id(),
         dtype=jnp.int32,
     )
+    constraint_state = None
+    if constraint_tables is not None:
+      constraint_state = jnp.full(
+          (batch_size,), constraint_tables.start, jnp.int32
+      )
     if logits is not None:
-      next_token, rng = self._sample_from_logits(rng, logits[:, 0])
+      seed_logits = logits[:, 0]
+      if constraint_tables is not None:
+        seed_logits = constraint_tables.mask(constraint_state, seed_logits)
+      next_token, rng = self._sample_from_logits(rng, seed_logits)
+      if constraint_tables is not None:
+        constraint_state = constraint_tables.advance(
+            constraint_state, next_token
+        )
       tokens_buffer = tokens_buffer.at[:, 0].set(next_token)
 
     if return_logits:
@@ -679,6 +713,7 @@ class Sampler(Generic[Cache]):
         done=jnp.zeros((batch_size,), dtype=jnp.bool_),
         logits_buffer=logits_buffer,
         gen_start=step,
+        constraint_state=constraint_state,
     )
 
   # -- prefix caching ---------------------------------------------------------
@@ -779,6 +814,7 @@ class Sampler(Generic[Cache]):
       img_embed: at.Image | None = None,
       prefix_state: PrefixState | None = None,
       return_state: bool = False,
+      constraint: Any | None = None,
   ) -> SamplerOutput:
     """Generates completions for a batch of prompts.
 
@@ -805,11 +841,22 @@ class Sampler(Generic[Cache]):
         in larger batches, rows that hit EOS early keep decoding until the
         whole batch stops, so their state includes post-EOS tokens.
         Requires ``total_generation_steps >= 1``.
+      constraint: Optional grammar constraint — a
+        :class:`constrain.TokenDFA` (or its ``.tables``) compiled for
+        THIS sampler's vocabulary. Every generated token is masked to
+        keep the output inside the grammar, and stop tokens are only
+        allowed once the output matches it (generation that exhausts the
+        step budget may still end on an incomplete prefix). The whole
+        batch shares one grammar; per-row DFA states are independent.
+        Returned ``logits`` are the raw model logits (pre-mask), matching
+        the repetition-penalty convention. No reference counterpart (the
+        reference sampler is unconstrained, ``jax/sampler.py:163-169``).
 
     Returns:
       A :class:`SamplerOutput`.
     """
     self._validate_sampling_args(total_generation_steps, rng)
+    constraint_tables = self._resolve_constraint(constraint)
     if return_state and total_generation_steps < 1:
       raise ValueError(
           "return_state requires total_generation_steps >= 1 (a prefill-"
@@ -820,7 +867,7 @@ class Sampler(Generic[Cache]):
       return self._call_with_prefix(
           prefix_state, input_strings, total_generation_steps, rng, echo,
           return_logits, end_sampling_at_eos_token, img_embed,
-          return_state,
+          return_state, constraint_tables,
       )
 
     all_input_ids = [self.tokenize(s) for s in input_strings]
@@ -884,6 +931,7 @@ class Sampler(Generic[Cache]):
           img_embed,
           cache,
           start,
+          constraint_tables,
       )
       if echo:
         # The jitted prefill echoed only its own (final) chunk; prepend the
@@ -916,10 +964,13 @@ class Sampler(Generic[Cache]):
           return_logits,
           echo,
           img_embed,
+          None,
+          None,
+          constraint_tables,
       )
     return self._finish_sampling(
         state, pad_lengths, total_generation_steps, echo, return_logits,
-        end_sampling_at_eos_token, return_state,
+        end_sampling_at_eos_token, return_state, constraint_tables,
     )
 
   def encode_continuation(
@@ -1094,8 +1145,13 @@ class Sampler(Generic[Cache]):
       end_sampling_at_eos_token: bool,
       img_embed,
       return_state: bool,
+      constraint_tables=None,
   ) -> SamplerOutput:
-    """Continues prompts from cached context (prefix or previous turn)."""
+    """Continues prompts from cached context (prefix or previous turn).
+
+    A ``constraint`` starts fresh at the grammar's start state each turn:
+    it scopes the NEW generation, not the cached history.
+    """
     if img_embed is not None:
       raise ValueError(
           "prefix_state cannot be combined with img_embed: the image "
@@ -1118,6 +1174,7 @@ class Sampler(Generic[Cache]):
         None,
         cache,
         start,
+        constraint_tables,
     )
     # A prepended pending token belongs to the PREVIOUS turn (it was
     # already returned to the caller); echoed buffers slice it off so
@@ -1126,6 +1183,7 @@ class Sampler(Generic[Cache]):
     return self._finish_sampling(
         state, jnp.full((batch,), lead, jnp.int32), total_generation_steps,
         echo, return_logits, end_sampling_at_eos_token, return_state,
+        constraint_tables,
     )
 
   def _validate_sampling_args(self, total_generation_steps, rng) -> None:
@@ -1136,6 +1194,20 @@ class Sampler(Generic[Cache]):
     if total_generation_steps < 0:
       raise ValueError("total_generation_steps must be at least 0.")
 
+  def _resolve_constraint(self, constraint):
+    """``constraint`` (TokenDFA or ConstraintTables) → device tables."""
+    if constraint is None:
+      return None
+    tables = getattr(constraint, "tables", constraint)
+    table_vocab = tables.token_lengths.shape[0]
+    if table_vocab != self.vocab_size:
+      raise ValueError(
+          f"Constraint was compiled for a {table_vocab}-token vocabulary; "
+          f"this sampler's model has {self.vocab_size}. Rebuild the "
+          "TokenDFA with token_strings_from_vocab(vocab, vocab_size)."
+      )
+    return tables
+
   def _finish_sampling(
       self,
       state: SamplingState,
@@ -1145,10 +1217,13 @@ class Sampler(Generic[Cache]):
       return_logits: bool,
       end_sampling_at_eos_token: bool,
       return_state: bool = False,
+      constraint_tables=None,
   ) -> SamplerOutput:
     """Runs the decode loop and slices the buffers into a SamplerOutput."""
     if total_generation_steps > 1:
-      state = self.sample_fn(self.params, state, end_sampling_at_eos_token)
+      state = self.sample_fn(
+          self.params, state, end_sampling_at_eos_token, constraint_tables
+      )
 
     next_state = None
     if return_state:

@@ -18,7 +18,7 @@ Endpoints (JSON over stdlib ``http.server``; no third-party deps):
 
   POST /v1/generate   {"prompt": str, "max_tokens": int?, "stream": bool?,
                        "seed": int?, "image_path": str?, "image_b64": str?,
-                       "session": str?, "adapter": any?}
+                       "session": str?, "adapter": any?, "constraint": str?}
       stream=false → one body: {"id", "tokens", "text"}
       stream=true  → chunked NDJSON: {"id", "tokens": [...]} lines as the
                      request emits tokens, then {"id", "done": true,
@@ -209,7 +209,7 @@ class Submission:
   def __init__(self, prompt: str, max_steps: int, seed: int | None,
                image_path: str | None, image_b64: str | None,
                session: str | None = None, adapter: Any | None = None,
-               session_epoch: int = 0):
+               session_epoch: int = 0, constraint: int | None = None):
     self.prompt = prompt
     self.max_steps = max_steps
     self.seed = seed
@@ -218,6 +218,7 @@ class Submission:
     self.session = session
     self.adapter = adapter               # opaque ref; adapter_resolver maps it
     self.session_epoch = session_epoch   # reset_session() generation at submit
+    self.constraint = constraint         # grammar index or compiled TokenDFA
     self.events: queue.Queue = queue.Queue()
     self.request_id: int | None = None   # set once admitted
     self.cancelled = False               # host-side flag, driver honors
@@ -277,6 +278,12 @@ class ServingFrontend:
       waiting for a slot. ``None`` = unbounded (library use); servers
       should bound it — an unbounded queue converts overload into
       silently growing latency instead of an explicit retry signal.
+    constraint_names: Maps public grammar names to the batcher's
+      registered constraint indices (``ContinuousBatcher(constraints=
+      [...])``), e.g. ``{"json_object": 0}``. ``submit(...,
+      constraint="json_object")`` then grammar-masks that request; the
+      OpenAI routes map ``response_format: {"type": "json_object"}`` to
+      the ``"json_object"`` name.
   """
 
   def __init__(self, batcher: serving_lib.ContinuousBatcher,
@@ -284,7 +291,8 @@ class ServingFrontend:
                default_prefix_state: Any | None = None,
                adapter_resolver: Any | None = None,
                max_sessions: int = 64,
-               max_queue: int | None = None):
+               max_queue: int | None = None,
+               constraint_names: dict[str, int] | None = None):
     if batcher.stream_callback is not None:
       raise ValueError(
           "Build the batcher without stream_callback; the frontend "
@@ -298,6 +306,22 @@ class ServingFrontend:
     self.adapter_resolver = adapter_resolver
     self.max_sessions = max_sessions
     self.max_queue = max_queue
+    self.constraint_names = dict(constraint_names or {})
+    if self.constraint_names and batcher._constraints is None:
+      raise ValueError(
+          "constraint_names given but the batcher registered no grammars "
+          "(build it with ContinuousBatcher(constraints=[...]))."
+      )
+    # Per-request JSON-schema grammars (response_format json_schema):
+    # compiled on the HANDLER thread (pure host numpy/C++ — never stalls
+    # the driver's decode ticks), LRU-cached by canonical schema JSON,
+    # installed into the batcher's dynamic slots at admission.
+    self._schema_cache: collections.OrderedDict[str, Any] = (
+        collections.OrderedDict()
+    )
+    self._schema_cache_size = 32
+    self._schema_lock = threading.Lock()
+    self._token_strings: list[str] | None = None
     self._inbox: queue.Queue[Submission] = queue.Queue()
     self._by_id: dict[int, Submission] = {}
     # session -> PrefixState, insertion-ordered for LRU eviction.
@@ -325,16 +349,33 @@ class ServingFrontend:
              seed: int | None = None, image_path: str | None = None,
              image_b64: str | None = None,
              session: str | None = None,
-             adapter: Any | None = None) -> Submission:
+             adapter: Any | None = None,
+             constraint: str | dict | None = None) -> Submission:
     """Queues one generation. ``session`` names a conversation: its
     turns chain through the batcher's per-request PrefixState (requires
     ``preserve_states=True`` on the batcher), so each turn prefills only
     the new message. One in-flight turn per session (raises
     ``SessionBusy`` otherwise); turns in different sessions and plain
     requests batch together freely. ``adapter`` is resolved by the
-    frontend's ``adapter_resolver`` into a per-request LoRA tree."""
+    frontend's ``adapter_resolver`` into a per-request LoRA tree;
+    ``constraint`` names a grammar from ``constraint_names`` — or is a
+    JSON-Schema dict (strict subset), compiled here on the handler
+    thread and installed into a dynamic grammar slot — masking this
+    request's generation."""
     if self._error is not None:
       raise FrontendDead(f"serving driver died: {self._error}")
+    constraint_index = None
+    if isinstance(constraint, dict):
+      # A JSON schema: compile (cached) to a grammar for a dynamic slot.
+      constraint_index = self._compile_schema(constraint)
+    elif constraint is not None:
+      try:
+        constraint_index = self.constraint_names[constraint]
+      except KeyError:
+        raise ValueError(
+            f"unknown constraint {constraint!r}; this server offers "
+            f"{sorted(self.constraint_names) or 'none'}"
+        ) from None
     if self.max_queue is not None and self._inbox.qsize() >= self.max_queue:
       raise QueueFull(
           f"submission queue is full ({self.max_queue} waiting); retry "
@@ -361,11 +402,53 @@ class ServingFrontend:
         self.batcher.max_steps_default if max_tokens is None
         else max_tokens,
         seed, image_path, image_b64, session=session, adapter=adapter,
-        session_epoch=epoch,
+        session_epoch=epoch, constraint=constraint_index,
     )
     self._inbox.put(sub)
     self._wake.set()
     return sub
+
+  def _compile_schema(self, schema: dict):
+    """JSON schema → TokenDFA (strict subset), LRU-cached.
+
+    Raises ValueError for schemas outside the strict subset or when the
+    batcher has no dynamic grammar slots. Pure host work — safe on
+    handler threads.
+    """
+    if not getattr(self.batcher, "dynamic_grammar_slots", 0):
+      raise ValueError(
+          "per-request JSON schemas need ContinuousBatcher("
+          "dynamic_grammar_slots=k); this server has none"
+      )
+    from cadence_gemma_tpu.inference import constrain
+
+    key = json.dumps(schema, sort_keys=True)
+    with self._schema_lock:
+      dfa = self._schema_cache.get(key)
+      if dfa is not None:
+        self._schema_cache.move_to_end(key)
+        return dfa
+      if self._token_strings is None:
+        sampler = self.batcher.sampler
+        self._token_strings = constrain.token_strings_from_vocab(
+            sampler.vocab, sampler.vocab_size
+        )
+    sampler = self.batcher.sampler
+    import numpy as np
+
+    stop_ids = [int(i) for i in np.asarray(sampler._stop_ids)]
+    eos = int(sampler.vocab.eos_id())
+    dfa = constrain.TokenDFA(
+        constrain.schema_regex(schema),
+        self._token_strings,
+        eos_id=eos,
+        extra_stop_ids=[i for i in stop_ids if i != eos],
+    )
+    with self._schema_lock:
+      self._schema_cache[key] = dfa
+      while len(self._schema_cache) > self._schema_cache_size:
+        self._schema_cache.popitem(last=False)
+    return dfa
 
   def reset_session(self, session: str) -> bool:
     """Drops a session's stored context; its next turn starts fresh.
@@ -494,6 +577,8 @@ class ServingFrontend:
         kwargs["prefix_state"] = self.default_prefix_state
       if sub.adapter is not None:
         kwargs["adapters"] = self.adapter_resolver(sub.adapter)
+      if sub.constraint is not None:
+        kwargs["constraint"] = sub.constraint
       if sub.seed is not None:
         import jax
 
@@ -666,16 +751,59 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
         return True
       return False
 
+    def _openai_constraint(self, req: dict):
+      """Maps ``response_format`` to a constraint.
+
+      Returns (constraint, rejected): a named grammar for
+      ``json_object`` (requires a registered ``"json_object"`` grammar:
+      ``constrain.json_mode_dfa`` + ``constraint_names``) or the schema
+      dict for ``json_schema`` (requires batcher
+      ``dynamic_grammar_slots``; the strict structured-outputs subset).
+      """
+      rf = req.get("response_format")
+      kind = rf.get("type") if isinstance(rf, dict) else rf
+      if kind in (None, "text"):
+        return None, False
+      if kind == "json_object":
+        if "json_object" not in frontend.constraint_names:
+          self._json(400, _openai_error(
+              "this server has no JSON grammar registered; build the "
+              "batcher with constrain.json_mode_dfa and pass "
+              "constraint_names={'json_object': index}"
+          ))
+          return None, True
+        return "json_object", False
+      if kind == "json_schema":
+        spec = rf.get("json_schema")
+        schema = (
+            spec.get("schema") if isinstance(spec, dict) else None
+        )
+        if not isinstance(schema, dict):
+          self._json(400, _openai_error(
+              "response_format json_schema needs "
+              "{'json_schema': {'schema': {...}}}"
+          ))
+          return None, True
+        return schema, False
+      self._json(400, _openai_error(
+          f"response_format type {kind!r} is not supported "
+          "(use 'text', 'json_object', or 'json_schema')"
+      ))
+      return None, True
+
     def _openai_generate(self, req: dict, prompt: str,
                          image_b64: str | None, chat: bool) -> None:
       """Shared tail of /v1/completions and /v1/chat/completions."""
       max_tokens = req.get("max_tokens")
       if max_tokens is None:
         max_tokens = req.get("max_completion_tokens")
+      constraint, rejected = self._openai_constraint(req)
+      if rejected:
+        return
       try:
         sub = frontend.submit(
             prompt, max_tokens=max_tokens, seed=req.get("seed"),
-            image_b64=image_b64,
+            image_b64=image_b64, constraint=constraint,
         )
       except QueueFull as e:
         return self._json(429, _openai_error(str(e), "overloaded_error"))
@@ -829,6 +957,7 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             image_b64=req.get("image_b64"),
             session=req.get("session"),
             adapter=req.get("adapter"),
+            constraint=req.get("constraint"),
         )
       except SessionBusy as e:
         return self._json(409, {"error": str(e)})

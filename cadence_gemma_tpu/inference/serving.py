@@ -68,6 +68,7 @@ class _Request:
   started: bool = False   # prefill inserted into the slot yet?
   emitted: int = 0        # tokens already delivered via stream_callback
   want_state: bool = False  # extract a PrefixState when finished
+  gid: int = 0            # grammar id (dynamic slots are refcounted)
 
 
 @dataclasses.dataclass
@@ -90,6 +91,7 @@ class _Pending:
   prompt_length: Any
   adapters: Any = None    # per-request LoRA tree (multi_lora mode)
   img_embed: Any = None   # per-request fused vision features
+  gid: int = 0            # grammar id (0 = unconstrained)
 
 
 class ContinuousBatcher:
@@ -128,6 +130,9 @@ class ContinuousBatcher:
       admission_chunks_per_tick: int | None = None,
       multi_lora: bool = False,
       preserve_states: bool = False,
+      constraints: Any | None = None,
+      dynamic_grammar_slots: int = 0,
+      dynamic_grammar_budget: tuple[int, int, int] | None = None,
   ):
     """See the class docstring.
 
@@ -169,6 +174,27 @@ class ContinuousBatcher:
         (cache traffic, not weight traffic; leave off when no request
         continues). The speculative path (``draft_len > 0``) freezes rows
         by construction, so there the flag only gates the API.
+      constraints: Optional sequence of :class:`constrain.TokenDFA`
+        grammars available to requests (``add_request(...,
+        constraint=k)`` selects ``constraints[k]``; omitted = free
+        generation). Stacked into one device registry
+        (``constrain.stack_constraints``): every decode step gathers each
+        slot's own grammar row, so constrained and free requests mix in
+        one batch with no per-request programs. Incompatible with
+        ``draft_len`` (the speculative verify pass commits several tokens
+        per step without per-token masks). No reference counterpart.
+      dynamic_grammar_slots: Reserves this many registry slots for
+        grammars registered at RUNTIME (:meth:`register_grammar`, or
+        ``add_request(constraint=<TokenDFA>)`` — the mechanism behind
+        per-request JSON-schema serving). Slots are overwritten in place
+        on device, so table shapes — and therefore every compiled
+        program — never change; unreferenced slots are LRU-evicted when
+        a new grammar needs one.
+      dynamic_grammar_budget: ``(max_states, max_atoms, max_token_len)``
+        sizing the reserved slots. Defaults to the dims of the largest
+        registered constraint; required if ``dynamic_grammar_slots > 0``
+        with no ``constraints``. A registration exceeding the budget
+        raises (shapes are compiled in).
     """
     self.sampler = sampler
     self.num_slots = num_slots
@@ -220,6 +246,58 @@ class ContinuousBatcher:
           hist=jnp.zeros((num_slots, self._hist_len), jnp.int32),
           cur_len=jnp.zeros((num_slots,), jnp.int32),
           valid_from=jnp.zeros((num_slots,), jnp.int32),
+      )
+
+    self._constraints = None
+    self.dynamic_grammar_slots = int(dynamic_grammar_slots)
+    if (constraints is not None and len(constraints)) or (
+        self.dynamic_grammar_slots > 0
+    ):
+      if draft_len:
+        raise ValueError(
+            "constraints are incompatible with draft_len > 0: the "
+            "speculative verify pass commits several tokens per step "
+            "without per-token grammar masks."
+        )
+      from cadence_gemma_tpu.inference import constrain
+
+      self._constrain_lib = constrain
+      constraints = list(constraints or [])
+      if self.dynamic_grammar_slots and dynamic_grammar_budget is None:
+        if not constraints:
+          raise ValueError(
+              "dynamic_grammar_slots with no constraints needs an "
+              "explicit dynamic_grammar_budget=(max_states, max_atoms, "
+              "max_token_len) — the slot shapes are compiled into the "
+              "decode program."
+          )
+        dynamic_grammar_budget = (1, 1, 1)  # floor; constraints dominate
+      self._n_static_grammars = len(constraints) + 1
+      self._constraints = constrain.stack_constraints(
+          constraints, sampler.vocab_size,
+          extra_slots=self.dynamic_grammar_slots,
+          min_dims=dynamic_grammar_budget or (1, 1, 1),
+      )
+      # Per-grammar admission views, sliced once (not per admission).
+      self._single_tables = [
+          self._constraints.single(g)
+          for g in range(self._constraints.num_grammars)
+      ]
+      # Dynamic-slot bookkeeping: key -> gid (LRU), gid -> live request
+      # count (a slot is only evictable at refcount 0).
+      import collections
+
+      self._dynamic_by_key: collections.OrderedDict = (
+          collections.OrderedDict()
+      )
+      self._gid_refs: dict[int, int] = {}
+      self._write_grammar_fn = jax.jit(
+          self._write_grammar, donate_argnums=0
+      )
+      # Per-slot grammar id + DFA state live in the step program's carry.
+      self._state.update(
+          gid=jnp.zeros((num_slots,), jnp.int32),
+          cstate=jnp.zeros((num_slots,), jnp.int32),
       )
 
     self.multi_lora = multi_lora
@@ -298,6 +376,85 @@ class ContinuousBatcher:
         pending_token=pending,
     )
 
+  def _write_grammar(self, registry, gid, allowed, trans, atoms, lengths,
+                     start):
+    """Overwrites registry slot ``gid`` in place (shapes unchanged)."""
+    upd = jax.lax.dynamic_update_index_in_dim
+    return type(registry)(
+        allowed_bits=upd(registry.allowed_bits, allowed, gid, axis=0),
+        trans=upd(registry.trans, trans, gid, axis=0),
+        token_atoms=upd(registry.token_atoms, atoms, gid, axis=0),
+        token_lengths=upd(registry.token_lengths, lengths, gid, axis=0),
+        start=registry.start.at[gid].set(start),
+    )
+
+  def register_grammar(self, dfa: Any) -> int:
+    """Installs a grammar into a reserved dynamic slot.
+
+    Returns the INTERNAL grammar id — callers normally don't need it:
+    pass the :class:`~constrain.TokenDFA` itself to
+    ``add_request(constraint=...)``, which registers (or reuses) it and
+    tracks the slot's live-request count. Re-registering the same
+    (pattern, stop-id) grammar reuses its slot; when all slots are
+    taken, the least-recently-used slot with no live requests is
+    evicted. Raises when every dynamic grammar is in use by an active
+    request. Call from the driver thread (device writes).
+    """
+    if self._constraints is None or not self.dynamic_grammar_slots:
+      raise ValueError(
+          "register_grammar needs ContinuousBatcher("
+          "dynamic_grammar_slots=k)."
+      )
+    if dfa.vocab_size != self.sampler.vocab_size:
+      raise ValueError(
+          f"grammar compiled for a {dfa.vocab_size}-token vocabulary; "
+          f"this sampler serves {self.sampler.vocab_size}."
+      )
+    key = (dfa.pattern, tuple(dfa.stop_ids))
+    gid = self._dynamic_by_key.get(key)
+    if gid is not None:
+      self._dynamic_by_key.move_to_end(key)
+      return gid
+    first_dyn = self._n_static_grammars
+    used = set(self._dynamic_by_key.values())
+    free = [
+        g for g in range(first_dyn, self._constraints.num_grammars)
+        if g not in used
+    ]
+    if free:
+      gid = free[0]
+    else:
+      for old_key, old_gid in self._dynamic_by_key.items():
+        if self._gid_refs.get(old_gid, 0) == 0:
+          del self._dynamic_by_key[old_key]
+          gid = old_gid
+          break
+      else:
+        raise RuntimeError(
+            f"all {self.dynamic_grammar_slots} dynamic grammar slots "
+            "are referenced by live requests; raise "
+            "dynamic_grammar_slots or retry after pop_finished()."
+        )
+    s_max = int(self._constraints.trans.shape[1])
+    a_max = int(self._constraints.trans.shape[2])
+    l_max = int(self._constraints.token_atoms.shape[2])
+    allowed, trans, atoms, lengths, start = self._constrain_lib.pad_grammar(
+        dfa, s_max, a_max, l_max
+    )
+    self._constraints = self._write_grammar_fn(
+        self._constraints, gid, jnp.asarray(allowed), jnp.asarray(trans),
+        jnp.asarray(atoms), jnp.asarray(lengths),
+        jnp.asarray(start, jnp.int32),
+    )
+    self._single_tables[gid] = self._constraints.single(gid)
+    self._dynamic_by_key[key] = gid
+    self._gid_refs.setdefault(gid, 0)
+    return gid
+
+  def _release_gid(self, gid: int) -> None:
+    if self._constraints is not None and gid >= self._n_static_grammars:
+      self._gid_refs[gid] = max(0, self._gid_refs.get(gid, 0) - 1)
+
   def _scatter_adapters(self, stacked, new, slot):
     """Writes one request's adapter tree into its slot's stacked row."""
     return jax.tree_util.tree_map(
@@ -308,12 +465,15 @@ class ContinuousBatcher:
     )
 
   def _insert(self, state, prefill_state, slot, budget, grow_to=None,
-              prompt_tokens=None, prompt_length=None, grow_hist_to=None):
+              prompt_tokens=None, prompt_length=None, grow_hist_to=None,
+              gid=None):
     """Scatters a batch-1 prefill result into slot ``slot``.
 
     ``prompt_tokens``/``prompt_length``/``grow_hist_to`` are only used in
     speculative mode: the (padded) prompt row seeds the slot's drafting
-    history.
+    history. ``gid`` (constraint registries only) records the request's
+    grammar; its post-first-token DFA state arrives in
+    ``prefill_state.constraint_state``.
     """
     state = dict(state)
     if grow_to is not None and grow_to != state["out"].shape[1]:
@@ -351,6 +511,11 @@ class ContinuousBatcher:
         ),
         rng=rng,
     )
+    if gid is not None:
+      state.update(
+          gid=upd(state["gid"], gid),
+          cstate=upd(state["cstate"], prefill_state.constraint_state[0]),
+      )
     if prompt_tokens is not None:
       if grow_hist_to is not None and grow_hist_to != state["hist"].shape[1]:
         state["hist"] = jnp.pad(
@@ -372,8 +537,13 @@ class ContinuousBatcher:
       )
     return state
 
-  def _step_n(self, params, state, n, adapters=None):
-    """Advances every slot ``n`` decode (or verify) steps in one program."""
+  def _step_n(self, params, state, n, adapters=None, constraints=None):
+    """Advances every slot ``n`` decode (or verify) steps in one program.
+
+    ``constraints`` (a :class:`constrain.StackedConstraintTables`) enters
+    as an argument — closing over a [G, S, V/32] registry would bake it
+    into the executable as a constant.
+    """
     model = self.sampler.model
     if adapters is not None:
       # Multi-adapter serving: overlay the stacked [num_slots, ...]
@@ -464,6 +634,11 @@ class ContinuousBatcher:
         step_logits = self.sampler._apply_repetition_penalty(
             step_logits, s["out"], written
         )
+      if constraints is not None:
+        # Each slot's own grammar row: the allow-all grammar (gid 0)
+        # masks nothing, so free and constrained requests share this
+        # program.
+        step_logits = constraints.mask(s["gid"], s["cstate"], step_logits)
       if self.sampler.deterministic_sampling:
         sampled = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
       else:
@@ -481,6 +656,14 @@ class ContinuousBatcher:
         ).astype(jnp.int32)
         rng = jnp.where(live[:, None], next_keys, rng)
       next_token = jnp.where(live, sampled, s["last_token"])
+      extra = {}
+      if constraints is not None:
+        extra["gid"] = s["gid"]
+        extra["cstate"] = jnp.where(
+            live,
+            constraints.advance(s["gid"], s["cstate"], next_token),
+            s["cstate"],
+        )
       rows = jnp.arange(self.num_slots)
       idx = jnp.minimum(s["write_idx"], s["out"].shape[1] - 1)
       out = s["out"].at[rows, idx].set(
@@ -504,6 +687,7 @@ class ContinuousBatcher:
           "budget": s["budget"],
           "out": out,
           "rng": rng,
+          **extra,
       }
 
     return jax.lax.fori_loop(0, n, body, state)
@@ -529,6 +713,7 @@ class ContinuousBatcher:
       pixels: Any | None = None,
       img_path: str | None = None,
       return_state: bool = False,
+      constraint: int | None = None,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -562,6 +747,11 @@ class ContinuousBatcher:
     ``return_state``/``prefix_state`` pair (IT turn templating
     included).
 
+    ``constraint=k`` masks this request's generation with registered
+    grammar ``constraints[k]`` (see the constructor): its tokens always
+    form a live prefix of the grammar and stop tokens are only legal
+    once the output matches. Other slots are unaffected.
+
     ``img_embed`` grounds the request in an image: fused vision features
     ``[1, vision_tokens, vision_width]`` splice in after the prompt's BOS
     during this request's admission prefill, exactly like the solo
@@ -573,6 +763,24 @@ class ContinuousBatcher:
     encoder). Images are incompatible with ``prefix_state`` (the splice
     needs the in-call BOS), matching the solo sampler.
     """
+    gid = 0
+    if constraint is not None:
+      if self._constraints is None:
+        raise ValueError(
+            "constraint= requires ContinuousBatcher(constraints=[...] "
+            "and/or dynamic_grammar_slots=k)."
+        )
+      if hasattr(constraint, "pattern"):  # a TokenDFA: dynamic slot
+        gid = self.register_grammar(constraint)
+      else:
+        n_registered = self._n_static_grammars - 1
+        if not 0 <= constraint < n_registered:
+          raise ValueError(
+              f"constraint must index the registered grammars "
+              f"[0, {n_registered}) (got {constraint}), or be a "
+              "TokenDFA for a dynamic slot."
+          )
+        gid = constraint + 1
     if return_state and not self.preserve_states:
       raise ValueError(
           "return_state requires ContinuousBatcher(preserve_states=True) "
@@ -708,14 +916,16 @@ class ContinuousBatcher:
     self._next_id += 1
     req = _Request(
         request_id=request_id, slot=slot, max_steps=max_steps,
-        prompt=prompt, want_state=return_state,
+        prompt=prompt, want_state=return_state, gid=gid,
     )
+    if self._constraints is not None and gid >= self._n_static_grammars:
+      self._gid_refs[gid] = self._gid_refs.get(gid, 0) + 1
     self._requests[slot] = req
     self._pending.append(_Pending(
         request=req, chunks=chunks, input_length=input_length,
         cache=cache, start=start, rng=rng,
         prompt_tokens=prompt_tokens, prompt_length=prompt_length,
-        adapters=adapters, img_embed=img_embed,
+        adapters=adapters, img_embed=img_embed, gid=gid,
     ))
     return request_id
 
@@ -732,6 +942,13 @@ class ContinuousBatcher:
     """Runs a pending request's final prefill chunk and fills its slot."""
     s = self.sampler
     final_tokens, _ = p.chunks.pop(0)
+    # Every grammar's slice shares the registry's padded shapes, so all
+    # admissions (free ones run the allow-all grammar 0) hit ONE compiled
+    # prefill program.
+    tables = (
+        self._single_tables[p.gid]
+        if self._constraints is not None else None
+    )
     prefill = s.prompt_processing_fn(
         self._admission_params(p),
         final_tokens,
@@ -743,6 +960,7 @@ class ContinuousBatcher:
         p.img_embed,
         p.cache,
         p.start,
+        tables,
     )
     grow_to = None
     need = sampler_lib._next_bucket(p.request.max_steps)
@@ -759,6 +977,7 @@ class ContinuousBatcher:
         self._state, prefill, p.request.slot,
         jnp.int32(p.request.max_steps), grow_to,
         p.prompt_tokens, p.prompt_length, grow_hist_to,
+        jnp.int32(p.gid) if self._constraints is not None else None,
     )
     if self.multi_lora:
       # The slot row must always be (re)written: a freed slot still
@@ -818,7 +1037,8 @@ class ContinuousBatcher:
     self._drain_admissions()
     if any(r.started for r in self._requests.values()):
       self._state = self._step_fn(
-          self.sampler.params, self._state, n, self._adapters
+          self.sampler.params, self._state, n, self._adapters,
+          self._constraints,
       )
     self._stream()
 
@@ -852,6 +1072,7 @@ class ContinuousBatcher:
       finished.append(
           (req.request_id, tokens, self.sampler.vocab.DecodeIds(tokens))
       )
+      self._release_gid(req.gid)
       del self._requests[slot]
       self._state = dict(self._state)
       self._state["active"] = self._state["active"].at[slot].set(False)
@@ -885,6 +1106,7 @@ class ContinuousBatcher:
     for i, p in enumerate(self._pending):
       if p.request.request_id == request_id:
         del self._pending[i]
+        self._release_gid(p.request.gid)
         del self._requests[p.request.slot]
         if self.stream_callback is not None:
           self.stream_callback(request_id, [], True)
@@ -893,6 +1115,7 @@ class ContinuousBatcher:
       if req.request_id == request_id:
         self._state = dict(self._state)
         self._state["active"] = self._state["active"].at[slot].set(False)
+        self._release_gid(req.gid)
         del self._requests[slot]
         if self.stream_callback is not None:
           self.stream_callback(request_id, [], True)

@@ -58,6 +58,13 @@ _HTTP_PORT = flags.DEFINE_integer(
     "GET /v1/models, POST /v1/completions and /v1/chat/completions) "
     "on this port and blocks. 0 binds an ephemeral port.",
 )
+_JSON_MODE = flags.DEFINE_boolean(
+    "json_mode", False,
+    "Register a JSON grammar for HTTP serving: requests with "
+    "response_format {'type': 'json_object'} (OpenAI routes) or "
+    "{'constraint': 'json_object'} (/v1/generate) are masked to emit "
+    "only valid JSON. Grammar build is once at startup.",
+)
 _ADAPTERS = flags.DEFINE_multi_string(
     "adapter_path", [],
     "Optional LoRA adapter checkpoint(s) (orbax trees of lora_a/lora_b "
@@ -146,15 +153,35 @@ def main(argv):
     return
 
   if _HTTP_PORT.value is not None:
+    constraints = None
+    constraint_names = None
+    dynamic_slots = 0
+    if _JSON_MODE.value:
+      t0 = time.perf_counter()
+      constraints = [cg.json_mode_dfa(
+          vocab, config.vocab_size, extra_stop_ids=stop_ids or ()
+      )]
+      constraint_names = {"json_object": 0}
+      # The JSON grammar's dims also budget per-request json_schema
+      # slots (schema grammars are far smaller than full JSON).
+      dynamic_slots = 4
+      print(f"[serve] JSON grammar compiled in "
+            f"{time.perf_counter() - t0:.1f}s "
+            f"({constraints[0].n_states} DFA states); "
+            f"{dynamic_slots} dynamic slots for response_format "
+            "json_schema.")
     batcher = cg.ContinuousBatcher(
         sampler, num_slots=_SLOTS.value, max_steps_default=_STEPS.value,
         admission_chunks_per_tick=1, multi_lora=bool(adapter_trees),
         # Chat sessions extract per-request states; the per-step cache
         # select it costs is cache traffic, not weight traffic.
         preserve_states=True,
+        constraints=constraints,
+        dynamic_grammar_slots=dynamic_slots,
     )
     frontend = cg.ServingFrontend(
         batcher,
+        constraint_names=constraint_names,
         # --system applies to every request (sessions start from it).
         default_prefix_state=prefix if _SYSTEM.value else None,
         # HTTP requests pick an adapter with {"adapter": i}.

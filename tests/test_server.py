@@ -751,6 +751,207 @@ class TestOpenAICompat:
     )
 
 
+class TestConstrainedServing:
+  """Named grammars through the frontend and the OpenAI response_format."""
+
+  @pytest.fixture()
+  def httpd(self, setup):
+    from cadence_gemma_tpu.inference import constrain
+
+    sampler, vocab = setup
+    dfa = constrain.TokenDFA(
+        constrain.choice_regex(["alpha", "beta"]),
+        constrain.token_strings_from_vocab(vocab, vocab.GetPieceSize()),
+        eos_id=vocab.eos_id(),
+    )
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=8, constraints=[dfa]
+    )
+    # "json_object" intentionally maps to the same grammar: these tests
+    # exercise the response_format ROUTING; the grammar itself is covered
+    # by tests/test_constrain.py.
+    fe = server_lib.ServingFrontend(
+        batcher, step_size=2,
+        constraint_names={"choice": 0, "json_object": 0},
+    )
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, sampler, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def test_generate_with_named_constraint(self, httpd):
+    srv, _, _ = httpd
+    status, out = self._post(
+        srv.port, "/v1/generate",
+        {"prompt": "gamma delta", "constraint": "choice"},
+    )
+    assert status == 200
+    assert out["text"] in ("alpha", "beta"), out
+
+  def test_unknown_constraint_is_400(self, httpd):
+    srv, _, _ = httpd
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(srv.port, "/v1/generate",
+                 {"prompt": "gamma", "constraint": "nope"})
+    assert e.value.code == 400
+    assert "unknown constraint" in json.loads(e.value.read())["error"]
+
+  def test_response_format_json_object_routes_to_grammar(self, httpd):
+    srv, _, _ = httpd
+    status, out = self._post(
+        srv.port, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "gamma delta"}],
+         "response_format": {"type": "json_object"}},
+    )
+    assert status == 200
+    content = out["choices"][0]["message"]["content"]
+    assert content in ("alpha", "beta"), out
+
+  def test_response_format_text_is_free(self, httpd):
+    srv, sampler, vocab = httpd
+    status, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "gamma delta", "max_tokens": 8,
+         "response_format": {"type": "text"}},
+    )
+    assert status == 200
+    assert out["choices"][0]["text"] == vocab.DecodeIds(
+        _solo(sampler, "gamma delta", 8)
+    )
+
+  def test_unsupported_response_format_rejected(self, httpd):
+    srv, _, _ = httpd
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(
+          srv.port, "/v1/completions",
+          {"prompt": "gamma", "response_format": {"type": "json_schema"}},
+      )
+    assert e.value.code == 400
+
+  @pytest.fixture()
+  def schema_httpd(self):
+    """A JSON-capable character vocab + dynamic grammar slots."""
+    from tests.test_constrain import CharVocab
+
+    pieces = list('{}[]:,"0123456789') + ["name", "a", "b", "-",
+                                          "true", "false", "null"]
+    vocab = CharVocab(pieces)
+    config = common.GriffinConfig(
+        vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+        num_heads=2,
+        block_types=(common.TemporalBlockType.RECURRENT,),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+        logits_soft_cap=30.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+    )
+    model = griffin.Griffin(config, dtype=jnp.float32,
+                            param_dtype=jnp.float32,
+                            gradient_checkpointing=False)
+    params = model.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.arange(4)[None])["params"]
+    sampler = sampler_lib.Sampler(model, vocab, params)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=48,
+        dynamic_grammar_slots=2, dynamic_grammar_budget=(128, 24, 6),
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=4)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, sampler, vocab
+    srv.close()
+
+  def test_response_format_json_schema_end_to_end(self, schema_httpd):
+    import re as re_mod
+
+    srv, _, vocab = schema_httpd
+    # Property names must be spellable from the vocab pieces ("name",
+    # "b") — a grammar demanding unspellable text sticks and fails open.
+    schema = {
+        "type": "object",
+        "properties": {"name": {"enum": ["a", "b"]},
+                       "b": {"type": "integer"}},
+        "required": ["name", "b"],
+    }
+    status, out = self._post(
+        srv.port, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "a b"}],
+         "max_tokens": 48,
+         "response_format": {"type": "json_schema",
+                             "json_schema": {"name": "row",
+                                             "schema": schema}}},
+    )
+    assert status == 200
+    content = out["choices"][0]["message"]["content"]
+    if out["choices"][0]["finish_reason"] == "stop":
+      doc = json.loads(content)
+      assert doc["name"] in ("a", "b") and isinstance(doc["b"], int)
+    else:
+      # Budget-truncated: still a live prefix of the schema grammar.
+      assert re_mod.match(r'\{"name":"[ab]"', content), content
+
+  def test_json_schema_without_dynamic_slots_rejected(self, httpd):
+    srv, _, _ = httpd
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(
+          srv.port, "/v1/completions",
+          {"prompt": "gamma",
+           "response_format": {
+               "type": "json_schema",
+               "json_schema": {"schema": {"type": "integer"}}}},
+      )
+    assert e.value.code == 400
+    assert "dynamic" in str(json.loads(e.value.read())["error"]).lower()
+
+  def test_bad_json_schema_rejected(self, schema_httpd):
+    srv, _, _ = schema_httpd
+    for rf in (
+        {"type": "json_schema"},  # no schema
+        {"type": "json_schema",
+         "json_schema": {"schema": {"type": "object",
+                                    "properties": {"a": {"type": "null"}},
+                                    "required": []}}},  # not strict
+    ):
+      with pytest.raises(urllib.error.HTTPError) as e:
+        self._post(srv.port, "/v1/completions",
+                   {"prompt": "a", "response_format": rf})
+      assert e.value.code == 400
+
+  def test_json_object_without_registry_rejected(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=4)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      with pytest.raises(urllib.error.HTTPError) as e:
+        self._post(
+            srv.port, "/v1/completions",
+            {"prompt": "gamma",
+             "response_format": {"type": "json_object"}},
+        )
+      assert e.value.code == 400
+      assert "JSON grammar" in str(json.loads(e.value.read())["error"])
+    finally:
+      srv.close()
+
+  def test_constraint_names_need_registered_grammars(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1)
+    with pytest.raises(ValueError, match="registered no grammars"):
+      server_lib.ServingFrontend(
+          batcher, constraint_names={"json_object": 0}
+      )
+    batcher.stream_callback = None  # detach for reuse
+
+
 class TestProductionHardening:
   """Backpressure, Prometheus metrics, graceful drain."""
 
