@@ -120,6 +120,41 @@ class PrefixState(Generic[Cache]):
   pending_token: jax.Array | None = None
 
 
+def filter_logits_rows(logits, temp, top_k, top_p):
+  """Row-wise temperature / top-k / top-p, matching
+  :meth:`Sampler._filter_logits`'s sequential semantics bit-for-bit.
+
+  One descending sort serves both filters: top-k's threshold is the k-th
+  sorted value (ties kept, like the shared path); top-p's kept-mass
+  threshold is computed on the top-k-FILTERED distribution — the same
+  order the shared path composes them in. Rows at the defaults (temp 1,
+  k 0 = off, p 1) pass through bit-identically, so rows that override
+  nothing match the shared path exactly. Shared by the continuous
+  batcher's ``per_request_sampling`` decode step and the per-request
+  admission prefill.
+  """
+  neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+  lg = logits / temp[:, None]
+  sorted_lg = jnp.flip(jnp.sort(lg, axis=-1), axis=-1)
+  vocab = lg.shape[-1]
+  k = jnp.clip(top_k, 0, vocab)
+  kth = jnp.take_along_axis(
+      sorted_lg, jnp.maximum(k - 1, 0)[:, None], axis=1
+  )
+  thr_k = jnp.where((k > 0)[:, None], kth, neg_inf)
+  lg = jnp.where(lg < thr_k, neg_inf, lg)
+  # top-p over the top-k-filtered distribution (sorted view: entries
+  # below the k threshold become -inf in place; order is preserved).
+  sorted2 = jnp.where(sorted_lg < thr_k, neg_inf, sorted_lg)
+  probs = jax.nn.softmax(sorted2, axis=-1)
+  cumulative = jnp.cumsum(probs, axis=-1)
+  keep = cumulative - probs < top_p[:, None]
+  min_kept = jnp.min(
+      jnp.where(keep, sorted2, jnp.inf), axis=-1, keepdims=True
+  )
+  return jnp.where(lg < min_kept, neg_inf, lg)
+
+
 def _next_bucket(n: int, minimum: int = 16) -> int:
   """Smallest power of two >= max(n, minimum)."""
   b = minimum
@@ -251,6 +286,8 @@ class Sampler(Generic[Cache]):
         int(i) for i in (stop_token_ids or ())
     )
     self._stop_ids = jnp.asarray(sorted(stop_ids), jnp.int32)
+    # Host copy: static scatter columns inside compiled programs.
+    self._stop_ids_host = tuple(sorted(stop_ids))
     if repetition_penalty <= 0.0:
       raise ValueError(
           f"repetition_penalty must be > 0 (got {repetition_penalty})."
@@ -360,12 +397,20 @@ class Sampler(Generic[Cache]):
       self,
       rng: jt.PRNGKeyArray | None,
       logits: jt.Float[jt.Array, "*b v"],
+      row_overrides=None,
   ) -> tuple[jt.Integer[jt.Array, "*b"], jt.PRNGKeyArray | None]:
+    """Greedy argmax or filtered categorical; ``row_overrides`` is an
+    optional ``(temp[b], top_k[b], top_p[b])`` triple replacing the
+    sampler-level filters row-wise (per-request serving)."""
     if self.deterministic_sampling:
       return jnp.argmax(logits, axis=-1), rng
     assert rng is not None
     rng, step_rng = jax.random.split(rng)
-    return jax.random.categorical(step_rng, self._filter_logits(logits)), rng
+    if row_overrides is not None:
+      filtered = filter_logits_rows(logits, *row_overrides)
+    else:
+      filtered = self._filter_logits(logits)
+    return jax.random.categorical(step_rng, filtered), rng
 
   def _filter_logits(
       self, logits: jt.Float[jt.Array, "*b v"]
@@ -564,6 +609,7 @@ class Sampler(Generic[Cache]):
       initial_cache: Cache | None = None,
       start_positions: at.NumTokens | None = None,
       constraint_tables=None,
+      sampling_overrides=None,
   ) -> SamplingState:
     """Prefill: builds the cache, samples the first token, allocates buffers.
 
@@ -571,7 +617,12 @@ class Sampler(Generic[Cache]):
     cache already holds earlier chunks and this call's positions start at
     ``start_positions`` instead of 0. ``constraint_tables`` masks the
     first sampled token with the grammar (decode steps continue from the
-    resulting DFA state).
+    resulting DFA state). ``sampling_overrides`` — a ``(temp[b],
+    top_k[b], top_p[b], suppress_stops[b], extra_stop_cols[b, k])``
+    tuple — applies per-row sampling parameters to the first sampled
+    token (the continuous batcher's per-request admission): rows with
+    ``suppress_stops`` set get stop-token logits masked to -inf
+    (min_tokens semantics start at the seed).
     """
     batch_size, prompt_length = tokens.shape
 
@@ -663,7 +714,25 @@ class Sampler(Generic[Cache]):
       seed_logits = logits[:, 0]
       if constraint_tables is not None:
         seed_logits = constraint_tables.mask(constraint_state, seed_logits)
-      next_token, rng = self._sample_from_logits(rng, seed_logits)
+      row_overrides = None
+      if sampling_overrides is not None:
+        temp_r, top_k_r, top_p_r, suppress, extra_cols = sampling_overrides
+        neg_inf = jnp.asarray(-jnp.inf, seed_logits.dtype)
+        for col in self._stop_ids_host:
+          seed_logits = seed_logits.at[:, col].set(
+              jnp.where(suppress, neg_inf, seed_logits[:, col])
+          )
+        rows = jnp.arange(batch_size)[:, None]
+        cols = jnp.maximum(extra_cols, 0)
+        vals = jnp.take_along_axis(seed_logits, cols, axis=1)
+        vals = jnp.where(
+            (extra_cols >= 0) & suppress[:, None], neg_inf, vals
+        )
+        seed_logits = seed_logits.at[rows, cols].set(vals)
+        row_overrides = (temp_r, top_k_r, top_p_r)
+      next_token, rng = self._sample_from_logits(
+          rng, seed_logits, row_overrides
+      )
       if constraint_tables is not None:
         constraint_state = constraint_tables.advance(
             constraint_state, next_token

@@ -59,9 +59,12 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       fragments the samplers use, so a stateless chat request tokenizes
       exactly like the equivalent session-based conversation.
       ``stream=true`` emits SSE ``data:`` chunks, then ``data: [DONE]``.
-      Per-request sampling knobs the batcher compiles statically
-      (temperature/top_p/stop) are IGNORED — configure them on the
-      sampler; unsupported result shapes (n>1, echo, logprobs) are 400s.
+      With a ``per_request_sampling`` batcher, temperature / top_p /
+      top_k / stop (single-token stops) / min_tokens /
+      repetition_penalty are HONORED per request (temperature 0 maps to
+      top_k=1, i.e. argmax); otherwise they are ignored — configure them
+      on the sampler. Unsupported result shapes (n>1, echo, logprobs)
+      are 400s.
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -209,7 +212,8 @@ class Submission:
   def __init__(self, prompt: str, max_steps: int, seed: int | None,
                image_path: str | None, image_b64: str | None,
                session: str | None = None, adapter: Any | None = None,
-               session_epoch: int = 0, constraint: int | None = None):
+               session_epoch: int = 0, constraint: int | None = None,
+               sampling: dict | None = None):
     self.prompt = prompt
     self.max_steps = max_steps
     self.seed = seed
@@ -219,6 +223,8 @@ class Submission:
     self.adapter = adapter               # opaque ref; adapter_resolver maps it
     self.session_epoch = session_epoch   # reset_session() generation at submit
     self.constraint = constraint         # grammar index or compiled TokenDFA
+    self.sampling = sampling or {}       # per-request sampling overrides
+    self.logprobs: dict | None = None    # filled at finish (record_logprobs)
     self.events: queue.Queue = queue.Queue()
     self.request_id: int | None = None   # set once admitted
     self.cancelled = False               # host-side flag, driver honors
@@ -323,6 +329,12 @@ class ServingFrontend:
     self._schema_lock = threading.Lock()
     self._token_strings: list[str] | None = None
     self._inbox: queue.Queue[Submission] = queue.Queue()
+    # Accepted-but-unfinished submissions; close(drain=True) waits on
+    # this instead of polling (inbox, by_id) — those two are briefly
+    # BOTH empty while an admission is in flight (a drain that
+    # sampled that window cancelled the in-flight request).
+    self._open = 0
+    self._open_lock = threading.Lock()
     self._by_id: dict[int, Submission] = {}
     # session -> PrefixState, insertion-ordered for LRU eviction.
     self._sessions: collections.OrderedDict[str, Any] = (
@@ -350,7 +362,13 @@ class ServingFrontend:
              image_b64: str | None = None,
              session: str | None = None,
              adapter: Any | None = None,
-             constraint: str | dict | None = None) -> Submission:
+             constraint: str | dict | None = None,
+             temperature: float | None = None,
+             top_k: int | None = None,
+             top_p: float | None = None,
+             min_tokens: int | None = None,
+             stop_token_ids: Any | None = None,
+             repetition_penalty: float | None = None) -> Submission:
     """Queues one generation. ``session`` names a conversation: its
     turns chain through the batcher's per-request PrefixState (requires
     ``preserve_states=True`` on the batcher), so each turn prefills only
@@ -361,7 +379,10 @@ class ServingFrontend:
     ``constraint`` names a grammar from ``constraint_names`` — or is a
     JSON-Schema dict (strict subset), compiled here on the handler
     thread and installed into a dynamic grammar slot — masking this
-    request's generation."""
+    request's generation. ``temperature``/``top_k``/``top_p``/
+    ``min_tokens``/``stop_token_ids``/``repetition_penalty`` override
+    the sampler per request (requires a ``per_request_sampling``
+    batcher)."""
     if self._error is not None:
       raise FrontendDead(f"serving driver died: {self._error}")
     constraint_index = None
@@ -397,13 +418,24 @@ class ServingFrontend:
           raise SessionBusy(f"session {session!r} has a turn in flight")
         self._busy_sessions.add(session)
         epoch = self._session_epoch.get(session, 0)
+    sampling = {
+        k: v for k, v in (
+            ("temperature", temperature), ("top_k", top_k),
+            ("top_p", top_p), ("min_tokens", min_tokens),
+            ("stop_token_ids", stop_token_ids),
+            ("repetition_penalty", repetition_penalty),
+        ) if v is not None
+    }
     sub = Submission(
         prompt,
         self.batcher.max_steps_default if max_tokens is None
         else max_tokens,
         seed, image_path, image_b64, session=session, adapter=adapter,
         session_epoch=epoch, constraint=constraint_index,
+        sampling=sampling,
     )
+    with self._open_lock:
+      self._open += 1
     self._inbox.put(sub)
     self._wake.set()
     return sub
@@ -532,7 +564,7 @@ class ServingFrontend:
     if drain:
       deadline = time.monotonic() + drain_timeout_s
       while (self._error is None and time.monotonic() < deadline
-             and (self._inbox.qsize() or self._by_id)):
+             and self._open > 0):
         time.sleep(0.02)
     self._stop.set()
     self._wake.set()
@@ -553,11 +585,18 @@ class ServingFrontend:
         sub.t_first_token = time.monotonic()
       sub.events.put(("tokens", list(token_ids)))
 
+  def _terminal(self, sub: Submission, kind: str, payload) -> None:
+    """Delivers a submission's single terminal event and closes it
+    out of the drain count. Every submission gets exactly one."""
+    sub.events.put((kind, payload))
+    with self._open_lock:
+      self._open -= 1
+
   def _admit(self, sub: Submission) -> None:
     if sub.cancelled:
       self._release_session(sub)
       self._cancelled += 1
-      sub.events.put(("cancelled", None))
+      self._terminal(sub, "cancelled", None)
       return
     kwargs: dict[str, Any] = {}
     try:
@@ -579,6 +618,14 @@ class ServingFrontend:
         kwargs["adapters"] = self.adapter_resolver(sub.adapter)
       if sub.constraint is not None:
         kwargs["constraint"] = sub.constraint
+      kwargs.update(sub.sampling)
+      if sub.seed is None and not self.batcher.sampler.deterministic_sampling:
+        # Categorical serving without a client seed: draw one here so
+        # the request is admissible (and record it for reproducibility
+        # debugging — a request's tokens are a function of its seed).
+        import secrets
+
+        sub.seed = secrets.randbits(63)
       if sub.seed is not None:
         import jax
 
@@ -597,7 +644,7 @@ class ServingFrontend:
     except Exception as e:  # bad image, ragged batch rules, OOM, ...
       self._release_session(sub)
       self._errors += 1
-      sub.events.put(("error", f"{type(e).__name__}: {e}"))
+      self._terminal(sub, "error", f"{type(e).__name__}: {e}")
       return
     sub.request_id = rid
     self._by_id[rid] = sub
@@ -633,7 +680,7 @@ class ServingFrontend:
     )
     for rid, sub in self._by_id.items():
       self._release_session(sub)
-      sub.events.put(terminal)
+      self._terminal(sub, *terminal)
     self._by_id.clear()
     while True:
       try:
@@ -641,7 +688,7 @@ class ServingFrontend:
       except queue.Empty:
         break
       self._release_session(sub)
-      sub.events.put(terminal)
+      self._terminal(sub, *terminal)
 
   def _tick(self) -> None:
     # Admit while there is capacity (admission prefill is device work,
@@ -660,7 +707,7 @@ class ServingFrontend:
         del self._by_id[rid]
         self._release_session(sub)
         self._cancelled += 1
-        sub.events.put(("cancelled", None))
+        self._terminal(sub, "cancelled", None)
     if not self.batcher.active_count:
       self._wake.wait(timeout=self.idle_wait_s)
       self._wake.clear()
@@ -669,6 +716,8 @@ class ServingFrontend:
     for rid, tokens, text in self.batcher.pop_finished():
       sub = self._by_id.pop(rid, None)
       if sub is not None:
+        if getattr(self.batcher, "record_logprobs", 0):
+          sub.logprobs = self.batcher.take_logprobs(rid)
         if sub.session is not None:
           self._store_session_state(sub, rid)
         sub.t_done = time.monotonic()
@@ -682,7 +731,51 @@ class ServingFrontend:
             (sub.t_first_token - sub.t_submit,
              sub.t_done - sub.t_submit, len(tokens))
         )
-        sub.events.put(("done", (tokens, text)))
+        self._terminal(sub, "done", (tokens, text))
+
+
+def _format_logprobs(record: dict, tokens: list, vocab, chat: bool,
+                     top_k: int) -> dict:
+  """Shapes a batcher logprob record as the OpenAI response form.
+
+  Chat: ``{"content": [{token, logprob, top_logprobs: [...]}, ...]}``;
+  legacy completions: ``{"tokens", "token_logprobs", "top_logprobs",
+  "text_offset"}``. ``top_k`` bounds the alternatives per position
+  (0 = chosen-token logprobs only).
+  """
+  piece_of = lambda tid: vocab.DecodeIds([int(tid)])  # noqa: E731
+  chosen = record["token_logprobs"]
+  tops = [
+      [
+          (piece_of(tid), lp)
+          for tid, lp in zip(ids[:top_k], lps[:top_k])
+      ]
+      for ids, lps in zip(record["top_ids"], record["top_logprobs"])
+  ]
+  if chat:
+    return {
+        "content": [
+            {
+                "token": piece_of(tok),
+                "logprob": lp,
+                "top_logprobs": [
+                    {"token": t, "logprob": v} for t, v in alts
+                ],
+            }
+            for tok, lp, alts in zip(tokens, chosen, tops)
+        ]
+    }
+  pieces = [piece_of(t) for t in tokens]
+  offsets, pos = [], 0
+  for piece in pieces:
+    offsets.append(pos)
+    pos += len(piece)
+  return {
+      "tokens": pieces,
+      "token_logprobs": chosen,
+      "top_logprobs": [dict(alts) for alts in tops],
+      "text_offset": offsets,
+  }
 
 
 def _make_handler(frontend: ServingFrontend, model_name: str):
@@ -736,19 +829,44 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
     def _openai_reject_unsupported(self, req: dict) -> bool:
       """400s result shapes we cannot produce; returns True if rejected.
 
-      Sampling knobs the batcher compiles statically (temperature, top_p,
-      stop, penalties) are deliberately IGNORED rather than rejected —
-      clients send them unconditionally; configure them on the sampler.
+      Sampling knobs are honored per request on ``per_request_sampling``
+      batchers; on other batchers they are deliberately IGNORED rather
+      than rejected — clients send them unconditionally; configure them
+      on the sampler there.
       """
-      if req.get("n") not in (None, 1):
-        self._json(400, _openai_error("n > 1 is not supported"))
+      n = req.get("n")
+      if n is not None and (not isinstance(n, int) or not 1 <= n <= 16):
+        self._json(400, _openai_error("n must be an int in [1, 16]"))
+        return True
+      if n not in (None, 1) and req.get("stream"):
+        self._json(
+            400, _openai_error("streaming with n > 1 is not supported")
+        )
         return True
       if req.get("echo"):
         self._json(400, _openai_error("echo is not supported"))
         return True
-      if req.get("logprobs"):
-        self._json(400, _openai_error("logprobs are not supported"))
-        return True
+      want_lp = req.get("logprobs") or req.get("top_logprobs")
+      if want_lp:
+        recorded = getattr(frontend.batcher, "record_logprobs", 0)
+        if not recorded:
+          self._json(400, _openai_error(
+              "logprobs need ContinuousBatcher(record_logprobs=k) on "
+              "this server"
+          ))
+          return True
+        k = want_lp if isinstance(want_lp, int) else 0
+        if k > recorded:
+          self._json(400, _openai_error(
+              f"this server records top-{recorded} logprobs "
+              f"(requested {k})"
+          ))
+          return True
+        if req.get("stream"):
+          self._json(400, _openai_error(
+              "streaming with logprobs is not supported"
+          ))
+          return True
       return False
 
     def _openai_constraint(self, req: dict):
@@ -800,17 +918,55 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
       constraint, rejected = self._openai_constraint(req)
       if rejected:
         return
+      sampling: dict[str, Any] = {}
+      if getattr(frontend.batcher, "per_request_sampling", False):
+        # Honor the standard knobs (a per_request_sampling batcher
+        # evaluates them per slot); otherwise they stay ignored, as
+        # documented.
+        if req.get("temperature") is not None:
+          if float(req["temperature"]) == 0.0:
+            # OpenAI temperature 0 = deterministic; top_k=1 makes the
+            # categorical draw an argmax without a greedy sampler.
+            sampling["top_k"] = 1
+          else:
+            sampling["temperature"] = float(req["temperature"])
+        if req.get("top_p") is not None:
+          sampling["top_p"] = float(req["top_p"])
+        if req.get("top_k") is not None:  # common extension
+          sampling["top_k"] = int(req["top_k"])
+        if req.get("min_tokens") is not None:  # vLLM-style extension
+          sampling["min_tokens"] = int(req["min_tokens"])
+        if req.get("repetition_penalty") is not None:  # HF extension
+          sampling["repetition_penalty"] = float(req["repetition_penalty"])
+        stop = req.get("stop")
+        if stop:
+          stops = [stop] if isinstance(stop, str) else list(stop)
+          ids = []
+          for text in stops:
+            enc = vocab.EncodeAsIds(text)
+            if len(enc) == 1:
+              ids.append(enc[0])  # single-token stops only (documented)
+          if ids:
+            sampling["stop_token_ids"] = ids
+      n = int(req.get("n") or 1)  # n > 1 is non-streaming (rejected above)
+      base_seed = req.get("seed")
       try:
-        sub = frontend.submit(
-            prompt, max_tokens=max_tokens, seed=req.get("seed"),
-            image_b64=image_b64, constraint=constraint,
-        )
+        subs = []
+        for i in range(n):
+          # Distinct deterministic seeds per sample when one was given
+          # (seedless categorical requests auto-seed independently).
+          seed_i = base_seed + i if base_seed is not None else None
+          subs.append(frontend.submit(
+              prompt, max_tokens=max_tokens, seed=seed_i,
+              image_b64=image_b64, constraint=constraint, **sampling,
+          ))
       except QueueFull as e:
         return self._json(429, _openai_error(str(e), "overloaded_error"))
       except FrontendDead as e:
         return self._json(503, _openai_error(str(e)))
       except ValueError as e:
         return self._json(400, _openai_error(str(e)))
+      sub = subs[0]
       created = int(time.time())
       oid = f"{'chatcmpl' if chat else 'cmpl'}-{id(sub):x}-{created}"
       obj = "chat.completion" if chat else "text_completion"
@@ -819,26 +975,43 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
         return "length" if len(tokens) >= sub.max_steps else "stop"
 
       if not req.get("stream"):
-        try:
-          tokens, text = sub.result()
-        except RuntimeError as e:
-          return self._json(400, _openai_error(str(e)))
-        choice: dict[str, Any] = {
-            "index": 0, "logprobs": None,
-            "finish_reason": finish_reason(tokens),
-        }
-        if chat:
-          choice["message"] = {"role": "assistant", "content": text}
-        else:
-          choice["text"] = text
+        choices = []
+        total_completion = 0
+        for i, sub_i in enumerate(subs):
+          try:
+            tokens, text = sub_i.result()
+          except RuntimeError as e:
+            return self._json(400, _openai_error(str(e)))
+          total_completion += len(tokens)
+          choice: dict[str, Any] = {
+              "index": i, "logprobs": None,
+              "finish_reason": finish_reason(tokens),
+          }
+          if sub_i.logprobs is not None and (
+              req.get("logprobs") or req.get("top_logprobs")
+          ):
+            choice["logprobs"] = _format_logprobs(
+                sub_i.logprobs, tokens, vocab, chat,
+                req.get("top_logprobs") or (
+                    req["logprobs"]
+                    if isinstance(req.get("logprobs"), int)
+                    and not isinstance(req.get("logprobs"), bool)
+                    else 0
+                ),
+            )
+          if chat:
+            choice["message"] = {"role": "assistant", "content": text}
+          else:
+            choice["text"] = text
+          choices.append(choice)
         n_prompt = prompt_token_count(prompt, image_b64 is not None)
         return self._json(200, {
             "id": oid, "object": obj, "created": created,
-            "model": model_name, "choices": [choice],
+            "model": model_name, "choices": choices,
             "usage": {
                 "prompt_tokens": n_prompt,
-                "completion_tokens": len(tokens),
-                "total_tokens": n_prompt + len(tokens),
+                "completion_tokens": total_completion,
+                "total_tokens": n_prompt + total_completion,
             },
         })
       # Streaming: SSE data: chunks, then data: [DONE].
@@ -958,6 +1131,12 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             session=req.get("session"),
             adapter=req.get("adapter"),
             constraint=req.get("constraint"),
+            temperature=req.get("temperature"),
+            top_k=req.get("top_k"),
+            top_p=req.get("top_p"),
+            min_tokens=req.get("min_tokens"),
+            stop_token_ids=req.get("stop_token_ids"),
+            repetition_penalty=req.get("repetition_penalty"),
         )
       except SessionBusy as e:
         return self._json(409, {"error": str(e)})

@@ -92,10 +92,15 @@ class _Pending:
   adapters: Any = None    # per-request LoRA tree (multi_lora mode)
   img_embed: Any = None   # per-request fused vision features
   gid: int = 0            # grammar id (0 = unconstrained)
+  sampling: Any = None    # per-request sampling row (per_request_sampling)
 
 
 class ContinuousBatcher:
   """Slot-based continuous batching over a greedy :class:`Sampler`.
+
+  Class attributes:
+    MAX_REQUEST_STOPS: Per-request extra stop-token capacity when
+      ``per_request_sampling`` is on (a compiled-in buffer width).
 
   Args:
     sampler: The sampler whose model/params/vocab (and, for categorical
@@ -119,6 +124,8 @@ class ContinuousBatcher:
     ngram: Longest-suffix lookup window for speculative drafting.
   """
 
+  MAX_REQUEST_STOPS = 4
+
   def __init__(
       self,
       sampler: sampler_lib.Sampler,
@@ -133,6 +140,8 @@ class ContinuousBatcher:
       constraints: Any | None = None,
       dynamic_grammar_slots: int = 0,
       dynamic_grammar_budget: tuple[int, int, int] | None = None,
+      per_request_sampling: bool = False,
+      record_logprobs: int = 0,
   ):
     """See the class docstring.
 
@@ -195,6 +204,27 @@ class ContinuousBatcher:
         registered constraint; required if ``dynamic_grammar_slots > 0``
         with no ``constraints``. A registration exceeding the budget
         raises (shapes are compiled in).
+      per_request_sampling: Let each request carry its own sampling
+        parameters — ``temperature`` / ``top_k`` / ``top_p`` (categorical
+        samplers), ``repetition_penalty``, ``min_tokens`` (stop tokens
+        suppressed until that many tokens emitted), and extra
+        ``stop_token_ids`` — evaluated per slot inside the one compiled
+        decode program (the filters become row-wise: one descending sort
+        serves both top-k and top-p thresholds). Requests that omit a
+        parameter inherit the sampler's own setting and their filtered
+        logits are bit-identical to the shared path. This is what lets
+        the HTTP front end HONOR OpenAI ``temperature``/``top_p``/
+        ``stop`` instead of ignoring them. Incompatible with
+        ``draft_len`` (the speculative verify pass uses the sampler's
+        shared filters).
+      record_logprobs: > 0 records, for every emitted token, its
+        log-probability under the model's raw distribution (one
+        log-softmax pass per step) plus the top ``record_logprobs``
+        alternative (token, logprob) pairs — fetch a finished request's
+        record with :meth:`take_logprobs`. This is the OpenAI
+        ``logprobs`` surface. Incompatible with ``draft_len`` (verify
+        steps commit several tokens per program with no per-token
+        distribution materialized).
     """
     self.sampler = sampler
     self.num_slots = num_slots
@@ -246,6 +276,58 @@ class ContinuousBatcher:
           hist=jnp.zeros((num_slots, self._hist_len), jnp.int32),
           cur_len=jnp.zeros((num_slots,), jnp.int32),
           valid_from=jnp.zeros((num_slots,), jnp.int32),
+      )
+
+    self.record_logprobs = int(record_logprobs)
+    if self.record_logprobs:
+      if draft_len:
+        raise ValueError(
+            "record_logprobs is incompatible with draft_len > 0 (verify "
+            "steps commit several tokens per program)."
+        )
+      k = self.record_logprobs
+      self._state.update(
+          chosen_lp=jnp.zeros((num_slots, self._buffer_len), jnp.float32),
+          top_lp_ids=jnp.zeros(
+              (num_slots, self._buffer_len, k), jnp.int32
+          ),
+          top_lp_vals=jnp.zeros(
+              (num_slots, self._buffer_len, k), jnp.float32
+          ),
+      )
+      self._logprob_records: dict[int, dict] = {}
+
+    self.per_request_sampling = per_request_sampling
+    if per_request_sampling:
+      if draft_len:
+        raise ValueError(
+            "per_request_sampling is incompatible with draft_len > 0 "
+            "(the speculative verify pass uses the sampler's shared "
+            "filters)."
+        )
+      s = sampler
+      self._state.update(
+          temp=jnp.full((num_slots,), s.temperature, jnp.float32),
+          top_k=jnp.full(
+              (num_slots,), s.top_k if s.top_k is not None else 0,
+              jnp.int32,
+          ),
+          top_p=jnp.full(
+              (num_slots,), s.top_p if s.top_p is not None else 1.0,
+              jnp.float32,
+          ),
+          rep_penalty=jnp.full(
+              (num_slots,), s.repetition_penalty, jnp.float32
+          ),
+          min_tokens=jnp.zeros((num_slots,), jnp.int32),
+          extra_stops=jnp.full(
+              (num_slots, self.MAX_REQUEST_STOPS), -1, jnp.int32
+          ),
+      )
+      # Stop columns suppressed by min_tokens (host-side: static scatter
+      # indices in the compiled program).
+      self._global_stop_cols = tuple(
+          int(i) for i in jax.device_get(sampler._stop_ids)
       )
 
     self._constraints = None
@@ -466,7 +548,7 @@ class ContinuousBatcher:
 
   def _insert(self, state, prefill_state, slot, budget, grow_to=None,
               prompt_tokens=None, prompt_length=None, grow_hist_to=None,
-              gid=None):
+              gid=None, sampling=None):
     """Scatters a batch-1 prefill result into slot ``slot``.
 
     ``prompt_tokens``/``prompt_length``/``grow_hist_to`` are only used in
@@ -477,9 +559,18 @@ class ContinuousBatcher:
     """
     state = dict(state)
     if grow_to is not None and grow_to != state["out"].shape[1]:
-      state["out"] = jnp.pad(
-          state["out"], ((0, 0), (0, grow_to - state["out"].shape[1]))
-      )
+      grow_by = grow_to - state["out"].shape[1]
+      state["out"] = jnp.pad(state["out"], ((0, 0), (0, grow_by)))
+      if self.record_logprobs:
+        state["chosen_lp"] = jnp.pad(
+            state["chosen_lp"], ((0, 0), (0, grow_by))
+        )
+        state["top_lp_ids"] = jnp.pad(
+            state["top_lp_ids"], ((0, 0), (0, grow_by), (0, 0))
+        )
+        state["top_lp_vals"] = jnp.pad(
+            state["top_lp_vals"], ((0, 0), (0, grow_by), (0, 0))
+        )
     new_cache = jax.tree_util.tree_map(
         lambda full, one: jax.lax.dynamic_update_index_in_dim(
             full, one[0], slot, axis=0
@@ -491,6 +582,11 @@ class ContinuousBatcher:
     out_row = jnp.zeros((state["out"].shape[1],), jnp.int32)
     out_row = out_row.at[0].set(first_token)
     eos = self.sampler._is_stop_token(first_token)
+    if sampling is not None:
+      extra_stops_row = sampling[5]
+      eos = eos | jnp.any(
+          (first_token == extra_stops_row) & (extra_stops_row >= 0)
+      )
     upd = lambda arr, v: arr.at[slot].set(v)  # noqa: E731
     rng = state["rng"]
     if prefill_state.rng is not None:
@@ -515,6 +611,40 @@ class ContinuousBatcher:
       state.update(
           gid=upd(state["gid"], gid),
           cstate=upd(state["cstate"], prefill_state.constraint_state[0]),
+      )
+    if self.record_logprobs:
+      # Seed-token logprobs from the admission prefill's materialized
+      # [1, 1, V] logits (requested via return_logits).
+      lp0 = jax.nn.log_softmax(prefill_state.logits_buffer[0, 0])
+      lp_row = jnp.zeros((state["chosen_lp"].shape[1],), jnp.float32)
+      lp_row = lp_row.at[0].set(lp0[first_token])
+      tv, ti = jax.lax.top_k(lp0, self.record_logprobs)
+      ids_row = jnp.zeros(state["top_lp_ids"].shape[1:], jnp.int32)
+      vals_row = jnp.zeros(state["top_lp_vals"].shape[1:], jnp.float32)
+      ids_row = ids_row.at[0].set(ti)
+      vals_row = vals_row.at[0].set(tv)
+      state.update(
+          chosen_lp=jax.lax.dynamic_update_index_in_dim(
+              state["chosen_lp"], lp_row, slot, axis=0
+          ),
+          top_lp_ids=jax.lax.dynamic_update_index_in_dim(
+              state["top_lp_ids"], ids_row, slot, axis=0
+          ),
+          top_lp_vals=jax.lax.dynamic_update_index_in_dim(
+              state["top_lp_vals"], vals_row, slot, axis=0
+          ),
+      )
+    if sampling is not None:
+      temp, top_k, top_p, rep_penalty, min_tokens, extra_stops = sampling
+      state.update(
+          temp=upd(state["temp"], temp),
+          top_k=upd(state["top_k"], top_k),
+          top_p=upd(state["top_p"], top_p),
+          rep_penalty=upd(state["rep_penalty"], rep_penalty),
+          min_tokens=upd(state["min_tokens"], min_tokens),
+          extra_stops=jax.lax.dynamic_update_index_in_dim(
+              state["extra_stops"], extra_stops, slot, axis=0
+          ),
       )
     if prompt_tokens is not None:
       if grow_hist_to is not None and grow_hist_to != state["hist"].shape[1]:
@@ -626,7 +756,29 @@ class ContinuousBatcher:
         )
       rng = s["rng"]
       step_logits = logits[:, 0]
-      if self.sampler.repetition_penalty != 1.0:
+      raw_lp = None
+      if self.record_logprobs:
+        # The model's raw distribution (pre-penalty/grammar/filters) —
+        # the standard OpenAI logprobs meaning. One extra [b, V] pass.
+        raw_lp = jax.nn.log_softmax(step_logits, axis=-1)
+      per_req = self.per_request_sampling
+      if per_req:
+        # Row-wise repetition penalty (rows at 1.0 are exact no-ops:
+        # x/1 and x*1 preserve bits).
+        written = (
+            jnp.arange(s["out"].shape[1])[None] < s["write_idx"][:, None]
+        )
+        rows_ = jnp.arange(self.num_slots)[:, None]
+        seen = jnp.zeros(step_logits.shape, jnp.bool_).at[
+            rows_, s["out"]
+        ].max(written)
+        p = s["rep_penalty"][:, None]
+        step_logits = jnp.where(
+            seen,
+            jnp.where(step_logits > 0, step_logits / p, step_logits * p),
+            step_logits,
+        )
+      elif self.sampler.repetition_penalty != 1.0:
         # Same scope as a solo non-echo run: tokens this request emitted.
         written = (
             jnp.arange(s["out"].shape[1])[None] < s["write_idx"][:, None]
@@ -639,6 +791,25 @@ class ContinuousBatcher:
         # masks nothing, so free and constrained requests share this
         # program.
         step_logits = constraints.mask(s["gid"], s["cstate"], step_logits)
+      if per_req:
+        # min_tokens: stop tokens are illegal until the request emitted
+        # that many. Applied AFTER the grammar mask — a forced-long
+        # generation overrides the grammar's permission to stop (it
+        # cannot force an all--inf row unless the grammar left only
+        # stops legal; callers combining the two own that contract).
+        neg_inf = jnp.asarray(-jnp.inf, step_logits.dtype)
+        suppress = (s["write_idx"] < s["min_tokens"])[:, None]
+        for col in self._global_stop_cols:
+          step_logits = step_logits.at[:, col].set(
+              jnp.where(suppress[:, 0], neg_inf, step_logits[:, col])
+          )
+        rows_ = jnp.arange(self.num_slots)[:, None]
+        stop_cols = jnp.maximum(s["extra_stops"], 0)
+        cur_vals = jnp.take_along_axis(step_logits, stop_cols, axis=1)
+        masked_vals = jnp.where(
+            (s["extra_stops"] >= 0) & suppress, neg_inf, cur_vals
+        )
+        step_logits = step_logits.at[rows_, stop_cols].set(masked_vals)
       if self.sampler.deterministic_sampling:
         sampled = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
       else:
@@ -650,13 +821,22 @@ class ContinuousBatcher:
         # rng produces the same chain.
         split = jax.vmap(lambda key: jax.random.split(key, 2))(rng)
         next_keys, step_keys = split[:, 0], split[:, 1]
-        filtered = self.sampler._filter_logits(step_logits)
+        if per_req:
+          filtered = sampler_lib.filter_logits_rows(
+              step_logits, s["temp"], s["top_k"], s["top_p"]
+          )
+        else:
+          filtered = self.sampler._filter_logits(step_logits)
         sampled = jax.vmap(jax.random.categorical)(
             step_keys, filtered
         ).astype(jnp.int32)
         rng = jnp.where(live[:, None], next_keys, rng)
       next_token = jnp.where(live, sampled, s["last_token"])
       extra = {}
+      if per_req:
+        for key in ("temp", "top_k", "top_p", "rep_penalty",
+                    "min_tokens", "extra_stops"):
+          extra[key] = s[key]
       if constraints is not None:
         extra["gid"] = s["gid"]
         extra["cstate"] = jnp.where(
@@ -669,13 +849,31 @@ class ContinuousBatcher:
       out = s["out"].at[rows, idx].set(
           jnp.where(live, next_token, s["out"][rows, idx])
       )
+      if raw_lp is not None:
+        chosen = jnp.take_along_axis(
+            raw_lp, next_token[:, None], axis=1
+        )[:, 0]
+        top_vals, top_ids = jax.lax.top_k(raw_lp, self.record_logprobs)
+        extra["chosen_lp"] = s["chosen_lp"].at[rows, idx].set(
+            jnp.where(live, chosen, s["chosen_lp"][rows, idx])
+        )
+        live_k = live[:, None]
+        extra["top_lp_ids"] = s["top_lp_ids"].at[rows, idx].set(
+            jnp.where(live_k, top_ids, s["top_lp_ids"][rows, idx])
+        )
+        extra["top_lp_vals"] = s["top_lp_vals"].at[rows, idx].set(
+            jnp.where(live_k, top_vals, s["top_lp_vals"][rows, idx])
+        )
       write_idx = s["write_idx"] + live
+      stop_hit = self.sampler._is_stop_token(next_token)
+      if per_req:
+        stop_hit = stop_hit | jnp.any(
+            (next_token[:, None] == s["extra_stops"])
+            & (s["extra_stops"] >= 0),
+            axis=1,
+        )
       done = s["done"] | (
-          live
-          & (
-              self.sampler._is_stop_token(next_token)
-              | (write_idx >= s["budget"])
-          )
+          live & (stop_hit | (write_idx >= s["budget"]))
       )
       return {
           "cache": cache,
@@ -714,6 +912,12 @@ class ContinuousBatcher:
       img_path: str | None = None,
       return_state: bool = False,
       constraint: int | None = None,
+      temperature: float | None = None,
+      top_k: int | None = None,
+      top_p: float | None = None,
+      min_tokens: int = 0,
+      stop_token_ids: Any | None = None,
+      repetition_penalty: float | None = None,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -748,9 +952,19 @@ class ContinuousBatcher:
     included).
 
     ``constraint=k`` masks this request's generation with registered
-    grammar ``constraints[k]`` (see the constructor): its tokens always
-    form a live prefix of the grammar and stop tokens are only legal
-    once the output matches. Other slots are unaffected.
+    grammar ``constraints[k]`` (see the constructor); ``constraint=``
+    a :class:`~constrain.TokenDFA` installs it into a dynamic slot. Its
+    tokens always form a live prefix of the grammar and stop tokens are
+    only legal once the output matches. Other slots are unaffected.
+
+    ``temperature`` / ``top_k`` / ``top_p`` / ``repetition_penalty`` /
+    ``min_tokens`` / ``stop_token_ids`` (``per_request_sampling``
+    batchers only) override the sampler's settings for THIS request:
+    the request decodes exactly as a solo sampler configured with those
+    values (the categorical knobs need a categorical sampler).
+    ``min_tokens`` suppresses all stop tokens until that many tokens
+    emitted; ``stop_token_ids`` adds up to ``MAX_REQUEST_STOPS`` extra
+    per-request stops on top of the sampler's.
 
     ``img_embed`` grounds the request in an image: fused vision features
     ``[1, vision_tokens, vision_width]`` splice in after the prompt's BOS
@@ -781,6 +995,66 @@ class ContinuousBatcher:
               "TokenDFA for a dynamic slot."
           )
         gid = constraint + 1
+    sampling = None
+    overridden = [
+        a is not None
+        for a in (temperature, top_k, top_p, repetition_penalty,
+                  stop_token_ids)
+    ]
+    if not self.per_request_sampling:
+      if any(overridden) or min_tokens:
+        raise ValueError(
+            "per-request sampling parameters need ContinuousBatcher("
+            "per_request_sampling=True)."
+        )
+    else:
+      s_ = self.sampler
+      if s_.deterministic_sampling and any(
+          a is not None for a in (temperature, top_k, top_p)
+      ):
+        raise ValueError(
+            "temperature/top_k/top_p are categorical-sampling knobs; "
+            "this batcher's sampler is greedy (deterministic_sampling="
+            "True)."
+        )
+      if temperature is not None and temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0 (got {temperature}).")
+      if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1 (got {top_k}).")
+      if top_p is not None and not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1] (got {top_p}).")
+      if repetition_penalty is not None and repetition_penalty <= 0.0:
+        raise ValueError(
+            f"repetition_penalty must be > 0 (got {repetition_penalty})."
+        )
+      if min_tokens < 0:
+        raise ValueError(f"min_tokens must be >= 0 (got {min_tokens}).")
+      stops = [int(i) for i in (stop_token_ids or ())]
+      if len(stops) > self.MAX_REQUEST_STOPS:
+        raise ValueError(
+            f"at most {self.MAX_REQUEST_STOPS} per-request stop tokens "
+            f"(got {len(stops)}); configure the rest on the sampler."
+        )
+      stops += [-1] * (self.MAX_REQUEST_STOPS - len(stops))
+      sampling = (
+          jnp.float32(
+              temperature if temperature is not None else s_.temperature
+          ),
+          jnp.int32(
+              top_k if top_k is not None
+              else (s_.top_k if s_.top_k is not None else 0)
+          ),
+          jnp.float32(
+              top_p if top_p is not None
+              else (s_.top_p if s_.top_p is not None else 1.0)
+          ),
+          jnp.float32(
+              repetition_penalty if repetition_penalty is not None
+              else s_.repetition_penalty
+          ),
+          jnp.int32(min_tokens),
+          jnp.asarray(stops, jnp.int32),
+      )
     if return_state and not self.preserve_states:
       raise ValueError(
           "return_state requires ContinuousBatcher(preserve_states=True) "
@@ -926,6 +1200,7 @@ class ContinuousBatcher:
         cache=cache, start=start, rng=rng,
         prompt_tokens=prompt_tokens, prompt_length=prompt_length,
         adapters=adapters, img_embed=img_embed, gid=gid,
+        sampling=sampling,
     ))
     return request_id
 
@@ -949,18 +1224,27 @@ class ContinuousBatcher:
         self._single_tables[p.gid]
         if self._constraints is not None else None
     )
+    overrides = None
+    if p.sampling is not None:
+      temp, top_k, top_p, _, min_tokens, extra_stops = p.sampling
+      # Batch-1 rows; min_tokens >= 1 suppresses stops at the seed too.
+      overrides = (
+          temp[None], top_k[None], top_p[None],
+          (min_tokens > 0)[None], extra_stops[None],
+      )
     prefill = s.prompt_processing_fn(
         self._admission_params(p),
         final_tokens,
         p.rng,
         jnp.asarray([p.input_length]),
         1,  # buffers here only seed the first token; ours are per-slot
-        False,
+        bool(self.record_logprobs),  # logits → seed-token logprobs
         False,
         p.img_embed,
         p.cache,
         p.start,
         tables,
+        overrides,
     )
     grow_to = None
     need = sampler_lib._next_bucket(p.request.max_steps)
@@ -978,6 +1262,7 @@ class ContinuousBatcher:
         jnp.int32(p.request.max_steps), grow_to,
         p.prompt_tokens, p.prompt_length, grow_hist_to,
         jnp.int32(p.gid) if self._constraints is not None else None,
+        p.sampling,
     )
     if self.multi_lora:
       # The slot row must always be (re)written: a freed slot still
@@ -1063,8 +1348,22 @@ class ContinuousBatcher:
             self._state, req.slot
         )
       if out is None:
-        out = jax.device_get(self._state["out"])
-      tokens = out[slot, : int(write_idx[slot])].tolist()
+        fetch = [self._state["out"]]
+        if self.record_logprobs:
+          fetch += [self._state["chosen_lp"], self._state["top_lp_ids"],
+                    self._state["top_lp_vals"]]
+        fetched = jax.device_get(tuple(fetch))
+        out = fetched[0]
+        lp_arrays = fetched[1:] if self.record_logprobs else None
+      upto = int(write_idx[slot])
+      tokens = out[slot, :upto].tolist()
+      if self.record_logprobs:
+        chosen_lp, top_ids, top_vals = lp_arrays
+        self._logprob_records[req.request_id] = {
+            "token_logprobs": chosen_lp[slot, :upto].tolist(),
+            "top_ids": top_ids[slot, :upto].tolist(),
+            "top_logprobs": top_vals[slot, :upto].tolist(),
+        }
       if self.stream_callback is not None:
         self.stream_callback(
             req.request_id, tokens[req.emitted :], True
@@ -1078,6 +1377,25 @@ class ContinuousBatcher:
       self._state["active"] = self._state["active"].at[slot].set(False)
     finished.sort(key=lambda t: t[0])
     return finished
+
+  def take_logprobs(self, request_id: int) -> dict:
+    """Pops a finished request's logprob record (``record_logprobs``
+    batchers; call after :meth:`pop_finished` returned the request).
+
+    Returns ``{"token_logprobs": [float], "top_ids": [[int]],
+    "top_logprobs": [[float]]}`` aligned with the request's tokens.
+    """
+    if not self.record_logprobs:
+      raise ValueError(
+          "take_logprobs needs ContinuousBatcher(record_logprobs=k)."
+      )
+    try:
+      return self._logprob_records.pop(request_id)
+    except KeyError:
+      raise KeyError(
+          f"No logprobs for request {request_id}: not finished yet "
+          "(pop_finished first) or already taken."
+      ) from None
 
   def take_state(self, request_id: int) -> sampler_lib.PrefixState:
     """Pops the post-generation context of a finished ``return_state``

@@ -887,6 +887,118 @@ class TestDynamicGrammarSlots:
     assert re.fullmatch("[cd]{1,2}", self.trimmed(vocab, results[rid2]))
 
 
+class TestPerRequestSampling:
+  """Each slot decodes under its own sampling parameters."""
+
+  def make(self, setup, deterministic=True, **sampler_kw):
+    from cadence_gemma_tpu.inference import serving as serving_lib
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(
+        model, vocab, params, deterministic_sampling=deterministic,
+        **sampler_kw,
+    )
+    b = serving_lib.ContinuousBatcher(
+        s, num_slots=3, max_steps_default=10, per_request_sampling=True
+    )
+    return model, vocab, params, s, b
+
+  def test_categorical_overrides_match_solo(self, setup):
+    model, vocab, params, _, b = self.make(setup, deterministic=False)
+    key_a, key_b = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+    rid_a = b.add_request("ab cd", rng=key_a, temperature=0.6,
+                          top_k=5, top_p=0.85)
+    rid_b = b.add_request("cd ab", rng=key_b)  # sampler defaults
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    solo_a = sampler_lib.Sampler(
+        model, vocab, params, deterministic_sampling=False,
+        temperature=0.6, top_k=5, top_p=0.85,
+    )(["ab cd"], total_generation_steps=10, rng=key_a)
+    solo_b = sampler_lib.Sampler(
+        model, vocab, params, deterministic_sampling=False
+    )(["cd ab"], total_generation_steps=10, rng=key_b)
+    for rid, solo in ((rid_a, solo_a), (rid_b, solo_b)):
+      want = [int(t) for t in np.asarray(solo.tokens[0])]
+      assert res[rid] == want[: len(res[rid])], (res[rid], want)
+
+  def test_min_tokens_suppresses_stops(self, setup):
+    model, vocab, params, s, b = self.make(setup)
+    # Pick the greedy continuation's own first token as a stop: without
+    # min_tokens the request would stop immediately.
+    probe = s(["ab cd"], total_generation_steps=2)
+    first = int(np.asarray(probe.tokens[0])[0])
+    rid = b.add_request(
+        "ab cd", max_steps=8, min_tokens=3, stop_token_ids=[first]
+    )
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    toks = res[rid]
+    assert len(toks) >= 3, toks
+    assert first not in toks[:2], toks  # suppressed incl. the seed
+
+  def test_per_request_stop_token(self, setup):
+    model, vocab, params, s, b = self.make(setup)
+    free = s(["ab cd"], total_generation_steps=10)
+    free_toks = [int(t) for t in np.asarray(free.tokens[0])]
+    stop = free_toks[2]
+    rid = b.add_request("ab cd", max_steps=10, stop_token_ids=[stop])
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    # Identical stream, halted at (and including) the FIRST occurrence
+    # of the per-request stop (which may be the seed token).
+    upto = free_toks.index(stop) + 1
+    assert res[rid] == free_toks[:upto], (res[rid], free_toks)
+
+  def test_per_request_repetition_penalty_matches_solo(self, setup):
+    model, vocab, params, _, b = self.make(setup)
+    rid = b.add_request("ab cd", max_steps=10, repetition_penalty=1.4)
+    rid_free = b.add_request("ab cd", max_steps=10)
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    solo_pen = sampler_lib.Sampler(
+        model, vocab, params, repetition_penalty=1.4
+    )(["ab cd"], total_generation_steps=10)
+    want = [int(t) for t in np.asarray(solo_pen.tokens[0])]
+    assert res[rid] == want[: len(res[rid])]
+    solo_free = sampler_lib.Sampler(model, vocab, params)(
+        ["ab cd"], total_generation_steps=10
+    )
+    want_free = [int(t) for t in np.asarray(solo_free.tokens[0])]
+    assert res[rid_free] == want_free[: len(res[rid_free])]
+
+  def test_validation(self, setup):
+    from cadence_gemma_tpu.inference import serving as serving_lib
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    plain = serving_lib.ContinuousBatcher(s, num_slots=2)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+      plain.add_request("ab", temperature=0.5)
+    _, _, _, _, b = self.make(setup, deterministic=True)
+    with pytest.raises(ValueError, match="greedy"):
+      b.add_request("ab", temperature=0.5)
+    with pytest.raises(ValueError, match="top_p"):
+      b2 = self.make(setup, deterministic=False)[4]
+      b2.add_request("ab", rng=jax.random.PRNGKey(0), top_p=1.5)
+    with pytest.raises(ValueError, match="stop tokens"):
+      b.add_request("ab", stop_token_ids=[4, 5, 6, 7, 8])
+
+  def test_constraint_composes_with_min_tokens(self, setup):
+    from cadence_gemma_tpu.inference import serving as serving_lib
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    dfa = make_dfa(vocab, "[ab]{1,4}")
+    b = serving_lib.ContinuousBatcher(
+        s, num_slots=2, max_steps_default=10, constraints=[dfa],
+        per_request_sampling=True,
+    )
+    rid = b.add_request("ab cd", max_steps=10, constraint=0,
+                        min_tokens=3)
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    text = "".join(
+        vocab.DecodeIds([t]) for t in res[rid] if t != vocab.eos_id()
+    )
+    assert re.fullmatch("[ab]{3,4}", text), (res[rid], text)
+
+
 class TestTokenStringsFromVocab:
 
   def test_simple_vocab_fallback(self):

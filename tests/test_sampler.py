@@ -266,7 +266,7 @@ class TestRegressionFixes:
     model, vocab, params = setup
 
     class ForcedEos(sampler_lib.Sampler):
-      def _sample_from_logits(self, rng, logits):
+      def _sample_from_logits(self, rng, logits, row_overrides=None):
         tok = jnp.full(logits.shape[:-1], vocab.eos_id(), dtype=jnp.int32)
         return tok, rng
 

@@ -723,7 +723,8 @@ class TestOpenAICompat:
   def test_unsupported_shapes_rejected(self, httpd):
     srv, _, _ = httpd
     for body in (
-        {"prompt": "alpha", "n": 2},
+        {"prompt": "alpha", "n": 0},
+        {"prompt": "alpha", "n": 2, "stream": True},
         {"prompt": "alpha", "echo": True},
         {"prompt": "alpha", "logprobs": 1},
         {"prompt": ["a", "b"]},
@@ -950,6 +951,217 @@ class TestConstrainedServing:
           batcher, constraint_names={"json_object": 0}
       )
     batcher.stream_callback = None  # detach for reuse
+
+
+class TestHonoredSamplingKnobs:
+  """OpenAI sampling knobs are honored on per_request_sampling batchers."""
+
+  @pytest.fixture()
+  def httpd(self, setup):
+    base, vocab = setup
+    sampler = sampler_lib.Sampler(
+        base.model, vocab, base.params, deterministic_sampling=False
+    )
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=8,
+        per_request_sampling=True,
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, base, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def test_temperature_top_p_seed_match_solo(self, httpd):
+    srv, base, vocab = httpd
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 8, "seed": 5,
+         "temperature": 0.7, "top_p": 0.9},
+    )
+    solo = sampler_lib.Sampler(
+        base.model, vocab, base.params, deterministic_sampling=False,
+        temperature=0.7, top_p=0.9,
+    )(["alpha beta"], total_generation_steps=8,
+      rng=jax.random.PRNGKey(5))
+    assert out["choices"][0]["text"] == vocab.DecodeIds(
+        [int(t) for t in np.asarray(solo.tokens[0])]
+    )
+
+  def test_temperature_zero_is_deterministic(self, httpd):
+    srv, base, vocab = httpd
+    texts = set()
+    for seed in (1, 2, 3):
+      _, out = self._post(
+          srv.port, "/v1/completions",
+          {"prompt": "gamma delta", "max_tokens": 6, "seed": seed,
+           "temperature": 0},
+      )
+      texts.add(out["choices"][0]["text"])
+    assert len(texts) == 1  # argmax: seed-independent
+    greedy = sampler_lib.Sampler(base.model, vocab, base.params)(
+        ["gamma delta"], total_generation_steps=6
+    )
+    assert texts == {vocab.DecodeIds(
+        [int(t) for t in np.asarray(greedy.tokens[0])]
+    )}
+
+  def test_n_parallel_samples(self, httpd):
+    srv, base, vocab = httpd
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 6, "seed": 11, "n": 3},
+    )
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    # Seeds are seed+i: each choice matches its own solo run.
+    for i, choice in enumerate(out["choices"]):
+      solo = sampler_lib.Sampler(
+          base.model, vocab, base.params, deterministic_sampling=False
+      )(["alpha beta"], total_generation_steps=6,
+        rng=jax.random.PRNGKey(11 + i))
+      assert choice["text"] == vocab.DecodeIds(
+          [int(t) for t in np.asarray(solo.tokens[0])]
+      )
+    usage = out["usage"]
+    assert usage["completion_tokens"] > 0
+    assert usage["total_tokens"] == (
+        usage["prompt_tokens"] + usage["completion_tokens"]
+    )
+
+  def test_seedless_categorical_auto_seeds(self, httpd):
+    srv, _, _ = httpd
+    status, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "gamma delta", "max_tokens": 4},
+    )
+    assert status == 200
+    assert isinstance(out["choices"][0]["text"], str)
+
+  def test_stop_string_halts_generation(self, httpd):
+    srv, base, vocab = httpd
+    greedy = sampler_lib.Sampler(base.model, vocab, base.params)(
+        ["alpha beta"], total_generation_steps=8
+    )
+    toks = [int(t) for t in np.asarray(greedy.tokens[0])]
+    stop_word = vocab.DecodeIds([toks[0]])
+    assert vocab.EncodeAsIds(stop_word) == [toks[0]]  # single token
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 8, "seed": 1,
+         "temperature": 0, "stop": stop_word},
+    )
+    got = out["choices"][0]["text"]
+    assert got == stop_word  # halted at the first stop occurrence
+    assert out["choices"][0]["finish_reason"] == "stop"
+
+
+class TestLogprobs:
+  """record_logprobs batchers expose OpenAI logprobs."""
+
+  @pytest.fixture()
+  def httpd(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=6, record_logprobs=3
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, sampler, vocab
+    srv.close()
+
+  def _post(self, port, path, obj, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def test_batcher_logprobs_match_solo_distribution(self, setup):
+    sampler, vocab = setup
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=6, record_logprobs=3
+    )
+    rid = batcher.add_request("alpha beta", max_steps=6)
+    results = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    record = batcher.take_logprobs(rid)
+    tokens = results[rid]
+    assert len(record["token_logprobs"]) == len(tokens)
+    solo = sampler(["alpha beta"], total_generation_steps=6,
+                   return_logits=True)
+    solo_lp = jax.nn.log_softmax(
+        jnp.asarray(solo.logits[0], jnp.float32), axis=-1
+    )
+    for i, tok in enumerate(tokens):
+      np.testing.assert_allclose(
+          record["token_logprobs"][i], float(solo_lp[i, tok]), atol=1e-4
+      )
+      want_ids = np.argsort(-np.asarray(solo_lp[i]))[:3]
+      assert record["top_ids"][i] == want_ids.tolist()
+    with pytest.raises(KeyError):
+      batcher.take_logprobs(rid)  # handed over once
+
+  def test_completions_legacy_logprobs_shape(self, httpd):
+    srv, _, vocab = httpd
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 5, "logprobs": 2},
+    )
+    lp = out["choices"][0]["logprobs"]
+    assert set(lp) == {"tokens", "token_logprobs", "top_logprobs",
+                       "text_offset"}
+    assert len(lp["tokens"]) == len(lp["token_logprobs"])
+    assert all(len(d) <= 2 for d in lp["top_logprobs"])
+    # Offsets are the cumulative piece lengths.
+    assert lp["text_offset"][0] == 0
+    assert lp["text_offset"] == [
+        sum(len(t) for t in lp["tokens"][:i])
+        for i in range(len(lp["tokens"]))
+    ]
+
+  def test_chat_logprobs_shape(self, httpd):
+    srv, _, _ = httpd
+    _, out = self._post(
+        srv.port, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "gamma delta"}],
+         "max_tokens": 4, "logprobs": True, "top_logprobs": 2},
+    )
+    content = out["choices"][0]["logprobs"]["content"]
+    assert len(content) >= 1
+    for entry in content:
+      assert {"token", "logprob", "top_logprobs"} <= set(entry)
+      assert len(entry["top_logprobs"]) == 2
+
+  def test_logprob_rejections(self, httpd, setup):
+    srv, _, _ = httpd
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(srv.port, "/v1/completions",
+                 {"prompt": "alpha", "logprobs": 5})  # > recorded k
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(srv.port, "/v1/completions",
+                 {"prompt": "alpha", "logprobs": 2, "stream": True})
+    assert e.value.code == 400
+    sampler, _ = setup
+    plain = serving.ContinuousBatcher(sampler, num_slots=1)
+    fe = server_lib.ServingFrontend(plain, step_size=2)
+    srv2 = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      with pytest.raises(urllib.error.HTTPError) as e:
+        self._post(srv2.port, "/v1/completions",
+                   {"prompt": "alpha", "logprobs": 1})
+      assert e.value.code == 400
+    finally:
+      srv2.close()
 
 
 class TestProductionHardening:
