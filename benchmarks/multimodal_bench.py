@@ -1485,6 +1485,222 @@ def bench_serving(prefix_len=512, suffix_len=32, steps=64, num_slots=8):
   }))
 
 
+def _synthetic_token_strings(vocab_size):
+  """Deterministic sentencepiece-like pieces for a synthetic vocabulary.
+
+  Mix of word-like ASCII pieces, digits, and punctuation — the
+  distribution that matters for grammar compile cost (atom dedup +
+  dead-token folding), not linguistics. ids 0-3 are control (empty).
+  """
+  import zlib
+
+  letters = "abcdefghijklmnopqrstuvwxyz"
+  punct = list("{}[]:,\"' .-+eE0123456789\n\t")
+  out = ["", "", "", ""]
+  for i in range(4, vocab_size):
+    h = zlib.crc32(str(i).encode())
+    if i - 4 < len(punct):
+      out.append(punct[i - 4])
+      continue
+    n = 1 + (h % 9)
+    piece = "".join(
+        letters[(h >> (5 * j)) % 26] for j in range(n)
+    )
+    if h % 7 == 0:
+      piece = " " + piece
+    if h % 31 == 0:
+      piece += str(h % 10)
+    out.append(piece)
+  return out
+
+
+def bench_constrained_decode(batch=4, prompt_len=64, steps=128):
+  """Grammar-constrained decoding: build cost + decode-step overhead.
+
+  The constraint adds, per decode step, one [S, V/32] bitmask row gather
+  + unpack and <= max_token_len scalar gathers per row — both tiny next
+  to the 2B weights read. This measures that end to end: same prefill,
+  decode loop with and without the JSON grammar tables threaded in
+  (end_sampling_at_eos_token=False so both run all ``steps``).
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import constrain
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.models import griffin
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((batch, 8), jnp.int32)
+  pos0 = jnp.tile(jnp.arange(8)[None], (batch, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  s = sampler_lib.Sampler(
+      model, Vocab(), params, bucket_prompt_lengths=False
+  )
+
+  t0 = time.perf_counter()
+  strings = _synthetic_token_strings(config.vocab_size)
+  dfa = constrain.TokenDFA(constrain.json_regex(3), strings, eos_id=1)
+  build_s = time.perf_counter() - t0
+  tables = dfa.tables
+  _sync(tables.allowed_bits)
+  table_mb = (
+      dfa._allowed_bits.nbytes + dfa._token_atoms.nbytes
+      + dfa._token_lengths.nbytes + dfa.char_dfa.trans.nbytes
+  ) / 1e6
+
+  def prefill(seed):
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(seed), (batch, prompt_len), 3, 1000, jnp.int32
+    )
+    lengths = jnp.full((batch,), prompt_len, jnp.int32)
+    return s.prompt_processing_fn(
+        s.params, tokens, None, lengths, steps, False, False, None,
+        None, None, tables,
+    )
+
+  def decode(seed, constrained):
+    state = prefill(seed)
+    _sync(state.positions)
+    t0 = time.perf_counter()
+    out = s.sample_fn(
+        s.params, state, False, tables if constrained else None
+    )
+    _sync(out.step)
+    return time.perf_counter() - t0
+
+  for constrained in (False, True):
+    decode(500, constrained)  # compile
+  free = statistics.median([decode(600 + i, False) for i in range(3)])
+  cons = statistics.median([decode(700 + i, True) for i in range(3)])
+  tps_free = batch * (steps - 1) / free
+  tps_cons = batch * (steps - 1) / cons
+  print(json.dumps({
+      "metric": "constrained_decode_tokens_per_sec_per_chip",
+      "value": round(tps_cons, 1),
+      "unit": f"tokens/sec/chip (batch={batch}, JSON depth-3 grammar)",
+      "unconstrained_tokens_per_sec": round(tps_free, 1),
+      "overhead_pct": round(100 * (free / cons - 1) if cons else 0, 2),
+      "grammar_build_s": round(build_s, 2),
+      "grammar_states": dfa.n_states,
+      "grammar_unique_tokens": dfa.n_unique_tokens,
+      "grammar_tables_mb": round(table_mb, 1),
+  }))
+
+
+def bench_per_request_sampling(num_slots=8, steps=96):
+  """Row-wise sampling filters vs the shared-filter batcher step.
+
+  The per-request path adds one [slots, 256k] descending sort (top-k +
+  top-p thresholds) and a row-wise penalty scatter per decode step;
+  this measures the aggregate tok/s delta at a full batch.
+  """
+  from cadence_gemma_tpu import common
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+  from cadence_gemma_tpu.inference import serving as serving_lib
+  from cadence_gemma_tpu.models import griffin
+
+  class Vocab:
+    def pad_id(self):
+      return 0
+
+    def bos_id(self):
+      return 2
+
+    def eos_id(self):
+      return 1
+
+    def EncodeAsIds(self, text):  # noqa: N802
+      return [3 + (i % 1000) for i in range(len(text.split()))]
+
+    def DecodeIds(self, ids):  # noqa: N802
+      return ""
+
+  config = common.GriffinConfig.from_preset(
+      common.Preset.RECURRENT_GEMMA_2B_V1
+  )
+  model = griffin.Griffin(config, gradient_checkpointing=False)
+  tokens0 = jnp.ones((1, 8), jnp.int32)
+  pos0 = jnp.arange(8)[None]
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens0, pos0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  results = {}
+  for per_req in (False, True):
+    s = sampler_lib.Sampler(
+        model, Vocab(), params, bucket_prompt_lengths=False,
+        deterministic_sampling=False, temperature=0.8, top_p=0.95,
+    )
+    b = serving_lib.ContinuousBatcher(
+        s, num_slots=num_slots, max_steps_default=steps + 8,
+        per_request_sampling=per_req,
+    )
+    for i in range(num_slots):
+      kwargs = dict(rng=jax.random.PRNGKey(i))
+      if per_req:
+        kwargs.update(temperature=0.7 + 0.05 * i, top_k=32 + i)
+      b.add_request("p " * 32, **kwargs)
+    b.step(1)  # admissions + compile
+    _sync(b._state["positions"])
+    t0 = time.perf_counter()
+    b.step(steps)
+    _sync(b._state["positions"])
+    dt = time.perf_counter() - t0
+    results[per_req] = num_slots * steps / dt
+  print(json.dumps({
+      "metric": "per_request_sampling_tokens_per_sec_per_chip",
+      "value": round(results[True], 1),
+      "unit": f"tokens/sec/chip ({num_slots} slots, distinct knobs/slot)",
+      "shared_filters_tokens_per_sec": round(results[False], 1),
+      "overhead_pct": round(
+          100 * (results[False] / results[True] - 1), 2
+      ),
+  }))
+
+
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "all"
   if which in ("all", "fused"):
@@ -1525,6 +1741,10 @@ if __name__ == "__main__":
     bench_serving()
   if which in ("all", "spec"):
     bench_speculative()
+  if which in ("all", "constrain"):
+    bench_constrained_decode()
+  if which in ("all", "perreq"):
+    bench_per_request_sampling()
   if which == "spec_int8":
     bench_speculative(int8=True)
   if which == "9b":

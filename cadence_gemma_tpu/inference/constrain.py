@@ -881,6 +881,26 @@ class StackedConstraintTables:
     return self.allowed_bits.shape[0]
 
 
+@struct.dataclass
+class BoundConstraint:
+  """A :class:`StackedConstraintTables` bound to per-row grammar ids.
+
+  Presents the single-grammar ``mask(state, logits)`` / ``advance(state,
+  token)`` interface over a registry + a [b] ``gid`` vector — what lets
+  grammar-agnostic consumers (the speculative verify step) serve a
+  mixed-grammar batch.
+  """
+
+  tables: StackedConstraintTables
+  gid: Any  # [b] int32
+
+  def mask(self, state, logits):
+    return self.tables.mask(self.gid, state, logits)
+
+  def advance(self, state, token):
+    return self.tables.advance(self.gid, state, token)
+
+
 def pad_grammar(
     dfa: TokenDFA, s_max: int, a_max: int, l_max: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
@@ -962,25 +982,55 @@ def stack_constraints(
   )
 
 
+_BYTE_PIECE = None  # compiled lazily (regex import kept out of hot paths)
+
+
 def token_strings_from_vocab(vocab: Any, vocab_size: int) -> list:
   """Per-id emitted text for a Vocabulary.
 
   Prefers SentencePiece's ``IdToPiece`` (mapping the ``▁`` word-boundary
-  marker to a space — the text a piece contributes to ``DecodeIds``);
-  falls back to single-id ``DecodeIds``. Control/special ids (pad, bos,
-  eos, and anything decoding to '') come back empty, which
-  :class:`TokenDFA` treats as forbidden.
+  marker to a space — the text a piece contributes to ``DecodeIds``),
+  with the real tokenizer's two edge classes handled:
+
+    * byte-fallback pieces (``<0x0A>`` etc.) map to their actual byte —
+      the literal 6-character string would make the grammar treat a
+      newline token as the text "<0x0A>";
+    * control pieces (``IsControl``, e.g. ``<start_of_turn>``) come back
+      empty — they make no text progress, so :class:`TokenDFA` forbids
+      them (stop ids get their own columns).
+
+  Falls back to single-id ``DecodeIds``. Pad/bos/eos and anything
+  decoding to '' are empty/forbidden likewise.
   """
+  global _BYTE_PIECE
+  if _BYTE_PIECE is None:
+    import re as _re
+
+    _BYTE_PIECE = _re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
   out = []
   specials = {int(vocab.pad_id()), int(vocab.bos_id()), int(vocab.eos_id())}
+  has_piece = hasattr(vocab, "IdToPiece")
+  is_control = getattr(vocab, "IsControl", None)
+  is_byte = getattr(vocab, "IsByte", None)
   for i in range(vocab_size):
     if i in specials:
       out.append("")
       continue
     try:
-      if hasattr(vocab, "IdToPiece"):
+      if has_piece:
+        if is_control is not None and is_control(i):
+          out.append("")
+          continue
         piece = vocab.IdToPiece(i)
-        out.append(piece.replace("▁", " "))
+        m = _BYTE_PIECE.match(piece)
+        if m and (is_byte is None or is_byte(i)):
+          # Byte-fallback token: contributes one raw byte. Non-ASCII
+          # bytes are utf-8 FRAGMENTS; chr() here treats them as
+          # latin-1 stand-ins, which is exact for ASCII (the bytes any
+          # ASCII grammar can mention) and safely dead otherwise.
+          out.append(chr(int(m.group(1), 16)))
+        else:
+          out.append(piece.replace("▁", " "))
       else:
         out.append(vocab.DecodeIds([i]))
     except (IndexError, ValueError):

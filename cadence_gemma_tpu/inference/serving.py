@@ -189,9 +189,12 @@ class ContinuousBatcher:
         generation). Stacked into one device registry
         (``constrain.stack_constraints``): every decode step gathers each
         slot's own grammar row, so constrained and free requests mix in
-        one batch with no per-request programs. Incompatible with
-        ``draft_len`` (the speculative verify pass commits several tokens
-        per step without per-token masks). No reference counterpart.
+        one batch with no per-request programs. Composes with
+        ``draft_len`` — the speculative verify masks every position with
+        the DFA state reached through the draft chain, so grammar-
+        violating drafts are simply rejected (JSON workloads are exactly
+        the copy-heavy shape speculation accelerates). No reference
+        counterpart.
       dynamic_grammar_slots: Reserves this many registry slots for
         grammars registered at RUNTIME (:meth:`register_grammar`, or
         ``add_request(constraint=<TokenDFA>)`` — the mechanism behind
@@ -335,12 +338,6 @@ class ContinuousBatcher:
     if (constraints is not None and len(constraints)) or (
         self.dynamic_grammar_slots > 0
     ):
-      if draft_len:
-        raise ValueError(
-            "constraints are incompatible with draft_len > 0: the "
-            "speculative verify pass commits several tokens per step "
-            "without per-token grammar masks."
-        )
       from cadence_gemma_tpu.inference import constrain
 
       self._constrain_lib = constrain
@@ -700,6 +697,14 @@ class ContinuousBatcher:
             write_idx=s["write_idx"],
             budget=s["budget"],
         )
+        bound = None
+        if constraints is not None:
+          # Mixed-grammar batch through the grammar-agnostic verify:
+          # each slot's registry row binds in (gid 0 = allow-all).
+          bound = self._constrain_lib.BoundConstraint(
+              tables=constraints, gid=s["gid"]
+          )
+          st["cstate"] = s["cstate"]
         if categorical:
           # Stochastic speculative sampling per slot: each slot's chain
           # advances on its own live steps only. Distribution-equal to
@@ -713,9 +718,10 @@ class ContinuousBatcher:
             logits_filter=(
                 self.sampler._filter_logits if categorical else None
             ),
+            constraint=bound,
         )
         eos_hit = st.pop("eos_hit")
-        return {
+        nxt = {
             **s,
             "cache": st["cache"],
             "positions": st["positions"],
@@ -728,6 +734,9 @@ class ContinuousBatcher:
             | eos_hit
             | (live & (st["write_idx"] >= s["budget"])),
         }
+        if constraints is not None:
+          nxt["cstate"] = st["cstate"]
+        return nxt
 
       return jax.lax.fori_loop(0, n, spec_body, state)
 

@@ -57,6 +57,7 @@ def prompt_lookup_spec_step(
     ngram: int,
     stop_ids,
     logits_filter=None,
+    constraint=None,
 ) -> dict[str, Any]:
   """One draft → verify → accept → commit step over a batch of rows.
 
@@ -82,6 +83,17 @@ def prompt_lookup_spec_step(
   Returns the updated state plus ``eos_hit`` [b] — the caller folds that
   (and budget exhaustion) into its own liveness bookkeeping. ``stop_ids``
   is the sampler's stop set (EOS + any ``stop_token_ids``).
+
+  ``constraint`` (anything with the single-grammar ``mask(state, logits)``
+  / ``advance(state, token)`` interface — a ``constrain.ConstraintTables``
+  or a registry-bound ``constrain.BoundConstraint``) makes the verify
+  GRAMMAR-AWARE: position ``i``'s logits are masked with the DFA state
+  reached through the fed chunk (``state["cstate"]`` plus the drafts
+  before ``i``), so a draft that would leave the grammar simply disagrees
+  with the masked argmax and is rejected — speculation composes with
+  constrained decoding, output-identical to constrained plain decode.
+  Requires ``state["cstate"]`` [b]; the result carries it advanced over
+  exactly the emitted tokens.
   """
   k, n = draft_len, ngram
   hist = state["hist"]
@@ -142,6 +154,22 @@ def prompt_lookup_spec_step(
       return_cache=True,
       pending_cache=True,
   )
+  if constraint is not None:
+    # DFA state reached at each verify position: position 0 continues
+    # from cstate (already advanced over the pending token); position i
+    # additionally consumed drafts 0..i-1. Masking per position makes a
+    # grammar-violating draft disagree with the (masked) argmax — the
+    # ordinary rejection rule enforces the grammar.
+    pos_states = [state["cstate"]]
+    for i in range(1, k + 1):
+      pos_states.append(constraint.advance(pos_states[-1], chunk[:, i]))
+    logits = jnp.stack(
+        [
+            constraint.mask(pos_states[i], logits[:, i])
+            for i in range(k + 1)
+        ],
+        axis=1,
+    )
   new_rng = None
   if "rng" in state:
     # -- stochastic acceptance (categorical serving). The draft proposal
@@ -234,6 +262,16 @@ def prompt_lookup_spec_step(
       budget=state["budget"],
       eos_hit=jnp.any(is_eos & emit_mask, axis=1),
   )
+  if constraint is not None:
+    # Advance over exactly the EMITTED tokens (accepted drafts match the
+    # precomputed chain; the corrected token and budget truncation make
+    # this the simplest correct fold).
+    c = state["cstate"]
+    for i in range(k + 1):
+      c = jnp.where(
+          i < emit_n, constraint.advance(c, emit_tok[:, i]), c
+      )
+    result["cstate"] = jnp.where(live, c, state["cstate"])
   if new_rng is not None:
     result["rng"] = new_rng
   return result
@@ -302,6 +340,8 @@ class SpeculativeSampler:
       first_token,
       rng,
       total_steps: int,
+      constraint_tables=None,
+      cstate=None,
   ):
     """The whole speculative generation as one XLA while-loop program."""
     s = self.sampler
@@ -320,6 +360,9 @@ class SpeculativeSampler:
         write_idx=jnp.ones((b,), jnp.int32),
         budget=jnp.full((b,), total_steps, jnp.int32),
     )
+    if constraint_tables is not None:
+      # Grammar DFA states after the (masked) prefill-seeded token.
+      state["cstate"] = cstate
     if rng is not None:
       # Per-row keys → independent chains; presence of the key selects
       # the stochastic acceptance rule in prompt_lookup_spec_step.
@@ -336,6 +379,7 @@ class SpeculativeSampler:
           draft_len=self.draft_len, ngram=self.ngram,
           stop_ids=s._stop_ids,
           logits_filter=None if rng is None else s._filter_logits,
+          constraint=constraint_tables,
       )
       eos_hit = st.pop("eos_hit")
       st["live"] = (
@@ -363,6 +407,7 @@ class SpeculativeSampler:
       img_embed=None,
       return_state: bool = False,
       rng=None,
+      constraint=None,
   ) -> SamplerOutput:
     """Speculative generation (greedy: same tokens as ``Sampler.__call__``;
     categorical: same distribution — ``rng`` required then, as in the
@@ -390,10 +435,17 @@ class SpeculativeSampler:
     loop is text-only, so speculation composes with multimodal prompts at
     no cost (the visual tokens live in the cache, not the lookup history;
     positions carry the offset). Incompatible with ``prefix_state``.
+
+    ``constraint`` (a :class:`constrain.TokenDFA` or its tables)
+    grammar-masks every verify position, so the output is identical to
+    CONSTRAINED plain greedy decode — and JSON/schema workloads are
+    exactly the copy-heavy shape speculation accelerates. Grammar-
+    violating drafts are rejected by the ordinary agreement rule.
     """
     s = self.sampler
     if total_generation_steps < 1:
       raise ValueError("total_generation_steps must be >= 1.")
+    constraint_tables = s._resolve_constraint(constraint)
     if img_embed is not None and prefix_state is not None:
       raise ValueError(
           "img_embed cannot be combined with prefix_state (the image "
@@ -462,7 +514,7 @@ class SpeculativeSampler:
 
     state = s.prompt_processing_fn(
         s.params, final_tokens, prefill_rng, lengths, 1, False, False,
-        img_embed, cache, start,
+        img_embed, cache, start, constraint_tables,
     )
     first_token = state.tokens_buffer[:, 0]
     hist = hist.at[:, prompt_len].set(first_token)
@@ -471,6 +523,7 @@ class SpeculativeSampler:
     out, emitted, steps, final_cache, final_pos, pending = self._loop_fn(
         s.params, state.cache, state.positions, hist, valid_from, cur_len,
         first_token, loop_rng, total_generation_steps,
+        constraint_tables, state.constraint_state,
     )
     next_state = None
     if return_state:

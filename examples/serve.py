@@ -58,6 +58,27 @@ _HTTP_PORT = flags.DEFINE_integer(
     "GET /v1/models, POST /v1/completions and /v1/chat/completions) "
     "on this port and blocks. 0 binds an ephemeral port.",
 )
+_SERVE_DRAFT = flags.DEFINE_integer(
+    "serve_draft_len", 0,
+    "HTTP serving: run the batcher speculatively with this draft length "
+    "(0 = plain decode). Composes with --json_mode — grammar-violating "
+    "drafts are rejected by the verify pass.",
+)
+_PER_REQUEST = flags.DEFINE_boolean(
+    "per_request_sampling", False,
+    "HTTP serving: honor OpenAI temperature/top_p/top_k/stop per request "
+    "(needs a categorical sampler: pass --nodeterministic).",
+)
+_LOGPROBS = flags.DEFINE_integer(
+    "logprobs", 0,
+    "HTTP serving: record per-token logprobs (+ this many top "
+    "alternatives) and serve the OpenAI logprobs fields.",
+)
+_DETERMINISTIC = flags.DEFINE_boolean(
+    "deterministic", True,
+    "Greedy decoding; --nodeterministic serves categorical sampling "
+    "(per-request seeds; auto-seeded when the client sends none).",
+)
 _JSON_MODE = flags.DEFINE_boolean(
     "json_mode", False,
     "Register a JSON grammar for HTTP serving: requests with "
@@ -129,7 +150,8 @@ def main(argv):
     if len(eot) == 1:
       stop_ids = eot
   sampler = cg.Sampler(model, vocab, params, is_it_model=_IT.value,
-                       stop_token_ids=stop_ids)
+                       stop_token_ids=stop_ids,
+                       deterministic_sampling=_DETERMINISTIC.value)
 
   if _SYSTEM.value:
     t0 = time.perf_counter()
@@ -178,6 +200,12 @@ def main(argv):
         preserve_states=True,
         constraints=constraints,
         dynamic_grammar_slots=dynamic_slots,
+        # Speculative serving (grammar-aware when --json_mode) /
+        # per-request OpenAI knobs / logprobs — the batcher validates
+        # the incompatible combinations.
+        draft_len=_SERVE_DRAFT.value,
+        per_request_sampling=_PER_REQUEST.value,
+        record_logprobs=_LOGPROBS.value,
     )
     frontend = cg.ServingFrontend(
         batcher,

@@ -769,10 +769,10 @@ class TestBatcherConstraints:
     model, vocab, params = setup
     s = sampler_lib.Sampler(model, vocab, params)
     dfa = make_dfa(vocab, "[ab]+")
-    with pytest.raises(ValueError, match="draft_len"):
-      serving_lib.ContinuousBatcher(
-          s, num_slots=2, constraints=[dfa], draft_len=2
-      )
+    # Constraints COMPOSE with draft_len (grammar-aware verify).
+    serving_lib.ContinuousBatcher(
+        s, num_slots=2, constraints=[dfa], draft_len=2
+    )
     batcher = serving_lib.ContinuousBatcher(s, num_slots=2)
     with pytest.raises(ValueError, match="constraints"):
       batcher.add_request("ab", constraint=0)
@@ -999,6 +999,80 @@ class TestPerRequestSampling:
     assert re.fullmatch("[ab]{3,4}", text), (res[rid], text)
 
 
+class TestSpeculativeConstraints:
+  """Grammar constraints compose with speculative decoding."""
+
+  def trimmed(self, vocab, tokens):
+    ids = []
+    for t in np.asarray(tokens):
+      if int(t) == vocab.eos_id():
+        break
+      if int(t) == vocab.pad_id():
+        break
+      ids.append(int(t))
+    return ids
+
+  def test_solo_spec_matches_constrained_plain_greedy(self, setup):
+    from cadence_gemma_tpu.inference import speculative
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    dfa = make_dfa(vocab, "[abcd]{3,6}")
+    plain = s(["ab cd"], total_generation_steps=10, constraint=dfa)
+    spec = speculative.SpeculativeSampler(s, draft_len=3, ngram=2)
+    out = spec(["ab cd"], total_generation_steps=10, constraint=dfa)
+    assert self.trimmed(vocab, out.tokens[0]) == self.trimmed(
+        vocab, plain.tokens[0]
+    )
+    text = vocab.DecodeIds(self.trimmed(vocab, out.tokens[0]))
+    assert re.fullmatch("[abcd]{3,6}", text), text
+
+  def test_speculative_batcher_with_grammars(self, setup):
+    from cadence_gemma_tpu.inference import serving as serving_lib
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(model, vocab, params)
+    dfa = make_dfa(vocab, "[ab]{2,4}")
+    b = serving_lib.ContinuousBatcher(
+        s, num_slots=2, max_steps_default=10, draft_len=2, ngram=2,
+        constraints=[dfa],
+    )
+    rid_c = b.add_request("ab cd", max_steps=10, constraint=0)
+    rid_f = b.add_request("cd ab", max_steps=10)
+    res = {r: t for r, t, _ in b.run_until_drained(4)}
+    want_c = s(["ab cd"], total_generation_steps=10, constraint=dfa)
+    assert self.trimmed(vocab, res[rid_c]) == self.trimmed(
+        vocab, want_c.tokens[0]
+    )
+    want_f = s(["cd ab"], total_generation_steps=10)
+    assert res[rid_f] == [
+        int(t) for t in np.asarray(want_f.tokens[0])
+    ][: len(res[rid_f])]
+
+  def test_categorical_spec_stays_in_grammar(self, setup):
+    from cadence_gemma_tpu.inference import speculative
+
+    model, vocab, params = setup
+    s = sampler_lib.Sampler(
+        model, vocab, params, deterministic_sampling=False,
+        temperature=1.3,
+    )
+    dfa = make_dfa(vocab, "(cat|dog)(cat|dog)?")
+    spec = speculative.SpeculativeSampler(s, draft_len=3, ngram=2)
+    for seed in range(3):
+      out = spec(["ab"], total_generation_steps=14,
+                 rng=jax.random.PRNGKey(seed), constraint=dfa)
+      ids = self.trimmed(vocab, out.tokens[0])
+      text = vocab.DecodeIds(ids)
+      stopped = any(
+          int(t) == vocab.eos_id() for t in np.asarray(out.tokens[0])
+      )
+      if stopped:
+        assert dfa.allows_text(text), text
+      else:
+        assert dfa.is_live_prefix(text), text
+
+
 class TestTokenStringsFromVocab:
 
   def test_simple_vocab_fallback(self):
@@ -1010,6 +1084,33 @@ class TestTokenStringsFromVocab:
     )
     assert strings[: 3] == ["", "", ""]
     assert strings[4] == "hello" and strings[5] == "world"
+
+  def test_byte_fallback_and_control_pieces(self):
+    class SPVocab(CharVocab):
+      """Mimics the real Gemma tokenizer's piece classes."""
+
+      def IdToPiece(self, i):  # noqa: N802
+        return ["", "", "", "", "▁hi", "<0x0A>", "<start_of_turn>",
+                "<0xE2>"][i]
+
+      def IsControl(self, i):  # noqa: N802
+        return i == 6
+
+      def IsByte(self, i):  # noqa: N802
+        return i in (5, 7)
+
+    vocab = SPVocab(["x"] * 4)  # pieces list only sizes GetPieceSize
+    strings = constrain.token_strings_from_vocab(vocab, 8)
+    assert strings[4] == " hi"
+    assert strings[5] == "\n"            # byte token emits its byte
+    assert strings[6] == ""              # control: forbidden
+    assert strings[7] == "\xe2"          # non-ASCII byte: latin-1 stand-in
+    # A grammar over ASCII + newline treats the byte token correctly.
+    dfa = constrain.TokenDFA("( hi)+\n?", strings, eos_id=2)
+    start = dfa.char_dfa.start
+    after_hi = dfa.token_advance(start, 4)
+    assert dfa.token_allowed(after_hi, 5)   # newline byte fits
+    assert not dfa.token_allowed(after_hi, 7)  # 0xE2 is dead
 
   def test_sentencepiece_piece_mapping(self):
     class PieceVocab(CharVocab):
