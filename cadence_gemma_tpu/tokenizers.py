@@ -34,14 +34,20 @@ class Vocabulary(Protocol):
 
 
 def load_sentencepiece(model_path: str) -> "Vocabulary":
-  """Loads the official Gemma SentencePiece tokenizer (if installed)."""
+  """Loads a SentencePiece ``tokenizer.model`` (e.g. the official Gemma one).
+
+  Uses the ``sentencepiece`` extension when installed; otherwise falls back
+  to the framework's self-contained implementation
+  (:class:`cadence_gemma_tpu.sp_native.NativeSentencePiece` — protobuf wire
+  parser + unigram/BPE segmentation with a native C++ hot loop), so real
+  checkpoints tokenize without the optional dependency.
+  """
   try:
     import sentencepiece as spm  # pytype: disable=import-error
-  except ImportError as e:
-    raise ImportError(
-        "sentencepiece is not installed; install it or pass any object "
-        "implementing the Vocabulary protocol."
-    ) from e
+  except ImportError:
+    from cadence_gemma_tpu import sp_native
+
+    return sp_native.NativeSentencePiece(model_path)
   vocab = spm.SentencePieceProcessor()
   vocab.Load(model_path)
   return vocab
