@@ -17,6 +17,9 @@ from cadence_gemma_tpu.common import GriffinConfig
 from cadence_gemma_tpu.common import Preset
 from cadence_gemma_tpu.common import ScanType
 from cadence_gemma_tpu.common import TemporalBlockType
+from cadence_gemma_tpu.checkpoint.export import export_serving
+from cadence_gemma_tpu.checkpoint.export import load_serving_export
+from cadence_gemma_tpu.checkpoint.export import save_serving_export
 from cadence_gemma_tpu.checkpoint.io import load_parameters
 from cadence_gemma_tpu.checkpoint.io import load_train_state
 from cadence_gemma_tpu.checkpoint.io import save_parameters
