@@ -31,6 +31,7 @@ from cadence_gemma_tpu.inference.constrain import schema_dfa
 from cadence_gemma_tpu.inference.constrain import schema_regex
 from cadence_gemma_tpu.inference.constrain import token_strings_from_vocab
 from cadence_gemma_tpu.inference.constrain import TokenDFA
+from cadence_gemma_tpu.inference.constrain import tool_call_schema
 from cadence_gemma_tpu.inference.modal_sampler import ModalSampler
 from cadence_gemma_tpu.inference.sampler import PrefixState
 from cadence_gemma_tpu.inference.serving import ContinuousBatcher

@@ -1184,6 +1184,63 @@ def schema_regex(
   return value_rx(schema, "$")
 
 
+def tool_call_schema(
+    tools: Sequence[dict],
+    tool_name: str | None = None,
+) -> dict:
+  """A JSON-Schema (strict subset) for an OpenAI-style tool-call envelope.
+
+  The constrained completion is forced to be exactly one call,
+  ``{"name": <tool>, "arguments": <args>}``, where ``<tool>`` ranges over
+  the declared function names and ``<args>`` matches that tool's
+  ``parameters`` schema (strict structured-outputs subset — the same
+  rules as ``response_format: json_schema``). Feed the result to
+  :func:`schema_regex`/:func:`schema_dfa` or pass it as a per-request
+  constraint; the serving layer uses it for ``tool_choice: "required"``
+  and named-function ``tool_choice``.
+
+  Args:
+    tools: OpenAI ``tools`` entries: ``{"type": "function", "function":
+      {"name": ..., "parameters": <json-schema>}}`` (a missing
+      ``parameters`` means no arguments — an empty object).
+    tool_name: Restrict the envelope to this one function
+      (``tool_choice: {"type": "function", "function": {"name": ...}}``).
+
+  Raises:
+    ValueError: malformed tools, duplicate/unknown names. (Parameter
+      schemas outside the strict subset raise later, in
+      :func:`schema_regex`.)
+  """
+  branches = []
+  seen: set[str] = set()
+  for i, tool in enumerate(tools):
+    if not isinstance(tool, dict) or tool.get("type") != "function":
+      raise ValueError(f"tools[{i}] must be {{'type': 'function', ...}}")
+    fn = tool.get("function")
+    if not isinstance(fn, dict) or not isinstance(fn.get("name"), str):
+      raise ValueError(f"tools[{i}].function needs a string 'name'")
+    name = fn["name"]
+    if name in seen:
+      raise ValueError(f"duplicate tool name {name!r}")
+    seen.add(name)
+    if tool_name is not None and name != tool_name:
+      continue
+    params = fn.get("parameters")
+    if params is None:
+      params = {"type": "object", "properties": {}, "required": []}
+    branches.append({
+        "type": "object",
+        "properties": {"name": {"const": name}, "arguments": params},
+        "required": ["name", "arguments"],
+    })
+  if not branches:
+    raise ValueError(
+        f"tool_choice names {tool_name!r}, which is not in tools"
+        if tool_name is not None else "tools must be non-empty"
+    )
+  return branches[0] if len(branches) == 1 else {"anyOf": branches}
+
+
 def schema_dfa(
     schema: dict,
     vocab: Any,

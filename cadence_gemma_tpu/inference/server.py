@@ -63,8 +63,20 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       top_k / stop (single-token stops) / min_tokens /
       repetition_penalty are HONORED per request (temperature 0 maps to
       top_k=1, i.e. argmax); otherwise they are ignored — configure them
-      on the sampler. Unsupported result shapes (n>1, echo, logprobs)
-      are 400s.
+      on the sampler. Unsupported result shapes (echo, streaming with
+      n>1/logprobs/tools) are 400s.
+
+      Tool calling (``tools`` + ``tool_choice``): declared functions
+      render as an in-prompt preamble (Gemma has no tool tokens — the
+      convention is in-band envelope JSON, see ``render_tool_preamble``);
+      ``tool_choice: "required"`` or a named function CONSTRAINS the
+      completion to ``constrain.tool_call_schema(tools)`` via the dynamic
+      grammar slots — the arguments are then guaranteed to match the
+      tool's ``parameters`` schema (strict structured-outputs subset);
+      ``"auto"`` leaves generation free and recognizes envelope output
+      post-hoc. Tool calls come back as OpenAI ``message.tool_calls`` +
+      ``finish_reason: "tool_calls"``; ``role: "tool"`` results and
+      assistant ``tool_calls`` history render back into the dialogue.
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -121,8 +133,35 @@ def _message_parts(content: Any) -> tuple[str, str | None]:
   return "\n".join(t for t in texts if t), image_b64
 
 
+def render_tool_preamble(tools: list) -> str:
+  """The in-prompt tool declaration block (Gemma has no tool role).
+
+  Declares the available functions and the calling convention — reply
+  with ONLY the envelope JSON ``{"name": ..., "arguments": {...}}`` —
+  matching :func:`constrain.tool_call_schema`, so a forced
+  ``tool_choice`` constrains generation to exactly what the preamble
+  asks for.
+  """
+  decls = []
+  for tool in tools:
+    fn = tool.get("function") or {}
+    decl = {"name": fn.get("name")}
+    if fn.get("description"):
+      decl["description"] = fn["description"]
+    decl["parameters"] = fn.get(
+        "parameters", {"type": "object", "properties": {}, "required": []}
+    )
+    decls.append(decl)
+  return (
+      "You can call functions. To call one, reply with ONLY a JSON "
+      'object {"name": <function-name>, "arguments": <arguments-object>} '
+      "and nothing else.\n"
+      "Available functions:\n" + json.dumps(decls)
+  )
+
+
 def render_chat_messages(
-    messages: list, is_it_model: bool
+    messages: list, is_it_model: bool, tools: list | None = None
 ) -> tuple[str, str | None]:
   """Renders an OpenAI ``messages`` list to one submit()-able prompt.
 
@@ -136,18 +175,56 @@ def render_chat_messages(
   stateless chat request tokenizes exactly like the canonical multi-turn
   template (and like the equivalent chained-session conversation).
 
+  Tool use (Gemma has no tool tokens; the convention is in-band JSON,
+  shared with :func:`constrain.tool_call_schema`):
+
+  * ``tools``, when given, render as a declaration preamble ahead of the
+    first user turn (after any system text).
+  * assistant messages may carry ``tool_calls``; each call renders as the
+    envelope JSON inside the model turn (after any content text).
+  * ``role: "tool"`` results render as ``{"name": ..., "response": ...}``
+    JSON on the user side of the dialogue; consecutive tool results merge
+    into one user turn, and the name resolves through ``tool_call_id``.
+
   Returns (prompt, image_b64). At most one image across all messages.
   """
   if not isinstance(messages, list) or not messages:
     raise ValueError("messages must be a non-empty list")
   system_texts: list[str] = []
-  turns: list[tuple[str, str]] = []  # (role, text), roles user/assistant
+  turns: list[list] = []  # [role, text, from_tool]
+  call_names: dict[str, str] = {}  # tool_call_id -> function name
   image_b64 = None
+
+  def append_turn(role: str, text: str, from_tool: bool = False) -> None:
+    if turns and turns[-1][0] == role and (from_tool or turns[-1][2]):
+      prev = turns[-1][1]
+      turns[-1][1] = f"{prev}\n{text}" if prev and text else (prev or text)
+      turns[-1][2] = turns[-1][2] and from_tool
+    else:
+      turns.append([role, text, from_tool])
+
   for msg in messages:
     if not isinstance(msg, dict):
       raise ValueError("each message must be an object")
     role = msg.get("role")
-    text, img = _message_parts(msg.get("content"))
+    if role == "tool":
+      if not any(t[0] == "assistant" for t in turns):
+        raise ValueError(
+            "tool result without a preceding assistant tool call"
+        )
+      text, _ = _message_parts(msg.get("content"))
+      name = call_names.get(msg.get("tool_call_id", ""), "tool")
+      payload: Any = text
+      try:  # structured results pass through as JSON, not double-quoted
+        payload = json.loads(text)
+      except ValueError:
+        pass
+      append_turn(
+          "user", json.dumps({"name": name, "response": payload}),
+          from_tool=True,
+      )
+      continue
+    text, img = _message_parts(msg.get("content") or "")
     if img is not None:
       if image_b64 is not None:
         raise ValueError("at most one image per request")
@@ -156,32 +233,67 @@ def render_chat_messages(
       if turns:
         raise ValueError("system messages must precede the conversation")
       system_texts.append(text)
+    elif role == "assistant" and msg.get("tool_calls"):
+      parts = [text] if text else []
+      for call in msg["tool_calls"]:
+        fn = (call or {}).get("function") or {}
+        args = fn.get("arguments", {})
+        if isinstance(args, str):
+          try:
+            args = json.loads(args)
+          except ValueError:
+            pass  # keep the raw string — garbage in, garbage rendered
+        parts.append(json.dumps({"name": fn.get("name"), "arguments": args}))
+        if call.get("id"):
+          call_names[call["id"]] = fn.get("name", "tool")
+      append_turn("assistant", "\n".join(parts))
     elif role in ("user", "assistant"):
-      turns.append((role, text))
+      append_turn(role, text)
     else:
       raise ValueError(f"unsupported role: {role!r}")
   if not turns or turns[0][0] != "user":
     raise ValueError("the conversation must start with a user message")
   if turns[-1][0] != "user":
     raise ValueError(
-        "the conversation must end with a user message (assistant "
-        "continuation is not supported)"
+        "the conversation must end with a user or tool message "
+        "(assistant continuation is not supported)"
     )
-  for (role_a, _), (role_b, _) in zip(turns, turns[1:]):
+  for (role_a, _, _), (role_b, _, _) in zip(turns, turns[1:]):
     if role_a == role_b:
       raise ValueError("user/assistant messages must alternate")
-  if system_texts:
-    sys_text = "\n\n".join(system_texts)
-    turns[0] = ("user", f"{sys_text}\n\n{turns[0][1]}" if turns[0][1]
-                else sys_text)
+  lead = list(system_texts)
+  if tools:
+    lead.append(render_tool_preamble(tools))
+  if lead:
+    lead_text = "\n\n".join(lead)
+    turns[0][1] = (f"{lead_text}\n\n{turns[0][1]}" if turns[0][1]
+                   else lead_text)
   if not is_it_model:
-    return "\n".join(t for _, t in turns), image_b64
+    return "\n".join(t for _, t, _ in turns), image_b64
   rendered = [turns[0][1]]
-  for role, text in turns[1:]:
+  for role, text, _ in turns[1:]:
     opener = (common.IT_MODEL_OPEN if role == "assistant"
               else common.IT_USER_OPEN)
     rendered.append(f"{common.IT_TURN_CLOSE}{opener}{text}")
   return "".join(rendered), image_b64
+
+
+def parse_tool_call(text: str, valid_names: set[str]) -> dict | None:
+  """Recognizes a generated tool-call envelope; None if it's plain text.
+
+  The envelope is the whole completion (the preamble demands "ONLY a
+  JSON object"): ``{"name": <declared tool>, "arguments": <object>}``.
+  Returns ``{"name": ..., "arguments": <json string>}`` ready for the
+  OpenAI ``tool_calls`` wire shape.
+  """
+  try:
+    doc = json.loads(text)
+  except ValueError:
+    return None
+  if (not isinstance(doc, dict) or doc.get("name") not in valid_names
+      or not isinstance(doc.get("arguments"), dict)):
+    return None
+  return {"name": doc["name"], "arguments": json.dumps(doc["arguments"])}
 
 
 def _openai_error(message: str, kind: str = "invalid_request_error") -> dict:
@@ -910,7 +1022,9 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
       return None, True
 
     def _openai_generate(self, req: dict, prompt: str,
-                         image_b64: str | None, chat: bool) -> None:
+                         image_b64: str | None, chat: bool,
+                         tool_names: set[str] | None = None,
+                         tool_constraint: dict | None = None) -> None:
       """Shared tail of /v1/completions and /v1/chat/completions."""
       max_tokens = req.get("max_tokens")
       if max_tokens is None:
@@ -918,6 +1032,12 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
       constraint, rejected = self._openai_constraint(req)
       if rejected:
         return
+      if tool_constraint is not None:
+        if constraint is not None:
+          return self._json(400, _openai_error(
+              "response_format cannot combine with a forced tool_choice"
+          ))
+        constraint = tool_constraint
       sampling: dict[str, Any] = {}
       if getattr(frontend.batcher, "per_request_sampling", False):
         # Honor the standard knobs (a per_request_sampling batcher
@@ -1000,7 +1120,20 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
                 ),
             )
           if chat:
-            choice["message"] = {"role": "assistant", "content": text}
+            call = (parse_tool_call(text, tool_names)
+                    if tool_names else None)
+            if call is not None:
+              choice["message"] = {
+                  "role": "assistant", "content": None,
+                  "tool_calls": [{
+                      "id": f"call_{id(sub_i):x}{i}",
+                      "type": "function",
+                      "function": call,
+                  }],
+              }
+              choice["finish_reason"] = "tool_calls"
+            else:
+              choice["message"] = {"role": "assistant", "content": text}
           else:
             choice["text"] = text
           choices.append(choice)
@@ -1086,15 +1219,50 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
     def _openai_chat(self, req: dict) -> None:
       if self._openai_reject_unsupported(req):
         return
+      tools = req.get("tools")
+      tool_choice = req.get("tool_choice")
+      tool_names: set[str] | None = None
+      tool_constraint: dict | None = None
+      if tools is not None and tool_choice != "none":
+        from cadence_gemma_tpu.inference import constrain
+
+        try:
+          envelope = constrain.tool_call_schema(tools)  # also validates
+        except ValueError as e:
+          return self._json(400, _openai_error(str(e)))
+        if isinstance(tool_choice, dict):
+          name = (tool_choice.get("function") or {}).get("name")
+          try:
+            tool_constraint = constrain.tool_call_schema(tools, name)
+          except ValueError as e:
+            return self._json(400, _openai_error(str(e)))
+        elif tool_choice == "required":
+          tool_constraint = envelope
+        elif tool_choice not in (None, "auto"):
+          return self._json(400, _openai_error(
+              f"tool_choice {tool_choice!r} is not supported (use "
+              "'auto', 'none', 'required', or a named function)"
+          ))
+        if req.get("stream"):
+          return self._json(400, _openai_error(
+              "streaming with tools is not supported"
+          ))
+        tool_names = {
+            t["function"]["name"] for t in tools
+        }
+      else:
+        tools = None  # tool_choice "none": render and behave as tool-free
       try:
         prompt, image_b64 = render_chat_messages(
-            req.get("messages"), is_it_model
+            req.get("messages"), is_it_model, tools=tools
         )
       except ValueError as e:
         return self._json(400, _openai_error(str(e)))
       if not prompt:
         return self._json(400, _openai_error("empty conversation"))
-      self._openai_generate(req, prompt, image_b64, chat=True)
+      self._openai_generate(req, prompt, image_b64, chat=True,
+                            tool_names=tool_names,
+                            tool_constraint=tool_constraint)
 
     def do_POST(self):
       try:

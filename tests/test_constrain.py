@@ -653,6 +653,46 @@ class TestSchemaRegex:
     with pytest.raises(ValueError, match="empty enum"):
       constrain.schema_regex({"enum": []})
 
+  def test_tool_call_schema_envelope(self):
+    tools = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"type": "string"}},
+                           "required": ["city"]}}},
+        {"type": "function", "function": {"name": "ping"}},  # no params
+    ]
+    dfa = self.compile(constrain.tool_call_schema(tools))
+    assert dfa.accepts('{"name":"get_weather","arguments":{"city":"oslo"}}')
+    assert dfa.accepts('{"name":"ping","arguments":{}}')
+    # Arguments must match the NAMED tool's schema, not any tool's.
+    assert not dfa.accepts('{"name":"ping","arguments":{"city":"oslo"}}')
+    assert not dfa.accepts('{"name":"get_weather","arguments":{}}')
+    assert not dfa.accepts('{"name":"other","arguments":{}}')
+    assert not dfa.accepts('hello')
+
+  def test_tool_call_schema_named_restriction(self):
+    tools = [
+        {"type": "function", "function": {"name": "a"}},
+        {"type": "function", "function": {"name": "b"}},
+    ]
+    dfa = self.compile(constrain.tool_call_schema(tools, tool_name="b"))
+    assert dfa.accepts('{"name":"b","arguments":{}}')
+    assert not dfa.accepts('{"name":"a","arguments":{}}')
+
+  def test_tool_call_schema_validation(self):
+    fn = {"type": "function", "function": {"name": "a"}}
+    with pytest.raises(ValueError, match="non-empty"):
+      constrain.tool_call_schema([])
+    with pytest.raises(ValueError, match="duplicate"):
+      constrain.tool_call_schema([fn, fn])
+    with pytest.raises(ValueError, match="not in tools"):
+      constrain.tool_call_schema([fn], tool_name="zzz")
+    with pytest.raises(ValueError, match="function"):
+      constrain.tool_call_schema([{"type": "retrieval"}])
+    with pytest.raises(ValueError, match="name"):
+      constrain.tool_call_schema([{"type": "function", "function": {}}])
+
   def test_end_to_end_schema_sampling(self):
     import json as json_mod
 

@@ -588,7 +588,9 @@ class TestRenderChatMessages:
         {"role": "user", "content": "b"}], "alternate"),
       ([{"role": "user", "content": "a"},
         {"role": "system", "content": "late"}], "precede"),
-      ([{"role": "tool", "content": "x"}], "unsupported role"),
+      ([{"role": "tool", "content": "x"}],
+       "without a preceding assistant"),
+      ([{"role": "robot", "content": "x"}], "unsupported role"),
       ([{"role": "user", "content": [
           {"type": "image_url",
            "image_url": {"url": "http://example.com/x.jpg"}}]}], "data:"),
@@ -1258,3 +1260,234 @@ class TestProductionHardening:
     fe.close()
     with pytest.raises(RuntimeError, match="cancelled"):
       sub.result(timeout=30)
+
+
+class TestToolCalling:
+  """OpenAI tools/tool_choice through the grammar-constrained path.
+
+  With tool_choice required (or a named function), the completion is
+  CONSTRAINED to constrain.tool_call_schema(tools): whatever the model
+  wants to say, the response is a well-formed call whose arguments match
+  the declared parameters schema. "auto" stays unconstrained and
+  recognizes envelope output post-hoc.
+  """
+
+  TOOLS = [
+      {"type": "function", "function": {
+          "name": "f",
+          "description": "eff",
+          "parameters": {"type": "object",
+                         "properties": {"x": {"type": "integer"}},
+                         "required": ["x"]}}},
+      {"type": "function", "function": {"name": "g"}},  # no arguments
+  ]
+
+  @pytest.fixture(scope="class")
+  def tool_httpd(self):
+    from tests.test_constrain import CharVocab
+
+    pieces = list('{}:,"0123456789-') + ["name", "argu", "ment", "s",
+                                         "f", "g", "x"]
+    vocab = CharVocab(pieces)
+    config = common.GriffinConfig(
+        vocab_size=vocab.GetPieceSize(), width=16, mlp_expanded_width=32,
+        num_heads=2,
+        block_types=(common.TemporalBlockType.RECURRENT,),
+        embeddings_scale_by_sqrt_dim=True, attention_window_size=8,
+        logits_soft_cap=30.0, lru_width=16,
+        scan_type=common.ScanType.LINEAR_NATIVE,
+    )
+    model = griffin.Griffin(config, dtype=jnp.float32,
+                            param_dtype=jnp.float32,
+                            gradient_checkpointing=False)
+    params = model.init(jax.random.PRNGKey(5),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.arange(4)[None])["params"]
+    sampler = sampler_lib.Sampler(model, vocab, params)
+    batcher = serving.ContinuousBatcher(
+        sampler, num_slots=2, max_steps_default=64,
+        dynamic_grammar_slots=2, dynamic_grammar_budget=(320, 48, 8),
+    )
+    fe = server_lib.ServingFrontend(batcher, step_size=4)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, vocab
+    srv.close()
+
+  def _post(self, port, obj, path="/v1/chat/completions", timeout=180):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+      return resp.status, json.loads(resp.read())
+
+  def _post_error(self, port, obj):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(port, obj)
+    assert e.value.code == 400
+    return json.loads(e.value.read())["error"]["message"]
+
+  def test_tool_choice_required_yields_valid_call(self, tool_httpd):
+    srv, _ = tool_httpd
+    status, out = self._post(srv.port, {
+        "messages": [{"role": "user", "content": "x"}],
+        "tools": self.TOOLS, "tool_choice": "required",
+        "max_tokens": 64,
+    })
+    assert status == 200
+    choice = out["choices"][0]
+    if choice["finish_reason"] == "tool_calls":
+      assert choice["message"]["content"] is None
+      (call,) = choice["message"]["tool_calls"]
+      assert call["type"] == "function"
+      fn = call["function"]
+      args = json.loads(fn["arguments"])
+      if fn["name"] == "f":
+        assert isinstance(args["x"], int)
+      else:
+        assert fn["name"] == "g" and args == {}
+    else:
+      # Budget truncation: still a live prefix of the envelope grammar.
+      assert choice["finish_reason"] == "length"
+      assert choice["message"]["content"].startswith('{"name":"')
+
+  def test_named_tool_choice_forces_that_tool(self, tool_httpd):
+    srv, _ = tool_httpd
+    status, out = self._post(srv.port, {
+        "messages": [{"role": "user", "content": "x"}],
+        "tools": self.TOOLS,
+        "tool_choice": {"type": "function", "function": {"name": "g"}},
+        "max_tokens": 64,
+    })
+    assert status == 200
+    choice = out["choices"][0]
+    if choice["finish_reason"] == "tool_calls":
+      (call,) = choice["message"]["tool_calls"]
+      assert call["function"]["name"] == "g"
+      assert json.loads(call["function"]["arguments"]) == {}
+    else:
+      assert choice["message"]["content"].startswith('{"name":"g"')
+
+  def test_tool_choice_auto_free_text_is_content(self, setup):
+    # A word-vocab model can't spell the envelope; auto must pass its
+    # free text through as ordinary content.
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=6)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      status, out = self._post(srv.port, {
+          "messages": [{"role": "user", "content": "alpha beta"}],
+          "tools": self.TOOLS,  # tool_choice defaults to auto
+      })
+      assert status == 200
+      choice = out["choices"][0]
+      assert "tool_calls" not in choice["message"]
+      assert isinstance(choice["message"]["content"], str)
+      assert choice["finish_reason"] in ("stop", "length")
+    finally:
+      srv.close()
+
+  def test_tool_choice_none_matches_tool_free_request(self, setup):
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=1,
+                                        max_steps_default=6)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      msgs = [{"role": "user", "content": "alpha beta"}]
+      _, with_none = self._post(srv.port, {
+          "messages": msgs, "tools": self.TOOLS, "tool_choice": "none",
+      })
+      _, without = self._post(srv.port, {"messages": msgs})
+      assert (with_none["choices"][0]["message"]
+              == without["choices"][0]["message"])
+    finally:
+      srv.close()
+
+  def test_bad_tools_and_modes_rejected(self, tool_httpd):
+    srv, _ = tool_httpd
+    msgs = [{"role": "user", "content": "x"}]
+    assert "function" in self._post_error(
+        srv.port, {"messages": msgs, "tools": [{"type": "retrieval"}]})
+    assert "not in tools" in self._post_error(
+        srv.port, {"messages": msgs, "tools": self.TOOLS,
+                    "tool_choice": {"type": "function",
+                                    "function": {"name": "zzz"}}})
+    assert "streaming" in self._post_error(
+        srv.port, {"messages": msgs, "tools": self.TOOLS,
+                    "tool_choice": "required", "stream": True})
+    assert "tool_choice" in self._post_error(
+        srv.port, {"messages": msgs, "tools": self.TOOLS,
+                    "tool_choice": "frobnicate"})
+    assert "response_format" in self._post_error(
+        srv.port, {"messages": msgs, "tools": self.TOOLS,
+                    "tool_choice": "required",
+                    "response_format": {
+                        "type": "json_schema",
+                        "json_schema": {"schema": {"type": "integer"}}}})
+
+
+class TestToolRendering:
+  """Pure rendering/parsing: no server needed."""
+
+  TOOLS = TestToolCalling.TOOLS
+
+  def test_preamble_and_history_render(self):
+    messages = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "weather?"},
+        {"role": "assistant", "tool_calls": [{
+            "id": "call_1", "type": "function",
+            "function": {"name": "f", "arguments": '{"x": 3}'}}]},
+        {"role": "tool", "tool_call_id": "call_1",
+         "content": '{"temp": 9}'},
+    ]
+    prompt, img = server_lib.render_chat_messages(
+        messages, is_it_model=True, tools=self.TOOLS
+    )
+    assert img is None
+    assert "Available functions:" in prompt
+    assert '"name": "f"' in prompt          # declaration
+    assert '{"name": "f", "arguments": {"x": 3}}' in prompt  # the call
+    # Tool result renders on the user side with the resolved name and
+    # structured payload passed through un-double-quoted.
+    assert '{"name": "f", "response": {"temp": 9}}' in prompt
+    # Model turn then user turn: the template transitions are present.
+    assert common.IT_MODEL_OPEN in prompt and common.IT_USER_OPEN in prompt
+    # The conversation ends user-side: prompt ends with the tool result.
+    assert prompt.endswith('{"temp": 9}}')
+
+  def test_consecutive_tool_results_merge(self):
+    messages = [
+        {"role": "user", "content": "go"},
+        {"role": "assistant", "tool_calls": [
+            {"id": "a", "type": "function",
+             "function": {"name": "f", "arguments": "{}"}},
+            {"id": "b", "type": "function",
+             "function": {"name": "g", "arguments": "{}"}},
+        ]},
+        {"role": "tool", "tool_call_id": "a", "content": "1"},
+        {"role": "tool", "tool_call_id": "b", "content": "2"},
+    ]
+    prompt, _ = server_lib.render_chat_messages(messages, is_it_model=True)
+    # One user turn holding both results (no double transition).
+    assert prompt.count(common.IT_USER_OPEN) == 1
+    assert '{"name": "f", "response": 1}\n{"name": "g", "response": 2}' \
+        in prompt
+
+  def test_parse_tool_call(self):
+    names = {"f", "g"}
+    ok = server_lib.parse_tool_call('{"name":"f","arguments":{"x":1}}',
+                                    names)
+    assert ok == {"name": "f", "arguments": '{"x": 1}'}
+    assert server_lib.parse_tool_call("hello", names) is None
+    assert server_lib.parse_tool_call('{"name":"zzz","arguments":{}}',
+                                      names) is None
+    assert server_lib.parse_tool_call('{"name":"f","arguments":3}',
+                                      names) is None
+    assert server_lib.parse_tool_call('{"name":"f"}', names) is None
