@@ -63,8 +63,14 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       top_k / stop (single-token stops) / min_tokens /
       repetition_penalty are HONORED per request (temperature 0 maps to
       top_k=1, i.e. argmax); otherwise they are ignored — configure them
-      on the sampler. Unsupported result shapes (echo, streaming with
-      n>1/logprobs/tools) are 400s.
+      on the sampler. ``echo`` is the one unsupported result shape
+      (400). Streaming composes with everything else: ``n > 1`` streams
+      choices sequentially (every chunk carries its choice index;
+      accumulating clients reassemble identically), and requested
+      ``logprobs`` arrive in one final chunk per choice (they are
+      fetched from device at finish; per-delta fetches would stall the
+      whole batch). ``stream_options: {"include_usage": true}`` appends
+      the standard no-choices usage chunk before ``[DONE]``.
 
       Tool calling (``tools`` + ``tool_choice``): declared functions
       render as an in-prompt preamble (Gemma has no tool tokens — the
@@ -77,6 +83,10 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       post-hoc. Tool calls come back as OpenAI ``message.tool_calls`` +
       ``finish_reason: "tool_calls"``; ``role: "tool"`` results and
       assistant ``tool_calls`` history render back into the dialogue.
+      Streaming composes: a forced tool_choice streams standard
+      ``delta.tool_calls`` chunks (name header, then argument
+      fragments); auto mode streams content unless the text commits to
+      the envelope shape (see :class:`ToolStreamGate`).
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -294,6 +304,178 @@ def parse_tool_call(text: str, valid_names: set[str]) -> dict | None:
       or not isinstance(doc.get("arguments"), dict)):
     return None
   return {"name": doc["name"], "arguments": json.dumps(doc["arguments"])}
+
+
+class ToolStreamGate:
+  """Incremental tool-call vs plain-text classifier for SSE streaming.
+
+  Feed it the CUMULATIVE decoded completion text; it returns SSE-ready
+  events as they become unambiguous:
+
+  * forced mode (generation is constrained to the envelope grammar): the
+    function name streams as a ``header`` event the moment its closing
+    quote arrives, and the raw ``arguments`` value streams as ``args``
+    fragments (an incremental depth/string scanner bounds the value, so
+    the envelope's outer ``}`` and any trailing text never reach a
+    fragment).
+  * auto mode: buffers while the text is still a plausible envelope lead
+    (``{"name": "<declared tool>", "arguments": {``, whitespace-tolerant);
+    the first deviation flushes the buffer as one ``content`` event and
+    everything after streams as ordinary content. Commitment to tool
+    mode requires a DECLARED name and an object-valued ``arguments`` —
+    after that the stream is a tool call (trailing text after the
+    envelope is ignored, as in the non-streaming path). An envelope with
+    keys in a non-canonical order streams as content.
+
+  Events: ``("header", name)``, ``("args", fragment)``,
+  ``("content", text)``. ``finish(full_text)`` returns the final events
+  plus whether a complete, parseable tool call was delivered.
+  """
+
+  def __init__(self, tool_names: set[str], forced: bool):
+    self._names = tool_names
+    self._forced = forced
+    self._mode = "undecided"  # undecided | content | tool
+    self._name: str | None = None
+    self._header_sent = False
+    self._args_start: int | None = None
+    self._sent = 0  # chars emitted (content offset, or args offset)
+    # Incremental bounds of the arguments JSON value (tool mode): a
+    # depth/string scanner marks where the object closes so fragments
+    # never include the envelope's outer "}" or trailing text.
+    self._scanned = 0       # chars of the value consumed so far
+    self._depth = 0
+    self._in_str = False
+    self._esc = False
+    self._val_end: int | None = None  # absolute index one past the value
+
+  def _scan(self, text: str):
+    """Parses the envelope lead. Returns one of
+    ("partial",) / ("no",) / ("name", name) / ("args", name, value_pos).
+    """
+    i, n = 0, len(text)
+
+    def ws(i: int) -> int:
+      while i < n and text[i] in " \t\r\n":
+        i += 1
+      return i
+
+    def lit(i: int, s: str):
+      for j, ch in enumerate(s):
+        if i + j >= n:
+          return "partial", i
+        if text[i + j] != ch:
+          return "no", i
+      return "ok", i + len(s)
+
+    i = ws(i)
+    for piece in ("{", '"name"', ":", '"'):
+      st, i = lit(i, piece)
+      if st != "ok":
+        return (st if st == "no" else "partial",)
+      i = ws(i) if piece != '"' else i
+    start = i
+    while i < n and text[i] not in '"\\\n':
+      i += 1
+    if i >= n:
+      return ("partial",)
+    if text[i] != '"':
+      return ("no",)  # escapes/control in a name: not our envelope
+    name = text[start:i]
+    if name not in self._names:
+      return ("no",)
+    i = ws(i + 1)
+    for piece in (",", '"arguments"', ":"):
+      st, i = lit(i, piece)
+      if st != "ok":
+        return (("no",) if st == "no" else ("name", name))
+      i = ws(i)
+    if i >= n:
+      return ("name", name)
+    if text[i] != "{":
+      return ("no",)  # non-object arguments: not a tool call
+    return ("args", name, i)
+
+  def feed(self, text: str) -> list[tuple[str, str]]:
+    events: list[tuple[str, str]] = []
+    if self._mode == "content":
+      if len(text) > self._sent:
+        events.append(("content", text[self._sent:]))
+        self._sent = len(text)
+      return events
+    if self._mode == "undecided":
+      got = self._scan(text)
+      if got[0] == "no" and not self._forced:
+        self._mode = "content"
+        if text:
+          events.append(("content", text))
+          self._sent = len(text)
+        return events
+      if got[0] == "args":
+        self._mode = "tool"
+        self._name, self._args_start = got[1], got[2]
+        self._sent = 0
+        events.append(("header", self._name))
+        self._header_sent = True
+      else:
+        return events  # partial (or forced-mode scan noise): keep buffering
+    # tool mode: stream exactly the raw arguments value. The scanner
+    # tracks brace depth and string state so emission stops at the
+    # object's own closing "}" — the envelope's outer "}" (and any
+    # trailing text) never reaches a fragment.
+    i = self._args_start + self._scanned
+    while self._val_end is None and i < len(text):
+      ch = text[i]
+      if self._in_str:
+        if self._esc:
+          self._esc = False
+        elif ch == "\\":
+          self._esc = True
+        elif ch == '"':
+          self._in_str = False
+      elif ch == '"':
+        self._in_str = True
+      elif ch in "{[":
+        self._depth += 1
+      elif ch in "}]":
+        self._depth -= 1
+        if self._depth == 0:
+          self._val_end = i + 1
+      i += 1
+      self._scanned += 1
+    emit_to = ((self._val_end if self._val_end is not None
+                else self._args_start + self._scanned)
+               - self._args_start)
+    if emit_to > self._sent:
+      events.append(("args",
+                     text[self._args_start + self._sent:
+                          self._args_start + emit_to]))
+      self._sent = emit_to
+    return events
+
+  def finish(self, text: str) -> tuple[list[tuple[str, str]], bool]:
+    """Final events for the complete text, and tool-call completeness."""
+    if self._mode == "content":
+      return self.feed(text), False
+    if self._mode == "undecided":
+      call = parse_tool_call(text, self._names)
+      if call is not None:
+        return ([("header", call["name"]),
+                 ("args", call["arguments"])], True)
+      # Not an envelope — or (forced mode) truncated before the
+      # arguments began: surface the buffered text as content, matching
+      # the non-streaming path's budget-truncation behavior.
+      return ([("content", text)] if text else [], False)
+    # tool mode: emit the exact remainder of the raw arguments value.
+    try:
+      _, end = json.JSONDecoder().raw_decode(text, self._args_start)
+    except ValueError:
+      return [], False  # budget-truncated mid-arguments
+    raw_args = text[self._args_start:end]
+    events = []
+    if len(raw_args) > self._sent:
+      events.append(("args", raw_args[self._sent:]))
+    return events, True
 
 
 def _openai_error(message: str, kind: str = "invalid_request_error") -> dict:
@@ -950,13 +1132,13 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
       if n is not None and (not isinstance(n, int) or not 1 <= n <= 16):
         self._json(400, _openai_error("n must be an int in [1, 16]"))
         return True
-      if n not in (None, 1) and req.get("stream"):
-        self._json(
-            400, _openai_error("streaming with n > 1 is not supported")
-        )
-        return True
       if req.get("echo"):
         self._json(400, _openai_error("echo is not supported"))
+        return True
+      if req.get("stream_options") and not req.get("stream"):
+        self._json(400, _openai_error(
+            "stream_options requires stream: true"
+        ))
         return True
       want_lp = req.get("logprobs") or req.get("top_logprobs")
       if want_lp:
@@ -972,11 +1154,6 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
           self._json(400, _openai_error(
               f"this server records top-{recorded} logprobs "
               f"(requested {k})"
-          ))
-          return True
-        if req.get("stream"):
-          self._json(400, _openai_error(
-              "streaming with logprobs is not supported"
           ))
           return True
       return False
@@ -1068,7 +1245,7 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
               ids.append(enc[0])  # single-token stops only (documented)
           if ids:
             sampling["stop_token_ids"] = ids
-      n = int(req.get("n") or 1)  # n > 1 is non-streaming (rejected above)
+      n = int(req.get("n") or 1)
       base_seed = req.get("seed")
       try:
         subs = []
@@ -1147,7 +1324,13 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
                 "total_tokens": n_prompt + total_completion,
             },
         })
-      # Streaming: SSE data: chunks, then data: [DONE].
+      # Streaming: SSE data: chunks, then data: [DONE]. With n > 1 the
+      # choices stream sequentially (drain choice 0's queue, then 1's,
+      # ...): every chunk carries its choice index, so accumulating
+      # clients reassemble identically, and the driver advances all n
+      # requests concurrently regardless of the drain order. Requested
+      # logprobs arrive in one final chunk per choice (they are fetched
+      # from device at finish; per-delta fetches would stall the batch).
       self.send_response(200)
       self.send_header("Content-Type", "text/event-stream")
       self.send_header("Cache-Control", "no-cache")
@@ -1158,47 +1341,126 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
         frame = f"data: {payload}\n\n".encode()
         self.wfile.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
 
-      def sse_chunk(delta_text: str | None, reason: str | None,
-                    first: bool = False) -> None:
-        if chat:
-          delta: dict[str, Any] = {}
-          if first:
-            delta["role"] = "assistant"
-          if delta_text:
-            delta["content"] = delta_text
-          choice = {"index": 0, "delta": delta, "finish_reason": reason}
-        else:
-          choice = {"index": 0, "text": delta_text or "",
-                    "finish_reason": reason}
+      want_lp = req.get("logprobs") or req.get("top_logprobs")
+      top_k_lp = req.get("top_logprobs") or (
+          req["logprobs"]
+          if isinstance(req.get("logprobs"), int)
+          and not isinstance(req.get("logprobs"), bool) else 0
+      )
+
+      def stream_choice(idx: int, sub_i) -> None:
+        def sse_choice(choice: dict) -> None:
+          choice["index"] = idx
+          sse(json.dumps({
+              "id": oid, "object": obj + ".chunk", "created": created,
+              "model": model_name, "choices": [choice],
+          }))
+
+        first = True
+
+        def sse_chunk(delta_text: str | None, reason: str | None,
+                      logprobs: dict | None = None) -> None:
+          nonlocal first
+          if chat:
+            delta: dict[str, Any] = {}
+            if first:
+              delta["role"] = "assistant"
+            if delta_text:
+              delta["content"] = delta_text
+            choice = {"delta": delta, "finish_reason": reason}
+          else:
+            choice = {"text": delta_text or "", "finish_reason": reason}
+          if logprobs is not None:
+            choice["logprobs"] = logprobs
+          sse_choice(choice)
+          first = False
+
+        def sse_tool(kind: str, payload: str) -> None:
+          nonlocal first
+          delta: dict[str, Any] = {"role": "assistant"} if first else {}
+          if kind == "header":
+            delta["tool_calls"] = [{
+                "index": 0, "id": f"{call_id}{idx}", "type": "function",
+                "function": {"name": payload, "arguments": ""},
+            }]
+          else:
+            delta["tool_calls"] = [{
+                "index": 0, "function": {"arguments": payload},
+            }]
+          sse_choice({"delta": delta, "finish_reason": None})
+          first = False
+
+        def emit_events(events) -> None:
+          for kind_e, payload_e in events:
+            if kind_e == "content":
+              sse_chunk(payload_e, None)
+            else:
+              sse_tool(kind_e, payload_e)
+
+        def final_logprobs(tokens: list[int]) -> dict | None:
+          if not (want_lp and sub_i.logprobs is not None):
+            return None
+          return _format_logprobs(
+              sub_i.logprobs, tokens, vocab, chat, top_k_lp)
+
+        # Tool requests route deltas through a ToolStreamGate: a forced
+        # tool_choice streams the call incrementally (name header, then
+        # raw argument fragments); auto mode streams content unless and
+        # until the text commits to the envelope shape.
+        gate = (ToolStreamGate(tool_names, tool_constraint is not None)
+                if chat and tool_names else None)
+        all_ids: list[int] = []
+        emitted = ""
+        while True:
+          kind, payload = sub_i.events.get()
+          if kind == "tokens":
+            all_ids.extend(payload)
+            text_now = vocab.DecodeIds(all_ids)
+            if gate is not None:
+              emit_events(gate.feed(text_now))
+              emitted = text_now
+            elif len(text_now) > len(emitted):
+              sse_chunk(text_now[len(emitted):], None)
+              emitted = text_now
+            continue
+          if kind == "done":
+            tokens, text = payload
+            if gate is not None:
+              events, complete = gate.finish(text)
+              emit_events(events)
+              sse_chunk(None, "tool_calls" if complete
+                        else finish_reason(tokens),
+                        logprobs=final_logprobs(tokens))
+            else:
+              tail = (text[len(emitted):] if text.startswith(emitted)
+                      else "")
+              sse_chunk(tail or None, finish_reason(tokens),
+                        logprobs=final_logprobs(tokens))
+            return len(tokens)
+          elif kind == "cancelled":
+            sse_chunk(None, "stop")
+          else:  # error mid-stream: terminate the stream with a reason
+            sse_chunk(None, "error")
+          return 0
+
+      call_id = f"call_{oid.rsplit('-', 2)[-2]}"
+      total_completion = 0
+      for idx, sub_i in enumerate(subs):
+        total_completion += stream_choice(idx, sub_i)
+      if (req.get("stream_options") or {}).get("include_usage"):
+        # OpenAI stream_options: one final usage chunk with no choices.
+        n_prompt = prompt_token_count(prompt, image_b64 is not None)
         sse(json.dumps({
             "id": oid, "object": obj + ".chunk", "created": created,
-            "model": model_name, "choices": [choice],
+            "model": model_name, "choices": [],
+            "usage": {
+                "prompt_tokens": n_prompt,
+                "completion_tokens": total_completion,
+                "total_tokens": n_prompt + total_completion,
+            },
         }))
-
-      all_ids: list[int] = []
-      emitted = ""
-      first = True
-      while True:
-        kind, payload = sub.events.get()
-        if kind == "tokens":
-          all_ids.extend(payload)
-          text_now = vocab.DecodeIds(all_ids)
-          if len(text_now) > len(emitted):
-            sse_chunk(text_now[len(emitted):], None, first=first)
-            emitted = text_now
-            first = False
-          continue
-        if kind == "done":
-          tokens, text = payload
-          tail = text[len(emitted):] if text.startswith(emitted) else ""
-          sse_chunk(tail or None, finish_reason(tokens), first=first)
-        elif kind == "cancelled":
-          sse_chunk(None, "stop", first=first)
-        else:  # error mid-stream: terminate the stream with a reason
-          sse_chunk(None, "error", first=first)
-        sse("[DONE]")
-        self.wfile.write(b"0\r\n\r\n")
-        return
+      sse("[DONE]")
+      self.wfile.write(b"0\r\n\r\n")
 
     def _openai_completions(self, req: dict) -> None:
       prompt = req.get("prompt")
@@ -1242,10 +1504,6 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
           return self._json(400, _openai_error(
               f"tool_choice {tool_choice!r} is not supported (use "
               "'auto', 'none', 'required', or a named function)"
-          ))
-        if req.get("stream"):
-          return self._json(400, _openai_error(
-              "streaming with tools is not supported"
           ))
         tool_names = {
             t["function"]["name"] for t in tools

@@ -726,7 +726,6 @@ class TestOpenAICompat:
     srv, _, _ = httpd
     for body in (
         {"prompt": "alpha", "n": 0},
-        {"prompt": "alpha", "n": 2, "stream": True},
         {"prompt": "alpha", "echo": True},
         {"prompt": "alpha", "logprobs": 1},
         {"prompt": ["a", "b"]},
@@ -958,6 +957,8 @@ class TestConstrainedServing:
 class TestHonoredSamplingKnobs:
   """OpenAI sampling knobs are honored on per_request_sampling batchers."""
 
+  _sse_events = TestOpenAICompat._sse_events
+
   @pytest.fixture()
   def httpd(self, setup):
     base, vocab = setup
@@ -1037,6 +1038,46 @@ class TestHonoredSamplingKnobs:
     assert usage["total_tokens"] == (
         usage["prompt_tokens"] + usage["completion_tokens"]
     )
+
+  def test_n_parallel_samples_streaming(self, httpd):
+    # n > 1 + stream: chunks carry their choice index; reassembling per
+    # index yields exactly the non-streaming n-sample texts.
+    srv, base, vocab = httpd
+    body = {"prompt": "alpha beta", "max_tokens": 6, "seed": 11, "n": 3}
+    _, solo = self._post(srv.port, "/v1/completions", body)
+    want = {c["index"]: c["text"] for c in solo["choices"]}
+    events = self._sse_events(srv.port, "/v1/completions",
+                              {**body, "stream": True})
+    got: dict[int, str] = {}
+    finishes: dict[int, str] = {}
+    for e in events:
+      (choice,) = e["choices"]
+      got[choice["index"]] = got.get(choice["index"], "") + choice["text"]
+      if choice["finish_reason"]:
+        finishes[choice["index"]] = choice["finish_reason"]
+    assert got == want
+    assert set(finishes) == {0, 1, 2}
+
+  def test_stream_options_include_usage(self, httpd):
+    srv, _, _ = httpd
+    body = {"prompt": "alpha beta", "max_tokens": 5, "seed": 1,
+            "stream": True, "stream_options": {"include_usage": True}}
+    events = self._sse_events(srv.port, "/v1/completions", body)
+    usage_chunks = [e for e in events if "usage" in e]
+    (final,) = usage_chunks
+    assert final is events[-1] and final["choices"] == []
+    n_tokens = sum(1 for e in events
+                   if e["choices"] and e["choices"][0]["text"])
+    assert final["usage"]["completion_tokens"] >= max(1, n_tokens)
+    assert final["usage"]["total_tokens"] == (
+        final["usage"]["prompt_tokens"]
+        + final["usage"]["completion_tokens"])
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(srv.port, "/v1/completions",
+                 {"prompt": "alpha",
+                  "stream_options": {"include_usage": True}})
+    assert e.value.code == 400  # stream_options without stream
 
   def test_seedless_categorical_auto_seeds(self, httpd):
     srv, _, _ = httpd
@@ -1143,15 +1184,42 @@ class TestLogprobs:
       assert {"token", "logprob", "top_logprobs"} <= set(entry)
       assert len(entry["top_logprobs"]) == 2
 
+  def test_streaming_logprobs_final_chunk(self, httpd):
+    # Streaming + logprobs: content streams as usual; the full logprobs
+    # record arrives on the choice's final chunk (device fetch happens
+    # at finish), so accumulating clients see the complete per-token
+    # record the non-streaming response carries.
+    srv, _, _ = httpd
+    body = {"messages": [{"role": "user", "content": "gamma delta"}],
+            "max_tokens": 4, "logprobs": True, "top_logprobs": 2}
+    _, solo = self._post(srv.port, "/v1/chat/completions", body)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/v1/chat/completions",
+        data=json.dumps({**body, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events, done = [], False
+    with urllib.request.urlopen(req, timeout=120) as resp:
+      for line in resp:
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+          continue
+        if line == "data: [DONE]":
+          done = True
+          break
+        events.append(json.loads(line[len("data: "):]))
+    assert done
+    with_lp = [e for e in events if e["choices"][0].get("logprobs")]
+    (final,) = with_lp  # exactly one chunk carries the record
+    assert final["choices"][0]["finish_reason"] in ("stop", "length")
+    assert (final["choices"][0]["logprobs"]
+            == solo["choices"][0]["logprobs"])
+
   def test_logprob_rejections(self, httpd, setup):
     srv, _, _ = httpd
     with pytest.raises(urllib.error.HTTPError) as e:
       self._post(srv.port, "/v1/completions",
                  {"prompt": "alpha", "logprobs": 5})  # > recorded k
-    assert e.value.code == 400
-    with pytest.raises(urllib.error.HTTPError) as e:
-      self._post(srv.port, "/v1/completions",
-                 {"prompt": "alpha", "logprobs": 2, "stream": True})
     assert e.value.code == 400
     sampler, _ = setup
     plain = serving.ContinuousBatcher(sampler, num_slots=1)
@@ -1418,9 +1486,6 @@ class TestToolCalling:
         srv.port, {"messages": msgs, "tools": self.TOOLS,
                     "tool_choice": {"type": "function",
                                     "function": {"name": "zzz"}}})
-    assert "streaming" in self._post_error(
-        srv.port, {"messages": msgs, "tools": self.TOOLS,
-                    "tool_choice": "required", "stream": True})
     assert "tool_choice" in self._post_error(
         srv.port, {"messages": msgs, "tools": self.TOOLS,
                     "tool_choice": "frobnicate"})
@@ -1430,6 +1495,184 @@ class TestToolCalling:
                     "response_format": {
                         "type": "json_schema",
                         "json_schema": {"schema": {"type": "integer"}}}})
+
+  def _sse_events(self, port, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events, done = [], False
+    with urllib.request.urlopen(req, timeout=180) as resp:
+      assert resp.headers["Content-Type"] == "text/event-stream"
+      for line in resp:
+        line = line.decode().strip()
+        if not line.startswith("data: "):
+          continue
+        payload = line[len("data: "):]
+        if payload == "[DONE]":
+          done = True
+          break
+        events.append(json.loads(payload))
+    assert done, "stream must terminate with data: [DONE]"
+    return events
+
+  def test_streaming_forced_tool_call(self, tool_httpd):
+    srv, _ = tool_httpd
+    events = self._sse_events(srv.port, {
+        "messages": [{"role": "user", "content": "x"}],
+        "tools": self.TOOLS,
+        "tool_choice": {"type": "function", "function": {"name": "f"}},
+        "max_tokens": 64, "stream": True,
+    })
+    finish = events[-1]["choices"][0]["finish_reason"]
+    headers = [e for e in events
+               if e["choices"][0]["delta"].get("tool_calls")
+               and "id" in e["choices"][0]["delta"]["tool_calls"][0]]
+    if finish == "tool_calls":
+      # Exactly one header chunk naming the forced tool, then argument
+      # fragments that concatenate to arguments valid under f's schema.
+      (header,) = headers
+      call = header["choices"][0]["delta"]["tool_calls"][0]
+      assert call["type"] == "function"
+      assert call["function"] == {"name": "f", "arguments": ""}
+      assert call["id"].startswith("call_")
+      args = "".join(
+          tc["function"].get("arguments", "")
+          for e in events
+          for tc in e["choices"][0]["delta"].get("tool_calls", []))
+      parsed = json.loads(args)
+      assert isinstance(parsed["x"], int), parsed
+      # No content deltas mixed into a tool-call stream.
+      assert not any(e["choices"][0]["delta"].get("content")
+                     for e in events)
+    else:
+      # Budget truncation: either the envelope never reached the
+      # arguments (live prefix surfaces as content) or it was cut
+      # mid-arguments (header + partial fragments, finish "length").
+      assert finish == "length"
+      assert len(headers) <= 1
+
+  def test_streaming_auto_free_text_matches_plain(self, setup):
+    # A word-vocab model can't spell the envelope: auto + stream must
+    # deliver the identical content deltas a tool-free stream does.
+    sampler, _ = setup
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=6)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    try:
+      def collect(extra):
+        events = self._sse_events(srv.port, {
+            "messages": [{"role": "user", "content": "alpha beta"}],
+            "stream": True, **extra,
+        })
+        text = "".join(e["choices"][0]["delta"].get("content", "")
+                       for e in events)
+        return text, events[-1]["choices"][0]["finish_reason"]
+
+      with_tools = collect({"tools": self.TOOLS})
+      without = collect({})
+      assert with_tools == without
+      assert with_tools[0]  # non-empty streamed text
+      assert not any("tool_calls" in e["choices"][0]["delta"]
+                     for e in self._sse_events(srv.port, {
+                         "messages": [{"role": "user",
+                                       "content": "alpha beta"}],
+                         "tools": self.TOOLS, "stream": True}))
+    finally:
+      srv.close()
+
+
+class TestToolStreamGate:
+  """Unit tests of the incremental envelope classifier (no server)."""
+
+  NAMES = {"f", "get_weather"}
+
+  def _drive(self, text, forced=False, chunk=1):
+    """Feeds text in `chunk`-char cumulative slices; returns
+    (events, complete)."""
+    gate = server_lib.ToolStreamGate(self.NAMES, forced)
+    events = []
+    for i in range(chunk, len(text) + 1, chunk):
+      events.extend(gate.feed(text[:i]))
+    fin, complete = gate.finish(text)
+    return events + fin, complete
+
+  def _reassemble(self, events):
+    name = next((p for k, p in events if k == "header"), None)
+    args = "".join(p for k, p in events if k == "args")
+    content = "".join(p for k, p in events if k == "content")
+    return name, args, content
+
+  @pytest.mark.parametrize("chunk", [1, 3, 1000])
+  def test_compact_envelope_streams_incrementally(self, chunk):
+    text = '{"name":"get_weather","arguments":{"city":"Oslo","n":3}}'
+    events, complete = self._drive(text, forced=True, chunk=chunk)
+    assert complete
+    name, args, content = self._reassemble(events)
+    assert name == "get_weather" and content == ""
+    assert json.loads(args) == {"city": "Oslo", "n": 3}
+    if chunk == 1:
+      # Genuinely incremental: fragments arrive before finish().
+      kinds = [k for k, _ in events]
+      assert kinds.count("args") > 1
+
+  def test_whitespace_tolerant_envelope(self):
+    text = '{ "name" : "f" ,\n "arguments" : { "x" : 1 } }'
+    events, complete = self._drive(text, chunk=2)
+    assert complete
+    name, args, _ = self._reassemble(events)
+    assert name == "f" and json.loads(args) == {"x": 1}
+
+  def test_plain_text_flushes_as_content_immediately(self):
+    gate = server_lib.ToolStreamGate(self.NAMES, forced=False)
+    assert gate.feed("hi") == [("content", "hi")]
+    assert gate.feed("hi there") == [("content", " there")]
+    fin, complete = gate.finish("hi there!")
+    assert fin == [("content", "!")] and not complete
+
+  def test_undeclared_name_becomes_content(self):
+    text = '{"name":"zzz","arguments":{}}'
+    events, complete = self._drive(text)
+    assert not complete
+    name, args, content = self._reassemble(events)
+    assert name is None and args == "" and content == text
+
+  def test_non_object_arguments_become_content(self):
+    text = '{"name":"f","arguments":5}'
+    events, complete = self._drive(text)
+    assert not complete
+    assert self._reassemble(events)[2] == text
+
+  def test_trailing_text_after_envelope_is_ignored(self):
+    text = '{"name":"f","arguments":{"x":1}} and then some'
+    events, complete = self._drive(text)
+    assert complete
+    name, args, _ = self._reassemble(events)
+    assert name == "f" and json.loads(args) == {"x": 1}
+
+  def test_truncated_before_arguments_surfaces_prefix(self):
+    text = '{"name":"f","argu'
+    events, complete = self._drive(text, forced=True)
+    assert not complete
+    assert self._reassemble(events)[2] == text
+
+  def test_truncated_mid_arguments_stops_cleanly(self):
+    text = '{"name":"f","arguments":{"x":'
+    events, complete = self._drive(text, forced=True)
+    assert not complete
+    name, args, content = self._reassemble(events)
+    assert name == "f" and content == ""
+    # Whatever fragments streamed are a prefix of the raw value.
+    assert '{"x":'.startswith(args)
+
+  def test_nested_braces_in_arguments(self):
+    text = '{"name":"f","arguments":{"a":{"b":[1,{"c":2}]},"s":"}"}}'
+    events, complete = self._drive(text, forced=True, chunk=1)
+    assert complete
+    _, args, _ = self._reassemble(events)
+    assert json.loads(args) == {"a": {"b": [1, {"c": 2}]}, "s": "}"}
 
 
 class TestToolRendering:
