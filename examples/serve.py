@@ -86,6 +86,15 @@ _JSON_MODE = flags.DEFINE_boolean(
     "{'constraint': 'json_object'} (/v1/generate) are masked to emit "
     "only valid JSON. Grammar build is once at startup.",
 )
+_DYN_SLOTS = flags.DEFINE_integer(
+    "dynamic_grammar_slots", 0,
+    "HTTP serving: reserve this many per-request grammar slots — the "
+    "machinery behind response_format json_schema AND forced tool_choice "
+    "(tools) on /v1/chat/completions — without the full --json_mode "
+    "grammar (--json_mode already implies 4 slots sized by the JSON "
+    "grammar). Standalone slots are budgeted at (2048, 512, 16) "
+    "(states, atoms, max token length), ample for typical schemas.",
+)
 _ADAPTERS = flags.DEFINE_multi_string(
     "adapter_path", [],
     "Optional LoRA adapter checkpoint(s) (orbax trees of lora_a/lora_b "
@@ -177,16 +186,18 @@ def main(argv):
   if _HTTP_PORT.value is not None:
     constraints = None
     constraint_names = None
-    dynamic_slots = 0
+    dynamic_slots = _DYN_SLOTS.value
+    dynamic_budget = (2048, 512, 16) if dynamic_slots else None
     if _JSON_MODE.value:
       t0 = time.perf_counter()
       constraints = [cg.json_mode_dfa(
           vocab, config.vocab_size, extra_stop_ids=stop_ids or ()
       )]
       constraint_names = {"json_object": 0}
-      # The JSON grammar's dims also budget per-request json_schema
-      # slots (schema grammars are far smaller than full JSON).
-      dynamic_slots = 4
+      # The JSON grammar's dims also budget per-request json_schema /
+      # tool-call slots (schema grammars are far smaller than full JSON).
+      dynamic_slots = max(dynamic_slots, 4)
+      dynamic_budget = None  # sized by the registered JSON grammar
       print(f"[serve] JSON grammar compiled in "
             f"{time.perf_counter() - t0:.1f}s "
             f"({constraints[0].n_states} DFA states); "
@@ -200,6 +211,7 @@ def main(argv):
         preserve_states=True,
         constraints=constraints,
         dynamic_grammar_slots=dynamic_slots,
+        dynamic_grammar_budget=dynamic_budget,
         # Speculative serving (grammar-aware when --json_mode) /
         # per-request OpenAI knobs / logprobs — the batcher validates
         # the incompatible combinations.
