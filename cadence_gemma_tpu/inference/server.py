@@ -85,8 +85,10 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       assistant ``tool_calls`` history render back into the dialogue.
       Streaming composes: a forced tool_choice streams standard
       ``delta.tool_calls`` chunks (name header, then argument
-      fragments); auto mode streams content unless the text commits to
-      the envelope shape (see :class:`ToolStreamGate`).
+      fragments); auto mode streams content from the first
+      envelope-implausible character and otherwise classifies at finish
+      with exactly the non-streaming recognition (see
+      :class:`ToolStreamGate`).
 
 ``ServingFrontend`` is usable without HTTP (library callers submit and
 wait); ``ServingHTTPServer`` wraps it for the wire.
@@ -312,24 +314,30 @@ class ToolStreamGate:
   Feed it the CUMULATIVE decoded completion text; it returns SSE-ready
   events as they become unambiguous:
 
-  * forced mode (generation is constrained to the envelope grammar): the
-    function name streams as a ``header`` event the moment its closing
-    quote arrives, and the raw ``arguments`` value streams as ``args``
-    fragments (an incremental depth/string scanner bounds the value, so
-    the envelope's outer ``}`` and any trailing text never reach a
-    fragment).
-  * auto mode: buffers while the text is still a plausible envelope lead
-    (``{"name": "<declared tool>", "arguments": {``, whitespace-tolerant);
-    the first deviation flushes the buffer as one ``content`` event and
-    everything after streams as ordinary content. Commitment to tool
-    mode requires a DECLARED name and an object-valued ``arguments`` —
-    after that the stream is a tool call (trailing text after the
-    envelope is ignored, as in the non-streaming path). An envelope with
-    keys in a non-canonical order streams as content.
+  * forced mode (generation is constrained to the envelope grammar, so a
+    committed tool call can never turn out malformed): the ``header``
+    event fires as soon as the ``arguments`` value opens, and the raw
+    value streams as ``args`` fragments (an incremental depth/string
+    scanner bounds it, so the envelope's outer ``}`` never reaches a
+    fragment). Budget truncation mid-arguments ends the stream with the
+    fragments emitted so far and ``complete=False`` — the caller's
+    ``finish_reason: "length"`` is the truncation signal, mirroring the
+    non-streaming path's refusal to return a truncated call.
+  * auto mode (unconstrained generation): content streams live from the
+    first character that deviates from a plausible envelope lead
+    (``{"name": "<declared tool>", "arguments": {``,
+    whitespace-tolerant); while the text stays envelope-plausible it is
+    buffered, and classification happens only at ``finish`` via
+    :func:`parse_tool_call` — EXACTLY the non-streaming recognition, so
+    a streamed auto request never commits to a tool call that
+    non-streaming would have returned as content (malformed arguments,
+    trailing text, truncation).
 
   Events: ``("header", name)``, ``("args", fragment)``,
   ``("content", text)``. ``finish(full_text)`` returns the final events
-  plus whether a complete, parseable tool call was delivered.
+  plus whether a complete, parseable tool call was delivered;
+  ``flush_content()`` surfaces any buffered-but-unclassified text when
+  the stream dies before ``finish`` (cancellation, server error).
   """
 
   def __init__(self, tool_names: set[str], forced: bool):
@@ -337,8 +345,8 @@ class ToolStreamGate:
     self._forced = forced
     self._mode = "undecided"  # undecided | content | tool
     self._name: str | None = None
-    self._header_sent = False
     self._args_start: int | None = None
+    self._last_text = ""  # latest cumulative text (for flush_content)
     self._sent = 0  # chars emitted (content offset, or args offset)
     # Incremental bounds of the arguments JSON value (tool mode): a
     # depth/string scanner marks where the object closes so fragments
@@ -398,6 +406,7 @@ class ToolStreamGate:
 
   def feed(self, text: str) -> list[tuple[str, str]]:
     events: list[tuple[str, str]] = []
+    self._last_text = text
     if self._mode == "content":
       if len(text) > self._sent:
         events.append(("content", text[self._sent:]))
@@ -411,14 +420,17 @@ class ToolStreamGate:
           events.append(("content", text))
           self._sent = len(text)
         return events
-      if got[0] == "args":
+      if got[0] == "args" and self._forced:
+        # Only the grammar-constrained mode commits incrementally: a
+        # committed header is irrevocable, and only the grammar
+        # guarantees the envelope cannot turn out malformed. Auto mode
+        # keeps buffering and classifies at finish().
         self._mode = "tool"
         self._name, self._args_start = got[1], got[2]
         self._sent = 0
         events.append(("header", self._name))
-        self._header_sent = True
       else:
-        return events  # partial (or forced-mode scan noise): keep buffering
+        return events  # plausible lead (or forced scan noise): buffer
     # tool mode: stream exactly the raw arguments value. The scanner
     # tracks brace depth and string state so emission stops at the
     # object's own closing "}" — the envelope's outer "}" (and any
@@ -466,7 +478,11 @@ class ToolStreamGate:
       # arguments began: surface the buffered text as content, matching
       # the non-streaming path's budget-truncation behavior.
       return ([("content", text)] if text else [], False)
-    # tool mode: emit the exact remainder of the raw arguments value.
+    # tool mode (forced only): emit the exact remainder of the raw
+    # arguments value. Complete only if the whole envelope closed —
+    # raw_decode succeeding on the arguments but the outer "}" missing
+    # is still a budget truncation (the non-streaming path refuses such
+    # text too, via whole-completion json.loads).
     try:
       _, end = json.JSONDecoder().raw_decode(text, self._args_start)
     except ValueError:
@@ -475,7 +491,22 @@ class ToolStreamGate:
     events = []
     if len(raw_args) > self._sent:
       events.append(("args", raw_args[self._sent:]))
-    return events, True
+    return events, text[end:].strip() == "}"
+
+  def flush_content(self) -> list[tuple[str, str]]:
+    """Buffered-but-unclassified text, for streams that die mid-flight.
+
+    Cancellation / driver errors end a stream without ``finish``; in
+    auto mode the gate may hold an envelope-plausible buffer the client
+    has never seen — surface it as content (the tool-free path streamed
+    it live). Forced tool mode has nothing sensible to flush: emitted
+    fragments already cover the scanned arguments.
+    """
+    if self._mode == "undecided" and self._last_text:
+      self._mode = "content"
+      self._sent = len(self._last_text)
+      return [("content", self._last_text)]
+    return []
 
 
 def _openai_error(message: str, kind: str = "invalid_request_error") -> dict:
@@ -1348,7 +1379,8 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
           and not isinstance(req.get("logprobs"), bool) else 0
       )
 
-      def stream_choice(idx: int, sub_i) -> None:
+      def stream_choice(idx: int, sub_i) -> int:
+        """Streams one choice's chunks; returns its completion tokens."""
         def sse_choice(choice: dict) -> None:
           choice["index"] = idx
           sse(json.dumps({
@@ -1405,8 +1437,10 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
 
         # Tool requests route deltas through a ToolStreamGate: a forced
         # tool_choice streams the call incrementally (name header, then
-        # raw argument fragments); auto mode streams content unless and
-        # until the text commits to the envelope shape.
+        # raw argument fragments — safe because the grammar guarantees
+        # the envelope); auto mode streams content from the first
+        # envelope-implausible character and classifies buffered
+        # envelope-plausible text only at finish.
         gate = (ToolStreamGate(tool_names, tool_constraint is not None)
                 if chat and tool_names else None)
         all_ids: list[int] = []
@@ -1418,7 +1452,6 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             text_now = vocab.DecodeIds(all_ids)
             if gate is not None:
               emit_events(gate.feed(text_now))
-              emitted = text_now
             elif len(text_now) > len(emitted):
               sse_chunk(text_now[len(emitted):], None)
               emitted = text_now
@@ -1438,8 +1471,12 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
                         logprobs=final_logprobs(tokens))
             return len(tokens)
           elif kind == "cancelled":
+            if gate is not None:  # surface any envelope-plausible buffer
+              emit_events(gate.flush_content())
             sse_chunk(None, "stop")
           else:  # error mid-stream: terminate the stream with a reason
+            if gate is not None:
+              emit_events(gate.flush_content())
             sse_chunk(None, "error")
           return 0
 

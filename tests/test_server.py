@@ -1193,22 +1193,8 @@ class TestLogprobs:
     body = {"messages": [{"role": "user", "content": "gamma delta"}],
             "max_tokens": 4, "logprobs": True, "top_logprobs": 2}
     _, solo = self._post(srv.port, "/v1/chat/completions", body)
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{srv.port}/v1/chat/completions",
-        data=json.dumps({**body, "stream": True}).encode(),
-        headers={"Content-Type": "application/json"},
-    )
-    events, done = [], False
-    with urllib.request.urlopen(req, timeout=120) as resp:
-      for line in resp:
-        line = line.decode().strip()
-        if not line.startswith("data: "):
-          continue
-        if line == "data: [DONE]":
-          done = True
-          break
-        events.append(json.loads(line[len("data: "):]))
-    assert done
+    events = TestOpenAICompat._sse_events(
+        self, srv.port, "/v1/chat/completions", {**body, "stream": True})
     with_lp = [e for e in events if e["choices"][0].get("logprobs")]
     (final,) = with_lp  # exactly one chunk carries the record
     assert final["choices"][0]["finish_reason"] in ("stop", "length")
@@ -1497,25 +1483,8 @@ class TestToolCalling:
                         "json_schema": {"schema": {"type": "integer"}}}})
 
   def _sse_events(self, port, obj):
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/v1/chat/completions",
-        data=json.dumps(obj).encode(),
-        headers={"Content-Type": "application/json"},
-    )
-    events, done = [], False
-    with urllib.request.urlopen(req, timeout=180) as resp:
-      assert resp.headers["Content-Type"] == "text/event-stream"
-      for line in resp:
-        line = line.decode().strip()
-        if not line.startswith("data: "):
-          continue
-        payload = line[len("data: "):]
-        if payload == "[DONE]":
-          done = True
-          break
-        events.append(json.loads(payload))
-    assert done, "stream must terminate with data: [DONE]"
-    return events
+    return TestOpenAICompat._sse_events(
+        self, port, "/v1/chat/completions", obj)
 
   def test_streaming_forced_tool_call(self, tool_httpd):
     srv, _ = tool_httpd
@@ -1645,12 +1614,57 @@ class TestToolStreamGate:
     assert not complete
     assert self._reassemble(events)[2] == text
 
-  def test_trailing_text_after_envelope_is_ignored(self):
+  def test_trailing_text_after_envelope_is_content(self):
+    # Auto mode classifies via parse_tool_call at finish — EXACTLY the
+    # non-streaming recognition, which refuses trailing text.
     text = '{"name":"f","arguments":{"x":1}} and then some'
     events, complete = self._drive(text)
+    assert not complete
+    assert self._reassemble(events)[2] == text
+
+  def test_auto_malformed_arguments_become_content(self):
+    # Invalid JSON inside an envelope-plausible lead: auto mode never
+    # commits incrementally, so no broken tool_calls reach the client —
+    # the text surfaces as content, like the non-streaming path.
+    text = '{"name":"f","arguments":{oops:1}}'
+    events, complete = self._drive(text)
+    assert not complete
+    name, args, content = self._reassemble(events)
+    assert name is None and args == "" and content == text
+
+  def test_auto_buffers_until_finish(self):
+    # A valid envelope in auto mode produces NO events while streaming
+    # (classification is finish-only); forced mode is the incremental
+    # path.
+    text = '{"name":"f","arguments":{"x":1}}'
+    gate = server_lib.ToolStreamGate(self.NAMES, forced=False)
+    live = []
+    for i in range(1, len(text) + 1):
+      live.extend(gate.feed(text[:i]))
+    assert live == []
+    fin, complete = gate.finish(text)
     assert complete
-    name, args, _ = self._reassemble(events)
+    name = next(p for k, p in fin if k == "header")
+    args = "".join(p for k, p in fin if k == "args")
     assert name == "f" and json.loads(args) == {"x": 1}
+
+  def test_forced_missing_outer_brace_is_incomplete(self):
+    # Arguments value closed but the envelope's outer "}" never came
+    # (budget truncation): fragments stream, but the call is not
+    # complete — finish_reason stays "length", as in non-streaming.
+    text = '{"name":"f","arguments":{"x":1}'
+    events, complete = self._drive(text, forced=True)
+    assert not complete
+    _, args, _ = self._reassemble(events)
+    assert json.loads(args) == {"x": 1}  # fragments still exact
+
+  def test_flush_content_surfaces_buffer_on_dead_stream(self):
+    gate = server_lib.ToolStreamGate(self.NAMES, forced=False)
+    assert gate.feed('{"name": "f"') == []  # plausible lead: buffered
+    assert gate.flush_content() == [("content", '{"name": "f"')]
+    assert gate.flush_content() == []  # idempotent
+    # After a flush the gate behaves as content mode.
+    assert gate.feed('{"name": "f" oops') == [("content", " oops")]
 
   def test_truncated_before_arguments_surfaces_prefix(self):
     text = '{"name":"f","argu'
