@@ -618,11 +618,14 @@ class Sampler(Generic[Cache]):
     ``start_positions`` instead of 0. ``constraint_tables`` masks the
     first sampled token with the grammar (decode steps continue from the
     resulting DFA state). ``sampling_overrides`` — a ``(temp[b],
-    top_k[b], top_p[b], suppress_stops[b], extra_stop_cols[b, k])``
-    tuple — applies per-row sampling parameters to the first sampled
-    token (the continuous batcher's per-request admission): rows with
-    ``suppress_stops`` set get stop-token logits masked to -inf
-    (min_tokens semantics start at the seed).
+    top_k[b], top_p[b], suppress_stops[b], extra_stop_cols[b, k],
+    bias_ids[b, m], bias_vals[b, m])`` tuple — applies per-row sampling
+    parameters to the first sampled token (the continuous batcher's
+    per-request admission): rows with ``suppress_stops`` set get
+    stop-token logits masked to -inf (min_tokens semantics start at the
+    seed), and ``bias_ids``/``bias_vals`` add per-request logit_bias
+    offsets (id -1 = unused entry) so the bias covers the seed token
+    exactly like every decode step.
     """
     batch_size, prompt_length = tokens.shape
 
@@ -716,7 +719,14 @@ class Sampler(Generic[Cache]):
         seed_logits = constraint_tables.mask(constraint_state, seed_logits)
       row_overrides = None
       if sampling_overrides is not None:
-        temp_r, top_k_r, top_p_r, suppress, extra_cols = sampling_overrides
+        (temp_r, top_k_r, top_p_r, suppress, extra_cols,
+         bias_ids, bias_vals) = sampling_overrides
+        rows_b = jnp.arange(batch_size)[:, None]
+        bias_cols = jnp.maximum(bias_ids, 0)
+        bias_add = jnp.where(bias_ids >= 0, bias_vals, 0.0).astype(
+            seed_logits.dtype
+        )
+        seed_logits = seed_logits.at[rows_b, bias_cols].add(bias_add)
         neg_inf = jnp.asarray(-jnp.inf, seed_logits.dtype)
         for col in self._stop_ids_host:
           seed_logits = seed_logits.at[:, col].set(

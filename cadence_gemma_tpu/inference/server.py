@@ -61,9 +61,10 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       ``stream=true`` emits SSE ``data:`` chunks, then ``data: [DONE]``.
       With a ``per_request_sampling`` batcher, temperature / top_p /
       top_k / stop (single-token stops) / min_tokens /
-      repetition_penalty are HONORED per request (temperature 0 maps to
-      top_k=1, i.e. argmax); otherwise they are ignored — configure them
-      on the sampler. ``echo`` is the one unsupported result shape
+      repetition_penalty / logit_bias (``{"<token id>": -100..100}``,
+      additive, OpenAI semantics) are HONORED per request (temperature 0
+      maps to top_k=1, i.e. argmax); otherwise they are ignored —
+      configure them on the sampler. ``echo`` is the one unsupported result shape
       (400). Streaming composes with everything else: ``n > 1`` streams
       choices sequentially (every chunk carries its choice index;
       accumulating clients reassemble identically), and requested
@@ -693,7 +694,8 @@ class ServingFrontend:
              top_p: float | None = None,
              min_tokens: int | None = None,
              stop_token_ids: Any | None = None,
-             repetition_penalty: float | None = None) -> Submission:
+             repetition_penalty: float | None = None,
+             logit_bias: dict | None = None) -> Submission:
     """Queues one generation. ``session`` names a conversation: its
     turns chain through the batcher's per-request PrefixState (requires
     ``preserve_states=True`` on the batcher), so each turn prefills only
@@ -705,7 +707,8 @@ class ServingFrontend:
     JSON-Schema dict (strict subset), compiled here on the handler
     thread and installed into a dynamic grammar slot — masking this
     request's generation. ``temperature``/``top_k``/``top_p``/
-    ``min_tokens``/``stop_token_ids``/``repetition_penalty`` override
+    ``min_tokens``/``stop_token_ids``/``repetition_penalty``/
+    ``logit_bias`` (token id → additive offset in [-100, 100]) override
     the sampler per request (requires a ``per_request_sampling``
     batcher)."""
     if self._error is not None:
@@ -749,6 +752,7 @@ class ServingFrontend:
             ("top_p", top_p), ("min_tokens", min_tokens),
             ("stop_token_ids", stop_token_ids),
             ("repetition_penalty", repetition_penalty),
+            ("logit_bias", logit_bias),
         ) if v is not None
     }
     sub = Submission(
@@ -1266,6 +1270,18 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
           sampling["min_tokens"] = int(req["min_tokens"])
         if req.get("repetition_penalty") is not None:  # HF extension
           sampling["repetition_penalty"] = float(req["repetition_penalty"])
+        if req.get("logit_bias"):
+          # OpenAI wire shape: {"<token id>": bias}; JSON object keys
+          # are strings. Validation (range, vocab bounds, entry cap)
+          # happens in the batcher and surfaces as 400.
+          try:
+            sampling["logit_bias"] = {
+                int(t): float(b) for t, b in req["logit_bias"].items()
+            }
+          except (TypeError, ValueError, AttributeError):
+            return self._json(400, _openai_error(
+                "logit_bias must map token ids to numbers"
+            ))
         stop = req.get("stop")
         if stop:
           stops = [stop] if isinstance(stop, str) else list(stop)
@@ -1600,6 +1616,10 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             min_tokens=req.get("min_tokens"),
             stop_token_ids=req.get("stop_token_ids"),
             repetition_penalty=req.get("repetition_penalty"),
+            logit_bias=(
+                {int(t): float(b) for t, b in req["logit_bias"].items()}
+                if req.get("logit_bias") else None
+            ),
         )
       except SessionBusy as e:
         return self._json(409, {"error": str(e)})

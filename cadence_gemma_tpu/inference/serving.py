@@ -101,6 +101,8 @@ class ContinuousBatcher:
   Class attributes:
     MAX_REQUEST_STOPS: Per-request extra stop-token capacity when
       ``per_request_sampling`` is on (a compiled-in buffer width).
+    MAX_REQUEST_BIAS: Per-request ``logit_bias`` entry capacity when
+      ``per_request_sampling`` is on (a compiled-in buffer width).
 
   Args:
     sampler: The sampler whose model/params/vocab (and, for categorical
@@ -125,6 +127,7 @@ class ContinuousBatcher:
   """
 
   MAX_REQUEST_STOPS = 4
+  MAX_REQUEST_BIAS = 32
 
   def __init__(
       self,
@@ -325,6 +328,12 @@ class ContinuousBatcher:
           min_tokens=jnp.zeros((num_slots,), jnp.int32),
           extra_stops=jnp.full(
               (num_slots, self.MAX_REQUEST_STOPS), -1, jnp.int32
+          ),
+          bias_ids=jnp.full(
+              (num_slots, self.MAX_REQUEST_BIAS), -1, jnp.int32
+          ),
+          bias_vals=jnp.zeros(
+              (num_slots, self.MAX_REQUEST_BIAS), jnp.float32
           ),
       )
       # Stop columns suppressed by min_tokens (host-side: static scatter
@@ -632,7 +641,8 @@ class ContinuousBatcher:
           ),
       )
     if sampling is not None:
-      temp, top_k, top_p, rep_penalty, min_tokens, extra_stops = sampling
+      (temp, top_k, top_p, rep_penalty, min_tokens, extra_stops,
+       bias_ids, bias_vals) = sampling
       state.update(
           temp=upd(state["temp"], temp),
           top_k=upd(state["top_k"], top_k),
@@ -641,6 +651,12 @@ class ContinuousBatcher:
           min_tokens=upd(state["min_tokens"], min_tokens),
           extra_stops=jax.lax.dynamic_update_index_in_dim(
               state["extra_stops"], extra_stops, slot, axis=0
+          ),
+          bias_ids=jax.lax.dynamic_update_index_in_dim(
+              state["bias_ids"], bias_ids, slot, axis=0
+          ),
+          bias_vals=jax.lax.dynamic_update_index_in_dim(
+              state["bias_vals"], bias_vals, slot, axis=0
           ),
       )
     if prompt_tokens is not None:
@@ -787,6 +803,17 @@ class ContinuousBatcher:
             jnp.where(step_logits > 0, step_logits / p, step_logits * p),
             step_logits,
         )
+        # Per-request logit_bias (OpenAI semantics: added to the logits
+        # prior to sampling). Applied AFTER the repetition penalty (a
+        # strong bias stays strong however often its token was emitted)
+        # and BEFORE the grammar mask (a bias cannot resurrect a
+        # grammar-banned token: -inf + bias = -inf). Unused entries
+        # (id -1) scatter 0.0 onto column 0 — an exact no-op.
+        bias_cols = jnp.maximum(s["bias_ids"], 0)
+        bias_vals = jnp.where(
+            s["bias_ids"] >= 0, s["bias_vals"], 0.0
+        ).astype(step_logits.dtype)
+        step_logits = step_logits.at[rows_, bias_cols].add(bias_vals)
       elif self.sampler.repetition_penalty != 1.0:
         # Same scope as a solo non-echo run: tokens this request emitted.
         written = (
@@ -844,7 +871,7 @@ class ContinuousBatcher:
       extra = {}
       if per_req:
         for key in ("temp", "top_k", "top_p", "rep_penalty",
-                    "min_tokens", "extra_stops"):
+                    "min_tokens", "extra_stops", "bias_ids", "bias_vals"):
           extra[key] = s[key]
       if constraints is not None:
         extra["gid"] = s["gid"]
@@ -927,6 +954,7 @@ class ContinuousBatcher:
       min_tokens: int = 0,
       stop_token_ids: Any | None = None,
       repetition_penalty: float | None = None,
+      logit_bias: dict | None = None,
   ) -> int:
     """Queues a prompt for admission into a free slot; returns a request id.
 
@@ -973,7 +1001,13 @@ class ContinuousBatcher:
     values (the categorical knobs need a categorical sampler).
     ``min_tokens`` suppresses all stop tokens until that many tokens
     emitted; ``stop_token_ids`` adds up to ``MAX_REQUEST_STOPS`` extra
-    per-request stops on top of the sampler's.
+    per-request stops on top of the sampler's. ``logit_bias`` maps up to
+    ``MAX_REQUEST_BIAS`` token ids to additive logit offsets (OpenAI
+    semantics, values in [-100, 100]: -100 effectively bans a token,
+    +100 effectively forces it) applied to every decode step of THIS
+    request; works with greedy and categorical samplers, composes with
+    the repetition penalty (bias applies after) and grammars (the
+    grammar mask wins).
 
     ``img_embed`` grounds the request in an image: fused vision features
     ``[1, vision_tokens, vision_width]`` splice in after the prompt's BOS
@@ -1008,7 +1042,7 @@ class ContinuousBatcher:
     overridden = [
         a is not None
         for a in (temperature, top_k, top_p, repetition_penalty,
-                  stop_token_ids)
+                  stop_token_ids, logit_bias)
     ]
     if not self.per_request_sampling:
       if any(overridden) or min_tokens:
@@ -1045,6 +1079,30 @@ class ContinuousBatcher:
             f"(got {len(stops)}); configure the rest on the sampler."
         )
       stops += [-1] * (self.MAX_REQUEST_STOPS - len(stops))
+      bias_items = sorted(
+          (int(t), float(b)) for t, b in (logit_bias or {}).items()
+      )
+      if len(bias_items) > self.MAX_REQUEST_BIAS:
+        raise ValueError(
+            f"at most {self.MAX_REQUEST_BIAS} logit_bias entries "
+            f"(got {len(bias_items)})."
+        )
+      for t, b in bias_items:
+        if not 0 <= t < self.sampler.vocab_size:
+          raise ValueError(
+              f"logit_bias token id {t} outside the vocabulary "
+              f"[0, {self.sampler.vocab_size})."
+          )
+        if not -100.0 <= b <= 100.0:
+          raise ValueError(
+              f"logit_bias values must be in [-100, 100] (got {b} "
+              f"for token {t})."
+          )
+      bias_ids = [t for t, _ in bias_items]
+      bias_vals = [b for _, b in bias_items]
+      pad = self.MAX_REQUEST_BIAS - len(bias_items)
+      bias_ids += [-1] * pad
+      bias_vals += [0.0] * pad
       sampling = (
           jnp.float32(
               temperature if temperature is not None else s_.temperature
@@ -1063,6 +1121,8 @@ class ContinuousBatcher:
           ),
           jnp.int32(min_tokens),
           jnp.asarray(stops, jnp.int32),
+          jnp.asarray(bias_ids, jnp.int32),
+          jnp.asarray(bias_vals, jnp.float32),
       )
     if return_state and not self.preserve_states:
       raise ValueError(
@@ -1235,11 +1295,14 @@ class ContinuousBatcher:
     )
     overrides = None
     if p.sampling is not None:
-      temp, top_k, top_p, _, min_tokens, extra_stops = p.sampling
-      # Batch-1 rows; min_tokens >= 1 suppresses stops at the seed too.
+      (temp, top_k, top_p, _, min_tokens, extra_stops,
+       bias_ids, bias_vals) = p.sampling
+      # Batch-1 rows; min_tokens >= 1 suppresses stops at the seed too,
+      # and the logit_bias covers the seed token like every decode step.
       overrides = (
           temp[None], top_k[None], top_p[None],
           (min_tokens > 0)[None], extra_stops[None],
+          bias_ids[None], bias_vals[None],
       )
     prefill = s.prompt_processing_fn(
         self._admission_params(p),

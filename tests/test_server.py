@@ -1058,6 +1058,52 @@ class TestHonoredSamplingKnobs:
     assert got == want
     assert set(finishes) == {0, 1, 2}
 
+  def test_logit_bias_forces_a_token(self, httpd):
+    # OpenAI wire shape: {"<token id>": bias}. +100 dominates the
+    # soft-capped logits, so every emitted token (seed included) is it.
+    srv, base, vocab = httpd
+    tok = vocab.EncodeAsIds("zeta")[0]
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 5, "seed": 3,
+         "logit_bias": {str(tok): 100}},
+    )
+    assert out["choices"][0]["text"] == vocab.DecodeIds([tok] * 5)
+
+  def test_logit_bias_bans_a_token(self, httpd):
+    srv, base, vocab = httpd
+    _, free = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 6, "seed": 7,
+         "temperature": 0},
+    )
+    banned = vocab.EncodeAsIds(free["choices"][0]["text"])[0]
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 6, "seed": 7,
+         "temperature": 0, "logit_bias": {str(banned): -100}},
+    )
+    assert banned not in vocab.EncodeAsIds(out["choices"][0]["text"])
+
+  def test_logit_bias_rejects_bad_input(self, httpd):
+    srv, _, vocab = httpd
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(
+          srv.port, "/v1/completions",
+          {"prompt": "alpha", "max_tokens": 2,
+           "logit_bias": {"zeta": "much"}},
+      )
+    assert e.value.code == 400
+    assert "logit_bias" in json.loads(e.value.read())["error"]["message"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+      self._post(
+          srv.port, "/v1/completions",
+          {"prompt": "alpha", "max_tokens": 2,
+           "logit_bias": {str(vocab.GetPieceSize() + 5): 1}},
+      )
+    assert e.value.code == 400
+    assert "vocabulary" in json.loads(e.value.read())["error"]["message"]
+
   def test_stream_options_include_usage(self, httpd):
     srv, _, _ = httpd
     body = {"prompt": "alpha beta", "max_tokens": 5, "seed": 1,

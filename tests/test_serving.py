@@ -324,6 +324,75 @@ class TestSamplerControlsInBatcher:
       batcher.add_request("alpha", max_steps=0)
 
 
+class TestLogitBias:
+  """Per-request logit_bias (OpenAI semantics) inside the decode program."""
+
+  def _batcher(self, sampler, slots=2, steps=8):
+    return serving.ContinuousBatcher(
+        sampler, num_slots=slots, max_steps_default=steps,
+        per_request_sampling=True,
+    )
+
+  def test_negative_bias_bans_a_token(self, setup):
+    sampler, vocab = setup
+    ref = _solo(sampler, "alpha beta", 8)
+    banned = int(ref[0])  # the token greedy decode would emit first
+    assert banned != vocab.eos_id()
+    batcher = self._batcher(sampler)
+    rid = batcher.add_request(
+        "alpha beta", max_steps=8, logit_bias={banned: -100.0}
+    )
+    got = dict((r, t) for r, t, _ in batcher.run_until_drained(4))[rid]
+    assert got and banned not in got
+
+  def test_positive_bias_forces_a_token(self, setup):
+    sampler, vocab = setup
+    tok = vocab.EncodeAsIds("zeta")[0]
+    batcher = self._batcher(sampler)
+    rid = batcher.add_request(
+        "alpha beta", max_steps=6, logit_bias={tok: 100.0}
+    )
+    got = dict((r, t) for r, t, _ in batcher.run_until_drained(3))[rid]
+    # +100 dominates soft-capped logits: every decode step emits tok.
+    assert got == [tok] * 6
+
+  def test_unbiased_neighbor_stays_bit_identical(self, setup):
+    sampler, vocab = setup
+    steps = 8
+    tok = vocab.EncodeAsIds("zeta")[0]
+    batcher = self._batcher(sampler, slots=2, steps=steps)
+    r_free = batcher.add_request("gamma delta eps", max_steps=steps)
+    batcher.step(2)
+    r_bias = batcher.add_request(
+        "alpha beta", max_steps=steps, logit_bias={tok: 100.0}
+    )
+    results = dict(
+        (rid, tokens) for rid, tokens, _ in batcher.run_until_drained(3)
+    )
+    assert results[r_bias] == [tok] * steps
+    _check(results[r_free], _solo(sampler, "gamma delta eps", steps),
+           steps, vocab.eos_id())
+
+  def test_validation(self, setup):
+    sampler, vocab = setup
+    batcher = self._batcher(sampler)
+    with pytest.raises(ValueError, match="logit_bias entries"):
+      batcher.add_request(
+          "alpha",
+          logit_bias={i: 1.0 for i in range(batcher.MAX_REQUEST_BIAS + 1)},
+      )
+    with pytest.raises(ValueError, match=r"\[-100, 100\]"):
+      batcher.add_request("alpha", logit_bias={1: 101.0})
+    with pytest.raises(ValueError, match="outside the vocabulary"):
+      batcher.add_request(
+          "alpha", logit_bias={vocab.GetPieceSize(): 1.0}
+      )
+    plain = serving.ContinuousBatcher(sampler, num_slots=1,
+                                      max_steps_default=4)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+      plain.add_request("alpha", logit_bias={1: 1.0})
+
+
 class TestProductionAdmission:
   """Round-3 batcher productionization: prefix-aware admission, chunked
   off-critical-path prefill, and streaming delivery."""
