@@ -60,11 +60,18 @@ OpenAI-compatible surface (same frontend, standard clients work as-is):
       exactly like the equivalent session-based conversation.
       ``stream=true`` emits SSE ``data:`` chunks, then ``data: [DONE]``.
       With a ``per_request_sampling`` batcher, temperature / top_p /
-      top_k / stop (single-token stops) / min_tokens /
-      repetition_penalty / logit_bias (``{"<token id>": -100..100}``,
-      additive, OpenAI semantics) are HONORED per request (temperature 0
-      maps to top_k=1, i.e. argmax); otherwise they are ignored —
-      configure them on the sampler. ``echo`` is the one unsupported result shape
+      top_k / min_tokens / repetition_penalty / logit_bias
+      (``{"<token id>": -100..100}``, additive, OpenAI semantics) are
+      HONORED per request (temperature 0 maps to top_k=1, i.e. argmax);
+      otherwise they are ignored — configure them on the sampler.
+      ``stop`` sequences work on ANY batcher: every stop is matched
+      host-side (:class:`StopStringGate`) — multi-token sequences
+      included, the matched text never reaches the client, streaming
+      holds back ambiguous suffixes — and stops that tokenize to one id
+      additionally end generation on-device (``per_request_sampling``).
+      Tool requests skip the host-side stop match (a stop inside a
+      grammar-constrained envelope would break the guaranteed-parseable
+      contract). ``echo`` is the one unsupported result shape
       (400). Streaming composes with everything else: ``n > 1`` streams
       choices sequentially (every chunk carries its choice index;
       accumulating clients reassemble identically), and requested
@@ -508,6 +515,73 @@ class ToolStreamGate:
       self._sent = len(self._last_text)
       return [("content", self._last_text)]
     return []
+
+
+class StopStringGate:
+  """Incremental multi-token stop-sequence matcher for generated text.
+
+  OpenAI semantics for ``stop``: generation halts at the first occurrence
+  of any stop sequence, and the matched text is NOT returned. Stops that
+  tokenize to a single id end generation on-device (``stop_token_ids``);
+  every stop — single-token or not — is ALSO matched host-side here, so
+  multi-token sequences work and the matched text never reaches the
+  client.
+
+  Streaming drives :meth:`feed` with the CUMULATIVE decoded text; it
+  returns the newly safe-to-emit increment, holding back any suffix that
+  could still grow into a stop match (so clients never see text that a
+  later delta retroactively truncates). :meth:`finish` resolves the
+  held-back tail when the stream ends without a live match.
+  """
+
+  def __init__(self, stops: list[str]):
+    self._stops = [s for s in stops if s]
+    self._sent = 0  # chars already emitted
+
+  def _earliest(self, text: str) -> int:
+    cut = -1
+    for s in self._stops:
+      i = text.find(s)
+      if i != -1 and (cut == -1 or i < cut):
+        cut = i
+    return cut
+
+  def truncate(self, text: str) -> tuple[str, bool]:
+    """One-shot (non-streaming): text before the first stop match."""
+    cut = self._earliest(text)
+    return (text, False) if cut == -1 else (text[:cut], True)
+
+  def feed(self, text: str) -> tuple[str, bool]:
+    cut = self._earliest(text)
+    if cut != -1:
+      out = text[self._sent:cut]
+      self._sent = cut
+      return out, True
+    hold = 0
+    for s in self._stops:
+      # Longest suffix of the text that is a proper prefix of this stop:
+      # emitting it now could require retroactive truncation later.
+      for k in range(min(len(s) - 1, len(text)), 0, -1):
+        if text.endswith(s[:k]):
+          hold = max(hold, k)
+          break
+    safe = len(text) - hold
+    if safe <= self._sent:
+      return "", False
+    out = text[self._sent:safe]
+    self._sent = safe
+    return out, False
+
+  def finish(self, text: str) -> tuple[str, bool]:
+    """Final text: flushes held-back tail (truncated at a match, if any)."""
+    cut = self._earliest(text)
+    if cut != -1:
+      out = text[self._sent:cut]
+      self._sent = cut
+      return out, True
+    out = text[self._sent:]
+    self._sent = len(text)
+    return out, False
 
 
 def _openai_error(message: str, kind: str = "invalid_request_error") -> dict:
@@ -1241,6 +1315,18 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
       max_tokens = req.get("max_tokens")
       if max_tokens is None:
         max_tokens = req.get("max_completion_tokens")
+      # OpenAI "stop": sequence(s) that halt generation and are not
+      # returned. Single-token stops also end generation on-device (below,
+      # per_request_sampling batchers); EVERY stop is matched host-side by
+      # a StopStringGate, so multi-token sequences work on any batcher and
+      # the matched text never reaches the client. Tool requests skip the
+      # host-side match (a stop inside a constrained envelope would break
+      # the guaranteed-parseable contract).
+      stop_req = req.get("stop")
+      stop_strings = (
+          [stop_req] if isinstance(stop_req, str)
+          else [str(s) for s in stop_req] if stop_req else []
+      )
       constraint, rejected = self._openai_constraint(req)
       if rejected:
         return
@@ -1282,16 +1368,13 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             return self._json(400, _openai_error(
                 "logit_bias must map token ids to numbers"
             ))
-        stop = req.get("stop")
-        if stop:
-          stops = [stop] if isinstance(stop, str) else list(stop)
-          ids = []
-          for text in stops:
-            enc = vocab.EncodeAsIds(text)
-            if len(enc) == 1:
-              ids.append(enc[0])  # single-token stops only (documented)
-          if ids:
-            sampling["stop_token_ids"] = ids
+        ids = []
+        for text in stop_strings:
+          enc = vocab.EncodeAsIds(text)
+          if len(enc) == 1:
+            ids.append(enc[0])  # ends on-device; host match trims the text
+        if ids:
+          sampling["stop_token_ids"] = ids
       n = int(req.get("n") or 1)
       base_seed = req.get("seed")
       try:
@@ -1327,9 +1410,14 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
           except RuntimeError as e:
             return self._json(400, _openai_error(str(e)))
           total_completion += len(tokens)
+          fr = finish_reason(tokens)
+          if stop_strings and not tool_names:
+            text, matched = StopStringGate(stop_strings).truncate(text)
+            if matched:
+              fr = "stop"
           choice: dict[str, Any] = {
               "index": i, "logprobs": None,
-              "finish_reason": finish_reason(tokens),
+              "finish_reason": fr,
           }
           if sub_i.logprobs is not None and (
               req.get("logprobs") or req.get("top_logprobs")
@@ -1459,6 +1547,8 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
         # envelope-plausible text only at finish.
         gate = (ToolStreamGate(tool_names, tool_constraint is not None)
                 if chat and tool_names else None)
+        sgate = (StopStringGate(stop_strings)
+                 if stop_strings and gate is None else None)
         all_ids: list[int] = []
         emitted = ""
         while True:
@@ -1468,6 +1558,19 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
             text_now = vocab.DecodeIds(all_ids)
             if gate is not None:
               emit_events(gate.feed(text_now))
+            elif sgate is not None:
+              out, stopped = sgate.feed(text_now)
+              if out:
+                sse_chunk(out, None)
+              if stopped:
+                # The client-visible stream is complete: free the slot
+                # (neighbors are untouched) and close this choice out.
+                if sub_i.request_id is not None:
+                  frontend.cancel(sub_i.request_id)
+                else:
+                  sub_i.cancelled = True
+                sse_chunk(None, "stop")
+                return len(all_ids)
             elif len(text_now) > len(emitted):
               sse_chunk(text_now[len(emitted):], None)
               emitted = text_now
@@ -1479,6 +1582,11 @@ def _make_handler(frontend: ServingFrontend, model_name: str):
               emit_events(events)
               sse_chunk(None, "tool_calls" if complete
                         else finish_reason(tokens),
+                        logprobs=final_logprobs(tokens))
+            elif sgate is not None:
+              out, matched = sgate.finish(text)
+              sse_chunk(out or None,
+                        "stop" if matched else finish_reason(tokens),
                         logprobs=final_logprobs(tokens))
             else:
               tail = (text[len(emitted):] if text.startswith(emitted)

@@ -954,6 +954,101 @@ class TestConstrainedServing:
     batcher.stream_callback = None  # detach for reuse
 
 
+class TestStopSequences:
+  """OpenAI multi-token stop sequences: host-side match on ANY batcher."""
+
+  _sse_events = TestOpenAICompat._sse_events
+  _post = TestOpenAICompat._post
+
+  @pytest.fixture()
+  def httpd(self, setup):
+    sampler, vocab = setup  # plain greedy batcher: no per_request_sampling
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    srv = server_lib.ServingHTTPServer(fe, port=0)
+    yield srv, vocab
+    srv.close()
+
+  def test_gate_incremental_never_over_emits(self):
+    gate = server_lib.StopStringGate(["XY"])
+    text = "aXbXYc"
+    out = ""
+    stopped = False
+    for i in range(1, len(text) + 1):
+      chunk, stopped = gate.feed(text[:i])
+      out += chunk
+      if stopped:
+        break
+    assert stopped and out == "aXb"  # the match and trailing text trimmed
+
+  def test_gate_holds_back_ambiguous_suffix(self):
+    gate = server_lib.StopStringGate(["END"])
+    assert gate.feed("fooE") == ("foo", False)   # "E" could grow into END
+    assert gate.feed("fooEN") == ("", False)
+    assert gate.feed("fooENx") == ("ENx", False)  # disambiguated: flush
+    assert gate.finish("fooENx") == ("", False)
+
+  def test_gate_finish_flushes_tail(self):
+    gate = server_lib.StopStringGate(["ZZ"])
+    assert gate.feed("abZ") == ("ab", False)
+    assert gate.finish("abZ") == ("Z", False)  # stream ended: real text
+    assert server_lib.StopStringGate(["b", "c"]).truncate("abc") == (
+        "a", True)  # earliest of several stops wins
+
+  def test_stop_truncates_nonstreaming(self, httpd):
+    srv, vocab = httpd
+    _, free = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 8},
+    )
+    full = free["choices"][0]["text"]
+    words = full.split()
+    assert len(words) >= 2, full
+    stop = words[1]
+    _, out = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "alpha beta", "max_tokens": 8, "stop": stop},
+    )
+    choice = out["choices"][0]
+    assert choice["text"] == full[: full.find(stop)]
+    assert stop not in choice["text"]
+    assert choice["finish_reason"] == "stop"
+
+  def test_stop_streaming_matches_nonstreaming(self, httpd):
+    srv, vocab = httpd
+    _, free = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "gamma delta", "max_tokens": 8},
+    )
+    words = free["choices"][0]["text"].split()
+    assert len(words) >= 2
+    body = {"prompt": "gamma delta", "max_tokens": 8, "stop": [words[1]]}
+    _, solo = self._post(srv.port, "/v1/completions", body)
+    events = self._sse_events(srv.port, "/v1/completions",
+                              {**body, "stream": True})
+    text = "".join(e["choices"][0]["text"] for e in events
+                   if e["choices"][0].get("text"))
+    finishes = [e["choices"][0]["finish_reason"] for e in events
+                if e["choices"][0]["finish_reason"]]
+    assert text == solo["choices"][0]["text"]
+    assert finishes == ["stop"]
+
+  def test_stop_absent_leaves_output_unchanged(self, httpd):
+    srv, vocab = httpd
+    _, free = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "eps zeta", "max_tokens": 6},
+    )
+    _, stopped = self._post(
+        srv.port, "/v1/completions",
+        {"prompt": "eps zeta", "max_tokens": 6,
+         "stop": ["<never-matches>"]},
+    )
+    assert stopped["choices"][0]["text"] == free["choices"][0]["text"]
+    assert stopped["choices"][0]["finish_reason"] in ("stop", "length")
+
+
 class TestHonoredSamplingKnobs:
   """OpenAI sampling knobs are honored on per_request_sampling batchers."""
 
@@ -1148,7 +1243,11 @@ class TestHonoredSamplingKnobs:
          "temperature": 0, "stop": stop_word},
     )
     got = out["choices"][0]["text"]
-    assert got == stop_word  # halted at the first stop occurrence
+    # Halted at the first stop occurrence; OpenAI semantics return the
+    # text BEFORE the match (the stop sequence itself is trimmed). The
+    # single-token stop here is the first generated token, so nothing
+    # precedes it.
+    assert got == ""
     assert out["choices"][0]["finish_reason"] == "stop"
 
 
