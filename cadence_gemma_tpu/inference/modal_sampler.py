@@ -63,6 +63,20 @@ class ModalSampler(sampler_lib.Sampler):
         **kwargs,
     )
     self.vision_encoder = vision_encoder
+    if vision_params is not None and self.mesh is not None:
+      # Multi-chip serving: the LM params take the Megatron TP layouts
+      # (base class); the vision towers replicate — their batch-1 encode
+      # is MXU-compute-bound and small next to the LM, so replication
+      # costs HBM but no step time, and keeps the fused pixels→first-
+      # token program on one mesh (mixing mesh-committed LM params with
+      # host-committed vision params would not compile).
+      repl = jax.sharding.NamedSharding(
+          self.mesh, jax.sharding.PartitionSpec()
+      )
+      vision_params = jax.device_put(
+          vision_params,
+          jax.tree_util.tree_map(lambda _: repl, vision_params),
+      )
     self.vision_params = vision_params
     if vision_encoder is not None and jit_compile:
       self._encode_fn = jax.jit(

@@ -266,6 +266,7 @@ class Sampler(Generic[Cache]):
       )
       params = jax.device_put(params, shardings)
     self.mesh = mesh
+    self.model_axis = model_axis
     self.params = params
     if temperature <= 0.0:
       raise ValueError(

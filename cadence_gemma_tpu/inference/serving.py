@@ -422,6 +422,42 @@ class ContinuousBatcher:
     self._states: dict[int, sampler_lib.PrefixState] = {}
     self._extract_state_fn = jax.jit(self._extract_state)
 
+    if sampler.mesh is not None:
+      # Multi-chip serving: the batcher's persistent state lives on the
+      # sampler's mesh from tick zero. The cache takes the same layouts
+      # GSPMD propagates through the TP forward (recurrent state sharded
+      # on its lru-width features, single-head KV replicated —
+      # ``parallel/partitioning.py``), so inserts and decode steps never
+      # reshard; every other per-slot buffer (tokens, flags, budgets,
+      # grammar states, adapters) is replicated — they are gathered or
+      # scattered by slot index host-side. The reference has no serving
+      # loop, let alone a sharded one.
+      from cadence_gemma_tpu.parallel import partitioning
+
+      mesh = sampler.mesh
+      repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+      cache_sh = partitioning.griffin_cache_shardings(
+          mesh, self._state["cache"], sampler.model_axis
+      )
+      placed = {
+          k: (jax.device_put(v, cache_sh) if k == "cache"
+              else jax.device_put(
+                  v, jax.tree_util.tree_map(lambda _: repl, v)
+              ))
+          for k, v in self._state.items()
+      }
+      self._state = placed
+      if self._adapters is not None:
+        self._adapters = jax.device_put(
+            self._adapters,
+            jax.tree_util.tree_map(lambda _: repl, self._adapters),
+        )
+      if self._constraints is not None:
+        self._constraints = jax.device_put(
+            self._constraints,
+            jax.tree_util.tree_map(lambda _: repl, self._constraints),
+        )
+
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
                               static_argnums=(4, 7))
     # Params enter as an argument: closing over them would bake ~weights-

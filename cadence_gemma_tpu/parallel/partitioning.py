@@ -151,13 +151,40 @@ def griffin_param_specs(
   return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _drop_indivisible(spec: P, shape: tuple, mesh: jax.sharding.Mesh) -> P:
+  """Replicates spec entries whose dim doesn't divide by the axis size.
+
+  The Megatron rules are shape-agnostic; on a concrete mesh a dimension
+  that doesn't divide evenly (e.g. the 2B's 10 RG-LRU gate heads on an
+  8-way model axis) cannot take that layout. Dropping just that entry is
+  always correct — GSPMD reshards the touched contraction and every
+  other leaf keeps its TP layout — so TP degrades per-leaf instead of
+  failing whole-model.
+  """
+  entries = list(spec) + [None] * (len(shape) - len(spec))
+  out = []
+  for dim, name in zip(shape, entries):
+    if name is None:
+      out.append(None)
+      continue
+    axes = name if isinstance(name, tuple) else (name,)
+    size = 1
+    for a in axes:
+      size *= mesh.shape[a]
+    out.append(name if dim % size == 0 else None)
+  return P(*out)
+
+
 def griffin_param_shardings(
     mesh: jax.sharding.Mesh, params: at.Params, model_axis: str = MODEL_AXIS
 ) -> Any:
   """NamedSharding tree for ``params`` on ``mesh``."""
   specs = griffin_param_specs(params, model_axis)
   return jax.tree_util.tree_map(
-      lambda s: jax.sharding.NamedSharding(mesh, s), specs,
+      lambda s, p: jax.sharding.NamedSharding(
+          mesh, _drop_indivisible(s, p.shape, mesh)
+      ),
+      specs, params,
       is_leaf=lambda x: isinstance(x, P),
   )
 
@@ -175,6 +202,56 @@ def param_shardings_or_replicated(
     return griffin_param_shardings(mesh, params, model_axis)
   replicated = jax.sharding.NamedSharding(mesh, P())
   return jax.tree_util.tree_map(lambda _: replicated, params)
+
+
+def griffin_cache_specs(cache: Any, model_axis: str = MODEL_AXIS) -> Any:
+  """PartitionSpec tree for a decode cache under the TP layouts.
+
+  Mirrors what GSPMD propagates through a TP-sharded forward (so placing
+  a serving loop's persistent cache with these specs costs zero
+  reshards): the recurrent state dims are lru-width features produced by
+  column-parallel ``linear_x``/``linear_y`` — sharded over ``model_axis``
+  — while the attention KV cache comes from the replicated single-head
+  ``proj_k``/``proj_v`` — replicated. The batch (slot) dim is never
+  sharded: continuous-batching slots scatter/gather by index, which must
+  stay local. Dispatch is by cache-container field names (duck-typed so
+  this module needs no models import).
+  """
+
+  def block_specs(entry):
+    if hasattr(entry, "rg_lru_state"):  # RecurrentBlockCache
+      return type(entry)(
+          rg_lru_state=P(*([None] * (entry.rg_lru_state.ndim - 1)),
+                         model_axis),
+          conv1d_state=P(*([None] * (entry.conv1d_state.ndim - 1)),
+                         model_axis),
+      )
+    if hasattr(entry, "num_tokens"):  # AttentionBlockCache: replicate
+      return type(entry)(
+          keys=P(*([None] * entry.keys.ndim)),
+          values=P(*([None] * entry.values.ndim)),
+          num_tokens=P(*([None] * entry.num_tokens.ndim)),
+      )
+    return jax.tree_util.tree_map(
+        lambda leaf: P(*([None] * leaf.ndim)), entry
+    )
+
+  is_block = lambda e: hasattr(e, "rg_lru_state") or hasattr(e, "num_tokens")
+  return jax.tree_util.tree_map(block_specs, cache, is_leaf=is_block)
+
+
+def griffin_cache_shardings(
+    mesh: jax.sharding.Mesh, cache: Any, model_axis: str = MODEL_AXIS
+) -> Any:
+  """NamedSharding tree for a decode cache on ``mesh`` (TP layouts)."""
+  specs = griffin_cache_specs(cache, model_axis)
+  return jax.tree_util.tree_map(
+      lambda s, c: jax.sharding.NamedSharding(
+          mesh, _drop_indivisible(s, c.shape, mesh)
+      ),
+      specs, cache,
+      is_leaf=lambda x: isinstance(x, P),
+  )
 
 
 def opt_state_shardings(
@@ -206,7 +283,9 @@ def opt_state_shardings(
         k.key for k in path if isinstance(k, jax.tree_util.DictKey)
     )
     spec = _spec_for(names, leaf, model_axis) if (tp and names) else P()
-    return jax.sharding.NamedSharding(mesh, spec)
+    return jax.sharding.NamedSharding(
+        mesh, _drop_indivisible(spec, leaf.shape, mesh)
+    )
 
   return jax.tree_util.tree_map_with_path(one, shapes)
 

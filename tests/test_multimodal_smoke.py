@@ -125,3 +125,26 @@ def test_pixels_path_matches_img_path(tiny_stack):
   b = s(["a photo of"], total_generation_steps=3, pixels=pixels)
   np.testing.assert_array_equal(np.asarray(a.tokens[0]),
                                 np.asarray(b.tokens[0]))
+
+
+def test_tp_modal_sampler_matches_single_device(tiny_stack):
+  """Fused pixels→tokens over a TP-2 mesh equals the single-device run.
+
+  LM params take the Megatron layouts; vision towers replicate onto the
+  same mesh so the fused prefill stays one program (modal_sampler.py)."""
+  from cadence_gemma_tpu.parallel import sharding as sh
+
+  model, vocab, params, enc, vparams = tiny_stack
+  mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+  s_tp = modal_lib.ModalSampler(
+      model, vocab, params, vision_encoder=enc, vision_params=vparams,
+      bucket_prompt_lengths=False, mesh=mesh,
+  )
+  s_one = modal_lib.ModalSampler(
+      model, vocab, params, vision_encoder=enc, vision_params=vparams,
+      bucket_prompt_lengths=False,
+  )
+  a = s_tp(["a photo of"], total_generation_steps=4, img_path=PHOTOS[0])
+  b = s_one(["a photo of"], total_generation_steps=4, img_path=PHOTOS[0])
+  np.testing.assert_array_equal(np.asarray(a.tokens[0]),
+                                np.asarray(b.tokens[0]))

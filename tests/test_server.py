@@ -1893,3 +1893,33 @@ class TestToolRendering:
     assert server_lib.parse_tool_call('{"name":"f","arguments":3}',
                                       names) is None
     assert server_lib.parse_tool_call('{"name":"f"}', names) is None
+
+
+class TestShardedFrontend:
+
+  def test_frontend_over_tp_batcher_matches_solo(self, setup):
+    """The threaded frontend drives a TP-mesh batcher: results exact.
+
+    Completes the multi-chip serving stack (sampler → batcher →
+    frontend) on the virtual mesh — the driver's ``dryrun_multichip``
+    runs the same configuration headless."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    solo_sampler, vocab = setup
+    steps = 8
+    mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    tp_sampler = sampler_lib.Sampler(
+        solo_sampler.model, vocab, solo_sampler.params, mesh=mesh
+    )
+    batcher = serving.ContinuousBatcher(tp_sampler, num_slots=2,
+                                        max_steps_default=steps)
+    fe = server_lib.ServingFrontend(batcher, step_size=2)
+    try:
+      prompts = ["alpha beta", "gamma delta eps", "zeta eta"]  # 3 > slots
+      subs = [fe.submit(p) for p in prompts]
+      for p, sub in zip(prompts, subs):
+        tokens, text = sub.result(timeout=240)
+        _check(tokens, _solo(solo_sampler, p, steps), steps,
+               vocab.eos_id())
+    finally:
+      fe.close()

@@ -841,3 +841,102 @@ class TestChatThroughBatcher:
       batcher.take_state(rid)
     with pytest.raises(KeyError, match="No state"):
       batcher.take_state(999)
+
+
+class TestShardedBatcher:
+  """TP-mesh serving: the batcher over a mesh-sharded sampler must emit
+  exactly what the single-device batcher (and solo sampler) emits.
+
+  The solo Sampler already proves its TP path bit-exact
+  (test_sampler.py::TestShardedSampler); these extend the same exactness
+  standard to the serving stack — the reference has no serving loop and
+  no sharded inference at all (``jax/sampler.py:75``)."""
+
+  @pytest.fixture(scope="class")
+  def tp_setup(self, setup):
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    solo_sampler, vocab = setup
+    mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    tp_sampler = sampler_lib.Sampler(
+        solo_sampler.model, vocab, solo_sampler.params, mesh=mesh
+    )
+    return solo_sampler, tp_sampler, vocab
+
+  def test_tp_batcher_matches_solo(self, tp_setup):
+    solo_sampler, tp_sampler, vocab = tp_setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(
+        tp_sampler, num_slots=3, max_steps_default=steps
+    )
+    prompts = ["alpha beta", "gamma delta eps", "zeta"]
+    rids = {batcher.add_request(p, max_steps=steps): p for p in prompts}
+    results = {r: t for r, t, _ in batcher.run_until_drained(3)}
+    for rid, prompt in rids.items():
+      _check(results[rid], _solo(solo_sampler, prompt, steps), steps,
+             vocab.eos_id())
+    # The params are actually distributed over the mesh.
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(tp_sampler.params)
+    )
+    # And the persistent recurrent cache is too (not just the params).
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(batcher._state["cache"])
+    )
+
+  def test_tp_batcher_staggered_joins(self, tp_setup):
+    """Mid-flight joins on the sharded batcher don't perturb neighbors."""
+    solo_sampler, tp_sampler, vocab = tp_setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(
+        tp_sampler, num_slots=2, max_steps_default=steps
+    )
+    r1 = batcher.add_request("alpha beta gamma", max_steps=steps)
+    batcher.step(2)  # r1 decodes alone for a couple of steps
+    r2 = batcher.add_request("delta eps", max_steps=steps)
+    results = {}
+    for _ in range(40):
+      batcher.step(2)
+      results.update({r: t for r, t, _ in batcher.pop_finished()})
+      if len(results) == 2:
+        break
+    _check(results[r1], _solo(solo_sampler, "alpha beta gamma", steps),
+           steps, vocab.eos_id())
+    _check(results[r2], _solo(solo_sampler, "delta eps", steps), steps,
+           vocab.eos_id())
+
+  def test_tp_speculative_batcher_matches_solo(self, tp_setup):
+    """Continuous batching x speculation x TP in one program."""
+    solo_sampler, tp_sampler, vocab = tp_setup
+    steps = 10
+    batcher = serving.ContinuousBatcher(
+        tp_sampler, num_slots=2, max_steps_default=steps, draft_len=3,
+        ngram=2,
+    )
+    prompt = "alpha beta alpha beta alpha"
+    rid = batcher.add_request(prompt, max_steps=steps)
+    results = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(results[rid], _solo(solo_sampler, prompt, steps), steps,
+           vocab.eos_id())
+
+  def test_tp_prefix_state_chat(self, tp_setup):
+    """Multi-turn chat (preserve_states) through the sharded batcher."""
+    solo_sampler, tp_sampler, vocab = tp_setup
+    steps = 6
+    solo1 = solo_sampler(["alpha beta"], total_generation_steps=steps,
+                         return_state=True)
+    solo2 = solo_sampler(["gamma"], total_generation_steps=steps,
+                         prefix_state=solo1.state)
+    batcher = serving.ContinuousBatcher(
+        tp_sampler, num_slots=2, max_steps_default=steps,
+        preserve_states=True,
+    )
+    r1 = batcher.add_request("alpha beta", return_state=True)
+    res1 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res1[r1], np.asarray(solo1.tokens[0]), steps, vocab.eos_id())
+    st = batcher.take_state(r1)
+    r2 = batcher.add_request("gamma", prefix_state=st)
+    res2 = {r: t for r, t, _ in batcher.run_until_drained(2)}
+    _check(res2[r2], np.asarray(solo2.tokens[0]), steps, vocab.eos_id())

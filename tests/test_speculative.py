@@ -515,3 +515,32 @@ class TestChunkedSpeculativePrefill:
     a = spec1([cont], total_generation_steps=6, prefix_state=pstate)
     b = spec2([cont], total_generation_steps=6, prefix_state=pstate)
     assert a.tokens[0].tolist() == b.tokens[0].tolist()
+
+
+class TestShardedSpeculative:
+
+  def test_tp_speculative_matches_single_device(self):
+    """SpeculativeSampler over a TP-2 mesh sampler equals the solo run.
+
+    The verify-loop program inherits the params' Megatron layouts via
+    GSPMD propagation (the history/output buffers are replicated); the
+    emitted stream must match the unsharded speculative sampler token
+    for token."""
+    from cadence_gemma_tpu.parallel import sharding as sh
+
+    model, vocab, params = tiny_model()
+    mesh = sh.make_mesh((1, 2), ("data", "model"), jax.devices()[:2])
+    tp = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False, mesh=mesh
+    )
+    one = sampler_lib.Sampler(
+        model, vocab, params, bucket_prompt_lengths=False
+    )
+    spec_tp = speculative.SpeculativeSampler(tp, draft_len=3, ngram=2)
+    spec_one = speculative.SpeculativeSampler(one, draft_len=3, ngram=2)
+    prompts = ["alpha beta alpha beta alpha", "gamma delta"]
+    a = spec_tp(prompts, total_generation_steps=10)
+    b = spec_one(prompts, total_generation_steps=10)
+    eos = vocab.eos_id()
+    for x, y in zip(a.tokens, b.tokens):
+      assert _trim_to_eos(x.tolist(), eos) == _trim_to_eos(y.tolist(), eos)
