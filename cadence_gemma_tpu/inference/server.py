@@ -928,8 +928,10 @@ class ServingFrontend:
       q = lambda xs, p: xs[min(len(xs) - 1, int(p * len(xs)))]  # noqa: E731
       out["ttft_s_p50"] = round(statistics.median(ttfts), 4)
       out["ttft_s_p90"] = round(q(ttfts, 0.9), 4)
+      out["ttft_s_p99"] = round(q(ttfts, 0.99), 4)
       out["wall_s_p50"] = round(statistics.median(walls), 4)
       out["wall_s_p90"] = round(q(walls, 0.9), 4)
+      out["wall_s_p99"] = round(q(walls, 0.99), 4)
     if self._error is not None:
       out["error"] = self._error
     return out
@@ -952,7 +954,8 @@ class ServingFrontend:
       if f"{stem}_p50" in stats:
         metric = f"cadence_{stem.replace('_s', '_seconds')}"
         lines.append(f"# TYPE {metric} summary")
-        for q, key in (("0.5", f"{stem}_p50"), ("0.9", f"{stem}_p90")):
+        for q, key in (("0.5", f"{stem}_p50"), ("0.9", f"{stem}_p90"),
+                       ("0.99", f"{stem}_p99")):
           lines.append(f'{metric}{{quantile="{q}"}} {stats[key]}')
     return "\n".join(lines) + "\n"
 

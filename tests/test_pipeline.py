@@ -108,6 +108,37 @@ class TestStagePartitioning:
     for shard in leaf.addressable_shards:
       assert shard.data.shape[0] == 1  # 1/S of the stage axis per device
 
+  def test_per_device_parameter_bytes_are_stage_fraction(self, stack):
+    """The point of PP: each device's live STACKED bytes ≈ total / S.
+
+    Sums actual shard bytes per device over every stacked leaf and
+    asserts the stage fraction exactly (the stacking axis divides
+    evenly); the replicated remainder (embedder, norms, tail blocks) is
+    measured as the documented overhead, bounded by the tail fraction
+    plus embedder share.
+    """
+    _, params, pipe, stacked, shared = stack
+    per_device: dict = {}
+    total_stacked = 0
+    for leaf in jax.tree_util.tree_leaves(stacked):
+      total_stacked += leaf.size * leaf.dtype.itemsize
+      for shard in leaf.addressable_shards:
+        nbytes = shard.data.size * shard.data.dtype.itemsize
+        per_device[shard.device] = per_device.get(shard.device, 0) + nbytes
+    assert len(per_device) == STAGES
+    for dev, nbytes in per_device.items():
+      assert nbytes * STAGES == total_stacked, (
+          dev, nbytes, total_stacked
+      )
+    # Shared (replicated) params are the leftover fraction — every block
+    # is in the pipeline here (no tail in this fixture), so shared is
+    # embedder + norms only, strictly smaller than one stage's bytes.
+    total_shared = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(shared)
+    )
+    assert total_shared < total_stacked, (total_shared, total_stacked)
+
 
 class TestForwardParity:
 

@@ -197,3 +197,68 @@ class TestPrefillActQuantSampler:
       sampler_lib.Sampler(
           model, SimpleVocab(["a"]), params, prefill_act_quant=True,
       )
+
+
+class TestSyntheticRealistic:
+  """checkpoint/synthetic.py: the no-download realistic-statistics tree."""
+
+  def test_realistic_params_shapes_and_stats(self):
+    from cadence_gemma_tpu.checkpoint import synthetic
+
+    config = _config()
+    model = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False,
+    )
+    params = synthetic.realistic_params(model, jax.random.PRNGKey(0))
+    ref = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.arange(8)[None],
+    )["params"]
+    # Same tree, same shapes/dtypes as a real init.
+    a = jax.tree_util.tree_leaves_with_path(params)
+    b = dict(jax.tree_util.tree_leaves_with_path(ref))
+    assert len(a) == len(b)
+    for path, leaf in a:
+      assert leaf.shape == b[path].shape and leaf.dtype == b[path].dtype
+    # Norm scales are perturbed away from the zero init...
+    flat = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in a
+    }
+    norm_scales = [v for k, v in flat.items() if k.endswith("['scale']")]
+    assert norm_scales and all(np.abs(v).max() > 0 for v in norm_scales)
+    # ...with the documented stddev (loose 3-sigma-ish bound).
+    pooled = np.concatenate([v.ravel() for v in norm_scales])
+    assert 0.2 < pooled.std() < 0.5, pooled.std()
+    # Deterministic across calls (stable per-leaf keys).
+    params2 = synthetic.realistic_params(model, jax.random.PRNGKey(0))
+    for (p1, v1), (p2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params2),
+    ):
+      np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # The model still runs and quantizes on the perturbed tree.
+    qparams = quantization.quantize_params(params)
+    qmodel = griffin.Griffin(
+        config, dtype=jnp.float32, param_dtype=jnp.float32,
+        gradient_checkpointing=False, quantized=True,
+    )
+    toks = jnp.zeros((1, 6), jnp.int32)
+    pos = jnp.arange(6)[None]
+    l_full, _ = model.apply({"params": params}, toks, pos,
+                            return_cache=False)
+    l_q, _ = qmodel.apply({"params": qparams}, toks, pos,
+                          return_cache=False)
+    assert np.isfinite(np.asarray(l_full)).all()
+    assert np.isfinite(np.asarray(l_q)).all()
+
+  def test_greedy_token_agreement_metrics(self):
+    from cadence_gemma_tpu.checkpoint import synthetic
+
+    r = synthetic.greedy_token_agreement([1, 2, 3, 4], [1, 2, 9, 4])
+    assert r["match_fraction"] == 0.75
+    assert r["prefix_match"] == 0.5
+    assert r["first_divergence"] == 2
+    r2 = synthetic.greedy_token_agreement([5, 6], [5, 6])
+    assert r2["match_fraction"] == 1.0 and r2["first_divergence"] == -1

@@ -67,6 +67,16 @@ _TOL = flags.DEFINE_float(
     "measured 19.33 on TPUv2; greedy decoding is deterministic but "
     "hardware fma differences flip a few near-tie problems.")
 
+_SYNTHETIC = flags.DEFINE_bool(
+    "synthetic", False,
+    "No-download fallback: skip the checkpoint/tokenizer requirements "
+    "and validate the quantization stack on a synthetic checkpoint with "
+    "trained-like per-tensor statistics (checkpoint/synthetic.py) — "
+    "first-token logit error and greedy-token agreement of int8 / "
+    "int8-act vs bf16 on the full 2B preset.")
+_SYN_STEPS = flags.DEFINE_integer(
+    "synthetic_steps", 256, "Decode length for the agreement check.")
+
 EXPECTED_GSM8K = 19.33
 
 
@@ -76,8 +86,57 @@ def check(name, ok, detail=""):
   return bool(ok)
 
 
+def run_synthetic(steps: int = 256) -> bool:
+  """Quantization validation on a realistic-statistics synthetic 2B.
+
+  Thresholds are pre-registered: int8 weight-only must keep first-token
+  logit error under 5% of the logit scale and agree with bf16 greedy
+  decoding for >= 95% of a ``steps``-token stream (prefix-match: after
+  one divergence the streams are different generations). The act-quant
+  prefill is reported but only gated at 15% logit error (it trades
+  accuracy for prefill speed and is off by default).
+  """
+  import importlib.util
+
+  spec = importlib.util.spec_from_file_location(
+      "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+  )
+  bench = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(bench)
+  bench.DECODE_STEPS = steps
+  r = bench.bench_quant_accuracy()
+  print(json.dumps(r))
+  ok = True
+  ok &= check(
+      "int8 first-token logit error (realistic weights)",
+      r["int8_logit_rel_err_realistic"] < 0.05,
+      f"{r['int8_logit_rel_err_realistic']:.4f} of logit scale "
+      f"{r['realistic_logit_scale']}",
+  )
+  ok &= check(
+      "int8 greedy-token agreement",
+      r["int8_token_prefix_match"] >= 0.95,
+      f"prefix {r['int8_token_prefix_match']:.3f}, positional "
+      f"{r['int8_token_agreement']:.3f} over {steps} steps",
+  )
+  ok &= check(
+      "act-quant first-token logit error (advisory)",
+      r["act_quant_logit_rel_err_realistic"] < 0.15,
+      f"{r['act_quant_logit_rel_err_realistic']:.4f}; prefix match "
+      f"{r['act_quant_token_prefix_match']:.3f}",
+  )
+  return ok
+
+
 def main(argv):
   del argv
+  if _SYNTHETIC.value:
+    ok = run_synthetic(_SYN_STEPS.value)
+    print("ALL CHECKS PASSED" if ok else "VALIDATION FAILED")
+    sys.exit(0 if ok else 1)
+  if not _LM.value or not _TOK.value:
+    sys.exit("--lm_checkpoint and --tokenizer are required (or pass "
+             "--synthetic for the no-download fallback).")
   import cadence_gemma_tpu as cg
   from cadence_gemma_tpu.checkpoint import conversion
 
@@ -225,5 +284,4 @@ def main(argv):
 
 
 if __name__ == "__main__":
-  flags.mark_flags_as_required(["lm_checkpoint", "tokenizer"])
   app.run(main)
