@@ -559,6 +559,83 @@ def bench_speculative_ours():
   }
 
 
+def bench_tower_roofline():
+  """Vision encoder device time + fraction of its compute roofline.
+
+  Loop-delta (dispatch-free) device time of the full DinoSigLIP encoder
+  in the int8+act serving configuration, against the CORRECTED bf16
+  compute roofline (~1.04 TFLOP / 197 TFLOP/s ≈ 5.3 ms — r3's 530 GFLOP
+  figure dropped the multiply-accumulate factor of 2). The full per-op
+  breakdown lives in ``multimodal_bench.py vision_breakdown``.
+  """
+  from cadence_gemma_tpu.models import vit as vit_lib
+  from cadence_gemma_tpu.ops import quantization
+
+  # Exact contraction FLOPs of the two towers (2*M*K*N each).
+  total = 0.0
+  for cfg, t in ((vit_lib.DINOV2_LARGE_REG4_384, 734),
+                 (vit_lib.SIGLIP_SO400M_384, 729)):
+    d, m = cfg.embed_dim, cfg.mlp_hidden_dim
+    h, hd = cfg.num_heads, cfg.embed_dim // cfg.num_heads
+    per_block = (
+        2 * t * d * (3 * d) + 2 * t * d * d + 2 * 2 * t * d * m
+        + 2 * 2 * h * t * hd * t
+    )
+    total += (cfg.output_layer + 1) * per_block
+    total += 2 * t * (3 * cfg.patch_size**2) * d  # patch embed
+  roofline_ms = total / 197e12 * 1e3
+
+  pixels0 = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 384, 384))
+  shapes = jax.eval_shape(
+      lambda: vit_lib.DinoSigLIPEncoder().init(jax.random.PRNGKey(1),
+                                               pixels0)
+  )
+  leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+  @jax.jit
+  def build():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(leaves)
+    ]
+
+  params = jax.tree_util.tree_unflatten(treedef, build())["params"]
+  qparams = jax.jit(quantization.quantize_params)(params)
+  enc = vit_lib.DinoSigLIPEncoder(quantized=True, act_quant=True)
+
+  def enc_fn(i, p_, px):
+    px = px * (1 + 1e-6 * i.astype(px.dtype))
+    return enc.apply({"params": p_}, px).astype(jnp.float32).mean()
+
+  @jax.jit
+  def loop(p_, px, n, seed0):
+    def body(i, acc):
+      return acc + enc_fn(seed0 + i, p_, px)
+
+    return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+  _sync(loop(qparams, pixels0, jnp.int32(1), jnp.int32(0)))  # compile
+  deltas = []
+  for rep in range(2):
+    t0 = time.perf_counter()
+    _sync(loop(qparams, pixels0, jnp.int32(2), jnp.int32(1000 + rep)))
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(loop(qparams, pixels0, jnp.int32(8), jnp.int32(5000 + rep)))
+    t_big = time.perf_counter() - t0
+    deltas.append((t_big - t_small) / 6)
+  ms = max(statistics.median(deltas), 1e-9) * 1e3
+  print(f"[bench] vision encoder int8+act: {ms:.2f} ms/image (device)",
+        file=sys.stderr)
+  return {
+      "tower_device_ms_int8_act": round(ms, 2),
+      "tower_roofline_ms": round(roofline_ms, 2),
+      "tower_roofline_fraction": round(roofline_ms / ms, 3),
+  }
+
+
 def bench_serving_slos():
   """Serving tail latency under Poisson load (VERDICT r3 weak #8).
 
@@ -826,6 +903,11 @@ def main():
   except Exception as e:
     print(f"[bench] serving SLOs failed: {e!r}", file=sys.stderr)
     serving_slos = {}
+  try:
+    tower = bench_tower_roofline()
+  except Exception as e:
+    print(f"[bench] tower roofline failed: {e!r}", file=sys.stderr)
+    tower = {}
 
   # Headline: the best decode throughput the framework can serve at (the
   # int8 weight-only path, a capability the reference lacks); bf16 numbers
@@ -963,6 +1045,7 @@ def main():
   result.update(spec_results)
   result.update(quant_acc)
   result.update(serving_slos)
+  result.update(tower)
   print(json.dumps(result))
 
 

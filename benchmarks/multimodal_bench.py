@@ -1820,22 +1820,65 @@ def bench_vision_breakdown():
 
       return f
 
-    def attn_core_fn(t, with_softmax):
-      def f(i, q, k, v, probs_const):
+    def attn_core_fn(t):
+      def f(i, q, k, v):
         q = q * (1 + 1e-6 * i.astype(q.dtype))
+        v = v * (1 + 1e-6 * i.astype(v.dtype))
         logits = jnp.einsum(
             "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
         ) * (hd ** -0.5)
-        if with_softmax:
-          probs = jax.nn.softmax(logits, -1).astype(q.dtype)
-        else:
-          # Consume logits (cheap reduce) but contract a constant probs:
-          # isolates the two einsums from the softmax.
-          probs = probs_const * (
-              1 + 0.0 * logits.astype(q.dtype).mean()
-          )
+        probs = jax.nn.softmax(logits, -1).astype(q.dtype)
         out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
         return out.astype(jnp.float32).mean()
+
+      return f
+
+    def softmax_only_fn(t):
+      # The softmax pass alone on a [1, h, t, t] fp32 logits tensor that
+      # varies per iteration (einsum cost = attn_core - this).
+      def f(i, logits):
+        lg = logits + i.astype(jnp.float32)
+        probs = jax.nn.softmax(lg, -1).astype(jnp.bfloat16)
+        return probs.astype(jnp.float32).mean()
+
+      return f
+
+    def attn_onepass_fn(t):
+      # The whole-sequence VMEM kernel as the attention core (r3's
+      # _mha_onepass_kernel, auto-selected inside flash_mha_attention
+      # for t <= 1024): measures the kernel against attn_core directly.
+      from cadence_gemma_tpu.ops import pallas_attention as pa
+
+      def f(i, q, k, v):
+        q = q * (1 + 1e-6 * i.astype(q.dtype))
+        v = v * (1 + 1e-6 * i.astype(v.dtype))
+        out = pa.flash_mha_attention(q, k, v)
+        return out.astype(jnp.float32).mean()
+
+      return f
+
+    def block_bnqh_fn(t):
+      # Same block, but q/k/v transposed ONCE to [b, n, t, h] so both
+      # attention einsums contract in the layout the MXU wants, with no
+      # per-einsum relayout of the 4-D tensors.
+      def f(i, x, wqkv, wproj, w1, w2):
+        x = x * (1 + 1e-6 * i.astype(jnp.bfloat16))
+        hn = ln(x)
+        qkv = hn @ wqkv
+        q, k, v = jnp.split(qkv, 3, -1)
+        rs = lambda z: z.reshape(1, t, h, hd).transpose(0, 2, 1, 3)
+        q, k, v = rs(q), rs(k), rs(v)
+        logits = jnp.einsum(
+            "bnqh,bnkh->bnqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd ** -0.5)
+        probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+        out = jnp.einsum("bnqk,bnkh->bnqh", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(1, t, d)
+        x = x + out @ wproj
+        h2 = ln(x)
+        h2 = jax.nn.gelu(h2 @ w1)
+        x = x + h2 @ w2
+        return x.astype(jnp.float32).mean()
 
       return f
 
@@ -1857,27 +1900,30 @@ def bench_vision_breakdown():
     fl_block = fl_dense + fl_attn
     encoder_flops += s["blocks"] * fl_block
 
-    us_block = _device_loop_us(block_fn(t), args)
+    us_block = _device_loop_us(block_fn(t), args, lo=16, hi=64)
     args768 = make_args(768)
-    us_block768 = _device_loop_us(block_fn(768), args768)
-    us_dense = _device_loop_us(dense_fn(t), args)
+    us_block768 = _device_loop_us(block_fn(768), args768, lo=16, hi=64)
+    us_dense = _device_loop_us(dense_fn(t), args, lo=16, hi=64)
     x, wqkv, wproj, w1, w2 = args
     key = jax.random.PRNGKey(7)
     q = (0.02 * jax.random.normal(key, (1, t, h, hd))).astype(jnp.bfloat16)
     kk = q * 1.1
     v = q * 0.9
-    probs_const = jax.nn.softmax(
-        jax.random.normal(key, (1, h, t, t)), -1
-    ).astype(jnp.bfloat16)
-    us_attn = _device_loop_us(
-        attn_core_fn(t, True), (q, kk, v, probs_const)
-    )
-    us_attn_mm = _device_loop_us(
-        attn_core_fn(t, False), (q, kk, v, probs_const)
+    us_attn = _device_loop_us(attn_core_fn(t), (q, kk, v), lo=16, hi=64)
+    logits0 = jax.random.normal(key, (1, h, t, t), jnp.float32)
+    us_softmax = _device_loop_us(
+        softmax_only_fn(t), (logits0,), lo=16, hi=64
     )
     big = (0.02 * jax.random.normal(key, (1, t, m))).astype(jnp.bfloat16)
-    us_vec = _device_loop_us(vector_fn(t), (x, big))
+    us_vec = _device_loop_us(vector_fn(t), (x, big), lo=16, hi=64)
+    us_attn_onepass = _device_loop_us(
+        attn_onepass_fn(t), (q, kk, v), lo=16, hi=64
+    )
+    us_block_bnqh = _device_loop_us(
+        block_bnqh_fn(t), args, lo=16, hi=64
+    )
 
+    us_attn_mm = us_attn - us_softmax
     eff = lambda flops, us: round(flops / (us * 1e-6) / 197e12, 3)
     results[name] = {
         "block_us": round(us_block, 1),
@@ -1887,8 +1933,10 @@ def bench_vision_breakdown():
         "dense_mxu_fraction": eff(fl_dense, us_dense),
         "attn_core_us": round(us_attn, 1),
         "attn_einsums_us": round(us_attn_mm, 1),
-        "attn_mxu_fraction": eff(fl_attn, us_attn_mm),
-        "softmax_us": round(us_attn - us_attn_mm, 1),
+        "attn_mxu_fraction": eff(fl_attn, max(us_attn_mm, 1e-9)),
+        "softmax_us": round(us_softmax, 1),
+        "attn_onepass_us": round(us_attn_onepass, 1),
+        "block_bnqh_us": round(us_block_bnqh, 1),
         "vector_ops_us": round(us_vec, 1),
         "unexplained_us": round(
             us_block - us_dense - us_attn - us_vec, 1
@@ -1898,6 +1946,50 @@ def bench_vision_breakdown():
             s["blocks"] * us_block / 1e3, 2
         ),
     }
+
+  # Whole-encoder device time, dispatch-free (the loop-delta method):
+  # the r3 tower sweep's enqueue-amortized numbers carry ~1.8 ms/call
+  # relay dispatch, which at ~10 ms/image is a 15-20% inflation — these
+  # are the true device times the ≤8 ms/image target should be judged on.
+  from cadence_gemma_tpu.models import vit as vit_lib
+  from cadence_gemma_tpu.ops import quantization as quant_lib
+
+  pixels0 = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 384, 384))
+  eshapes = jax.eval_shape(
+      lambda: vit_lib.DinoSigLIPEncoder().init(jax.random.PRNGKey(1),
+                                               pixels0)
+  )
+  eleaves, etreedef = jax.tree_util.tree_flatten(eshapes)
+
+  @jax.jit
+  def ebuild():
+    return [
+        (0.02 * jax.random.normal(jax.random.PRNGKey(i), s.shape)).astype(
+            s.dtype
+        )
+        for i, s in enumerate(eleaves)
+    ]
+
+  eparams = jax.tree_util.tree_unflatten(etreedef, ebuild())["params"]
+  eqparams = jax.jit(quant_lib.quantize_params)(eparams)
+  for label, kwargs, p in (
+      ("bf16", dict(), eparams),
+      ("bf16_flash", dict(use_flash_attention=True), eparams),
+      ("int8_act", dict(quantized=True, act_quant=True), eqparams),
+      ("int8_act_flash",
+       dict(quantized=True, act_quant=True, use_flash_attention=True),
+       eqparams),
+  ):
+    enc = vit_lib.DinoSigLIPEncoder(**kwargs)
+
+    def enc_fn(i, p_, px, _enc=enc):
+      px = px * (1 + 1e-6 * i.astype(px.dtype))
+      return _enc.apply({"params": p_}, px).astype(jnp.float32).mean()
+
+    us = _device_loop_us(enc_fn, (p, pixels0), lo=2, hi=8, reps=3)
+    results.setdefault("encoder", {})[f"device_{label}_ms"] = round(
+        us / 1e3, 2
+    )
 
   print(json.dumps({
       "metric": "vision_block_breakdown",

@@ -113,7 +113,13 @@ def _should_use_flash_mha(override: bool | None) -> bool:
 
 
 class ViTBlock(nn.Module):
-  """Pre-norm transformer block with optional LayerScale (DINOv2)."""
+  """Pre-norm transformer block with optional LayerScale (DINOv2).
+
+  ``key_bias`` (``[1, 1, 1, t]`` additive logits bias, 0 for real tokens
+  and -inf for padding) supports the lane-aligned token padding of
+  :class:`VisionTransformer` — it fuses into the softmax as one
+  broadcast add, so masking padded keys costs no extra memory pass.
+  """
 
   config: ViTConfig
   dtype: at.dtype = jnp.bfloat16
@@ -123,7 +129,9 @@ class ViTBlock(nn.Module):
   use_flash_attention: bool | None = None
 
   @nn.compact
-  def __call__(self, x: jax.Array) -> jax.Array:
+  def __call__(
+      self, x: jax.Array, key_bias: jax.Array | None = None
+  ) -> jax.Array:
     cfg = self.config
     head_dim = cfg.embed_dim // cfg.num_heads
 
@@ -156,12 +164,14 @@ class ViTBlock(nn.Module):
         t.shape[0], t.shape[1], cfg.num_heads, head_dim
     )
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
-    if _should_use_flash_mha(self.use_flash_attention):
+    if _should_use_flash_mha(self.use_flash_attention) and key_bias is None:
       out = pallas_attention.flash_mha_attention(q, k, v)
     else:
       logits = jnp.einsum(
           "bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32
       ) * (head_dim**-0.5)
+      if key_bias is not None:
+        logits = logits + key_bias
       probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
       out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
     out = out.reshape(out.shape[0], out.shape[1], cfg.embed_dim)
@@ -194,6 +204,15 @@ class VisionTransformer(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   use_flash_attention: bool | None = None
+  # Pad the token count to this multiple through the block stack
+  # (729/734 → 768 = 6 x 128 MXU lanes). Measured ~12% faster per block
+  # on v5e despite the extra tokens (`multimodal_bench.py
+  # vision_breakdown`, r4): XLA picks better layouts at lane-aligned
+  # token counts. Exact for the real tokens — padded keys carry a fused
+  # -inf softmax bias, and every other op is per-token. 0 disables.
+  # Incompatible with use_flash_attention (the einsum path is faster at
+  # these shapes anyway, see _should_use_flash_mha).
+  pad_tokens_to: int = 128
 
   @nn.compact
   def __call__(self, pixels: at.ImagePixels) -> at.Image:
@@ -234,6 +253,23 @@ class VisionTransformer(nn.Module):
       )
       x = jnp.concatenate([prefix, x], axis=1)
 
+    # Lane-aligned token padding (see the field comment): zero tokens
+    # appended after the real ones, masked out of attention by a fused
+    # additive bias. Skipped when flash attention is forced on (the
+    # kernel masks internally by its own tile padding).
+    t_real = x.shape[1]
+    key_bias = None
+    pad_multiple = (
+        0 if _should_use_flash_mha(self.use_flash_attention)
+        else self.pad_tokens_to
+    )
+    if pad_multiple and t_real % pad_multiple:
+      t_pad = (t_real + pad_multiple - 1) // pad_multiple * pad_multiple
+      x = jnp.pad(x, ((0, 0), (0, t_pad - t_real), (0, 0)))
+      key_bias = jnp.where(
+          jnp.arange(t_pad) < t_real, 0.0, -jnp.inf
+      ).astype(jnp.float32)[None, None, None, :]
+
     output_layer = (
         cfg.output_layer if cfg.output_layer is not None else cfg.depth - 1
     )
@@ -243,11 +279,11 @@ class VisionTransformer(nn.Module):
           quantized=self.quantized, act_quant=self.act_quant,
           use_flash_attention=self.use_flash_attention,
           name=f"block{i}",
-      )(x)
+      )(x, key_bias)
 
     # Intermediate-layer output: un-normed, prefix tokens dropped
     # (timm get_intermediate_layers(norm=False) semantics).
-    return x[:, cfg.num_prefix_tokens:]
+    return x[:, cfg.num_prefix_tokens : t_real]
 
 
 def preprocess(
@@ -302,6 +338,7 @@ class DinoSigLIPEncoder(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   use_flash_attention: bool | None = None
+  pad_tokens_to: int = 128  # see VisionTransformer.pad_tokens_to
 
   @nn.compact
   def __call__(self, pixels: at.ImagePixels) -> at.Image:
@@ -313,6 +350,7 @@ class DinoSigLIPEncoder(nn.Module):
         cfg, dtype=self.dtype, param_dtype=self.param_dtype,
         quantized=self.quantized, act_quant=self.act_quant,
         use_flash_attention=self.use_flash_attention,
+        pad_tokens_to=self.pad_tokens_to,
         name=name,
     )
     dino_out = tower(self.dino_config, "dino")(dino_in)

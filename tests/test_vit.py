@@ -227,3 +227,56 @@ class TestQuantizedViT:
     denom = np.abs(np.asarray(fp)).max()
     err = np.abs(np.asarray(q) - np.asarray(fp)).max() / denom
     assert err < (0.05 if act_quant else 0.02), err
+
+
+class TestLaneAlignedPadding:
+  """pad_tokens_to: zero tokens + fused -inf key bias must be exact.
+
+  Every non-attention op is per-token and padded keys get -inf logits,
+  so real-token features match the unpadded tower up to matmul-tiling
+  fp reassociation (r4 perf change — ~12% faster blocks at 6x128-aligned
+  token counts, measured on v5e: `multimodal_bench.py vision_breakdown`).
+  """
+
+  def _tower(self, pad, prefix=3):
+    cfg = vit_lib.ViTConfig(
+        embed_dim=16, depth=3, num_heads=2, mlp_hidden_dim=32,
+        patch_size=4, image_size=20, num_prefix_tokens=prefix,
+        use_layer_scale=bool(prefix), output_layer=1,
+    )
+    return vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+        pad_tokens_to=pad,
+    )
+
+  @pytest.mark.parametrize("prefix", [0, 3])
+  def test_padded_matches_unpadded(self, prefix):
+    # 20/4 = 5x5 = 25 patches (+ prefix) -> pads to 32 with pad=8.
+    pixels = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 20, 20))
+    unpadded = self._tower(0, prefix)
+    padded = self._tower(8, prefix)
+    params = unpadded.init(jax.random.PRNGKey(1), pixels)["params"]
+    a = unpadded.apply({"params": params}, pixels)
+    b = padded.apply({"params": params}, pixels)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+  def test_already_aligned_is_noop(self):
+    # 16 patches, pad multiple 8: no padding path taken.
+    cfg = vit_lib.ViTConfig(
+        embed_dim=16, depth=2, num_heads=2, mlp_hidden_dim=32,
+        patch_size=4, image_size=16, output_layer=1,
+    )
+    pixels = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 16, 16))
+    m0 = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32, pad_tokens_to=0
+    )
+    m8 = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32, pad_tokens_to=8
+    )
+    params = m0.init(jax.random.PRNGKey(1), pixels)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply({"params": params}, pixels)),
+        np.asarray(m8.apply({"params": params}, pixels)),
+    )
