@@ -1,4 +1,4 @@
-"""Pipeline parallelism (GPipe) for the Griffin block stack.
+"""Pipeline parallelism (GPipe + interleaved) for the Griffin block stack.
 
 Neither the reference nor its upstream implements pipeline parallelism
 (SURVEY §2.6 marks it absent); this module adds it the TPU-native way: the
@@ -11,20 +11,37 @@ backward pipeline (activation cotangents ppermute stage-to-stage in
 reverse), so training needs no hand-written schedule.
 
 Design notes:
-  * Stage parameters are stacked on a leading ``[num_stages, ...]`` axis and
-    sharded to ``PartitionSpec('stage')``: each device materializes only its
-    own stage's weights — the memory scaling that is the point of PP.
-  * The schedule is plain GPipe: ``M`` microbatches over ``S`` stages in
-    ``M + S - 1`` steps with ``(S-1)/M`` bubble overhead. Bubble steps
-    compute on zero/garbage inputs and are masked by the final buffer
-    selection; ``jnp.where`` routes zero cotangents around them in the
-    backward pass, so gradients are exact (tested against the unpipelined
-    model).
-  * Every device runs one traced stage body, so the per-stage block-type
-    pattern must repeat identically across stages. Models whose depth does
+  * Stage parameters are stacked on a leading ``[num_stages * interleave]``
+    axis and sharded to ``PartitionSpec('stage')``: each device
+    materializes only its own chunks' weights — the memory scaling that is
+    the point of PP.
+  * ``interleave=1`` (default) is plain GPipe: ``M`` microbatches over
+    ``S`` stages in ``M + S - 1`` steps with ``(S-1)/M`` bubble overhead.
+  * ``interleave=v > 1`` is the circular (Megatron-interleaved) schedule:
+    the layer stack splits into ``C = S*v`` chunks, chunk ``j`` living on
+    device ``j mod S``, so each microbatch laps the device ring ``v``
+    times. Activations still move ONE hop per step — the per-step
+    collective is a single uniform cyclic ``ppermute`` — and each device
+    dynamic-indexes which of its ``v`` chunks to apply from the step
+    counter: chunk ``a = ((t - d) mod C) // S`` at step ``t`` on device
+    ``d``. Device 0 injects microbatch ``q*S + r`` at step ``q*C + r``
+    (groups of ``S`` enter back-to-back, then the ring stays busy with
+    earlier laps); device ``S-1`` retires outputs on its ``a == v-1``
+    steps. Total: ``M*v + S - 1`` chunk-steps, i.e. bubble fraction
+    ``(S-1)/(M*v + S - 1)`` — ``v``x smaller than GPipe's, matching the
+    interleaved-1F1B bound (S-1)/(v*M), at the cost of ``v``x more
+    (v-times-smaller) ppermute hops per microbatch. Reverse-mode AD of
+    the scan reverses the same conflict-free schedule, so the backward
+    bubble shrinks identically.
+  * Bubble steps compute on zero/garbage inputs and are masked by the
+    final buffer selection; ``jnp.where`` routes zero cotangents around
+    them in the backward pass, so gradients are exact (tested against the
+    unpipelined model at v=1 and v=2).
+  * Every device runs one traced chunk body, so the per-chunk block-type
+    pattern must repeat identically across chunks. Models whose depth does
     not split that way (the 2B preset's 26 blocks: the (R, R, A) cycle
-    admits no uniform 2- or 4-way split) pipeline their largest
-    pattern-aligned PREFIX (24 of 26 blocks at 2 or 4 stages) and run the
+    admits no uniform split) pipeline their largest pattern-aligned PREFIX
+    (24 of 26 blocks at 2 or 4 stages, at interleave 1 or 2) and run the
     short tail unpipelined after the pipeline, replicated across devices
     like the final norm. Results are exact — the tail is ordinary
     sequential block application — and the memory story holds to within
@@ -112,27 +129,65 @@ class GriffinPipeline:
     num_microbatches: GPipe microbatch count ``M``; the global batch must
       divide by it. Larger M shrinks the bubble (overhead ``(S-1)/M``).
     axis_name: Mesh axis carrying the stages.
+    interleave: Chunks per device ``v`` (circular schedule, see module
+      docstring). 1 = plain GPipe; larger values cut the bubble fraction
+      ``v``x at the cost of ``v``x more (smaller) ppermute hops.
   """
 
   model: griffin_lib.Griffin
   mesh: jax.sharding.Mesh
   num_microbatches: int
   axis_name: str = STAGE_AXIS
+  interleave: int = 1
 
   @property
   def num_stages(self) -> int:
     return self.mesh.shape[self.axis_name]
 
   @property
+  def num_chunks(self) -> int:
+    """Total pipeline chunks ``C = S * v``; chunk j lives on device j % S."""
+    return self.num_stages * self.interleave
+
+  @property
   def pipelined_layers(self) -> int:
     """Blocks [0, pipelined_layers) run in the pipeline; the rest is tail."""
     return pipelined_prefix_length(
-        self.model.config.block_types, self.num_stages
+        self.model.config.block_types, self.num_chunks
     )
 
   @property
   def layers_per_stage(self) -> int:
+    """Blocks resident per DEVICE (v chunks of layers_per_chunk each)."""
     return self.pipelined_layers // self.num_stages
+
+  @property
+  def layers_per_chunk(self) -> int:
+    return self.pipelined_layers // self.num_chunks
+
+  @property
+  def schedule_steps(self) -> int:
+    """Scan length in chunk-steps until the last microbatch retires.
+
+    Microbatch ``m = q*S + r`` injects at step ``q*C + r`` and completes
+    its ``C`` chunks ``C - 1`` steps later, so the scan runs
+    ``q*C + r + C`` steps for ``q, r = divmod(M - 1, S)``. When ``S``
+    divides ``M`` this is ``M*v + S - 1`` (and ``M + S - 1`` at v=1,
+    plain GPipe, for ANY ``M`` since then ``C = S``).
+    """
+    q, r = divmod(self.num_microbatches - 1, self.num_stages)
+    return q * self.num_chunks + r + self.num_chunks
+
+  @property
+  def bubble_fraction(self) -> float:
+    """Idle fraction of the schedule: ``1 - M*v / schedule_steps``.
+
+    ``(S-1)/(M*v + S-1)`` when ``S | M`` — ``v``x below GPipe's
+    ``(S-1)/(M+S-1)``.
+    """
+    total = self.schedule_steps * self.num_stages  # device-steps
+    useful = self.num_microbatches * self.num_chunks
+    return 1.0 - useful / total
 
   @property
   def tail_layers(self) -> tuple[int, ...]:
@@ -142,7 +197,9 @@ class GriffinPipeline:
     )
 
   def __post_init__(self):
-    stage_block_types(self.model.config.block_types, self.num_stages)
+    if self.interleave < 1:
+      raise ValueError(f"interleave must be >= 1, got {self.interleave}.")
+    stage_block_types(self.model.config.block_types, self.num_chunks)
     if len(self.tail_layers) > self.layers_per_stage:
       # A short tail (the 2B preset's 2 of 26 blocks) is the intended
       # design; a tail LARGER than a stage means the chosen stage count
@@ -162,26 +219,37 @@ class GriffinPipeline:
 
   # -- parameter layout -----------------------------------------------------
 
-  def stack_params(self, params: Params) -> tuple[Params, Params]:
-    """Splits a checkpoint tree into (stage-stacked blocks, shared rest).
+  def _chunk_of_position(self, p: int) -> int:
+    """Chunk index at stacking position ``p``.
 
-    The stacked tree is keyed ``layer_{j}`` for in-stage slot ``j``; each
-    leaf gains a leading ``[num_stages]`` axis (slot ``j`` of stage ``s``
-    holds checkpoint ``blocks.{s * layers_per_stage + j}``). Place it with
-    :meth:`stage_sharding` so each device stores only its stage. Tail
-    blocks (beyond the pattern-aligned prefix) stay in ``shared`` under
-    their checkpoint names and run unpipelined.
+    The leading stacked axis is ordered so ``PartitionSpec('stage')``
+    places device ``d``'s ``v`` chunks (``d, d+S, ..., d+(v-1)S``) in its
+    contiguous shard [d*v, (d+1)*v): position ``p`` holds chunk
+    ``(p % v)*S + p // v``. At v=1 this is the identity (GPipe layout).
     """
-    lps = self.layers_per_stage
+    return (p % self.interleave) * self.num_stages + p // self.interleave
+
+  def stack_params(self, params: Params) -> tuple[Params, Params]:
+    """Splits a checkpoint tree into (chunk-stacked blocks, shared rest).
+
+    The stacked tree is keyed ``layer_{j}`` for in-chunk slot ``j``; each
+    leaf gains a leading ``[num_chunks]`` axis (slot ``j`` at stacking
+    position ``p`` holds checkpoint
+    ``blocks.{_chunk_of_position(p) * layers_per_chunk + j}``). Place it
+    with :meth:`stage_sharding` so each device stores only its own
+    chunks. Tail blocks (beyond the pattern-aligned prefix) stay in
+    ``shared`` under their checkpoint names and run unpipelined.
+    """
+    lpc = self.layers_per_chunk
     stacked = {
         f"layer_{j}": jax.tree_util.tree_map(
             lambda *leaves: jnp.stack(leaves),
             *[
-                params[f"blocks.{s * lps + j}"]
-                for s in range(self.num_stages)
+                params[f"blocks.{self._chunk_of_position(p) * lpc + j}"]
+                for p in range(self.num_chunks)
             ],
         )
-        for j in range(lps)
+        for j in range(lpc)
     }
     pipelined = {
         f"blocks.{i}" for i in range(self.pipelined_layers)
@@ -192,11 +260,12 @@ class GriffinPipeline:
   def unstack_params(self, stacked: Params, shared: Params) -> Params:
     """Inverse of :meth:`stack_params` (e.g. to save a checkpoint)."""
     params = dict(shared)
-    lps = self.layers_per_stage
-    for j in range(lps):
-      for s in range(self.num_stages):
-        params[f"blocks.{s * lps + j}"] = jax.tree_util.tree_map(
-            lambda leaf, s=s: leaf[s], stacked[f"layer_{j}"]
+    lpc = self.layers_per_chunk
+    for j in range(lpc):
+      for p in range(self.num_chunks):
+        block = self._chunk_of_position(p) * lpc + j
+        params[f"blocks.{block}"] = jax.tree_util.tree_map(
+            lambda leaf, p=p: leaf[p], stacked[f"layer_{j}"]
         )
     return params
 
@@ -225,9 +294,9 @@ class GriffinPipeline:
         param_dtype=self.model.param_dtype,
     )
 
-  def _stage_blocks(self) -> list[modules.ResidualBlock]:
+  def _chunk_blocks(self) -> list[modules.ResidualBlock]:
     pattern = stage_block_types(
-        self.model.config.block_types, self.num_stages
+        self.model.config.block_types, self.num_chunks
     )
     return [self._make_block(block_type) for block_type in pattern]
 
@@ -246,48 +315,79 @@ class GriffinPipeline:
     """
     batch = x.shape[0]
     n_mb, n_stages = self.num_microbatches, self.num_stages
+    v, n_chunks = self.interleave, self.num_chunks
     if batch % n_mb:
       raise ValueError(f"batch {batch} % num_microbatches {n_mb} != 0")
     mb = batch // n_mb
-    blocks = self._stage_blocks()
+    blocks = self._chunk_blocks()
 
-    def stage_fn(stage_params, h, pos):
+    def chunk_fn(chunk_params, h, pos):
       for j, block in enumerate(blocks):
         h, _ = block.apply(
-            {"params": stage_params[f"layer_{j}"]}, h, pos, None, False
+            {"params": chunk_params[f"layer_{j}"]}, h, pos, None, False
         )
       return h
 
     def pipelined(stacked_local, x_full, pos_full):
-      # shard_map gives [1, ...] leaves on the stage axis; drop it.
-      local_params = jax.tree_util.tree_map(
-          lambda leaf: leaf[0], stacked_local
-      )
+      # shard_map gives [v, ...] leaves on the chunk axis: this device's
+      # v chunks in lap order (see _chunk_of_position).
       stage = jax.lax.axis_index(self.axis_name)
       x_mb = x_full.reshape(n_mb, mb, *x_full.shape[1:])
       pos_mb = pos_full.reshape(n_mb, mb, *pos_full.shape[1:])
 
-      def step(carry, k):
+      def step(carry, t):
         held, outputs = carry
-        # Activations flow one hop downstream; stage 0 receives zeros.
+        # Activations flow one hop around the device ring each step; the
+        # wrap (S-1 -> 0) carries mid-flight laps back to device 0, which
+        # drops it exactly on the steps where it is a retired output.
         incoming = jax.lax.ppermute(
             held,
             self.axis_name,
-            [(i, i + 1) for i in range(n_stages - 1)],
+            [(i, (i + 1) % n_stages) for i in range(n_stages)],
         )
-        m = jnp.clip(k - stage, 0, n_mb - 1)
+        # Which of this device's v chunks runs at step t, which microbatch
+        # is in it, and whether that chunk is the model's last (module
+        # docstring derives these from the round-based injection order).
+        lap = ((t - stage) % n_chunks) // n_stages
+        t0 = t - (lap * n_stages + stage)  # injection step of this mb
+        m = (t0 // n_chunks) * n_stages + t0 % n_chunks
+        m_idx = jnp.clip(m, 0, n_mb - 1)
         my_input = jnp.where(
-            stage == 0,
-            jax.lax.dynamic_index_in_dim(x_mb, m, keepdims=False),
+            (stage == 0) & (lap == 0),
+            jax.lax.dynamic_index_in_dim(x_mb, m_idx, keepdims=False),
             incoming,
         )
-        pos = jax.lax.dynamic_index_in_dim(pos_mb, m, keepdims=False)
-        out = jax.checkpoint(stage_fn)(local_params, my_input, pos)
-        # Only the last stage's slot-m write survives: bubble steps
-        # (k < n_stages - 1) overwrite slot 0 before its true write lands.
-        slot = jnp.clip(k - (n_stages - 1), 0, n_mb - 1)
+        pos = jax.lax.dynamic_index_in_dim(pos_mb, m_idx, keepdims=False)
+
+        # Select which of this device's v chunks to run via lax.switch
+        # over STATICALLY-indexed param slices: a traced dynamic-slice of
+        # the [v, ...] leaves would copy a whole chunk's params every scan
+        # step (measured 1.3x slower end-to-end than GPipe on the virtual
+        # mesh); a switch branch reads leaf[a] in place and only the taken
+        # branch executes. v=1 skips the switch entirely (plain GPipe).
+        def apply_chunk(a, h_in, pos_in):
+          chunk_params = jax.tree_util.tree_map(
+              lambda leaf: leaf[a], stacked_local
+          )
+          return jax.checkpoint(chunk_fn)(chunk_params, h_in, pos_in)
+
+        if v == 1:
+          out = apply_chunk(0, my_input, pos)
+        else:
+          out = jax.lax.switch(
+              lap,
+              [functools.partial(apply_chunk, a) for a in range(v)],
+              my_input, pos,
+          )
+        # Retire on the last device's last lap. Fill-phase garbage
+        # finalizations have m < 0 (clipped to slot 0, overwritten by the
+        # real write later — retirements are ordered by m); garbage
+        # injections (m >= n_mb) provably never reach their last chunk
+        # within the schedule.
+        is_final = (stage == n_stages - 1) & (lap == v - 1)
+        prev = jax.lax.dynamic_index_in_dim(outputs, m_idx, keepdims=False)
         outputs = jax.lax.dynamic_update_index_in_dim(
-            outputs, out, slot, axis=0
+            outputs, jnp.where(is_final, out, prev), m_idx, axis=0
         )
         return (out, outputs), None
 
@@ -296,7 +396,7 @@ class GriffinPipeline:
           jnp.zeros((n_mb, mb) + x_full.shape[1:], x_full.dtype),
       )
       (_, outputs), _ = jax.lax.scan(
-          step, init, jnp.arange(n_mb + n_stages - 1)
+          step, init, jnp.arange(self.schedule_steps)
       )
       # out_spec concatenates every stage's buffer on axis 0; the caller
       # keeps the last stage's slice.

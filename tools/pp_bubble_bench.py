@@ -1,0 +1,89 @@
+"""Measures the pipeline bubble: GPipe vs interleaved wall-clock.
+
+Runs `GriffinPipeline.apply_blocks` forward at interleave v=1 (GPipe) and
+v=2 (circular schedule) on the 8-virtual-CPU-device mesh with a
+compute-heavy 24-block config, so per-step chunk compute dominates and
+the schedule-length ratio shows up as wall time. Analytic prediction at
+M=4, S=4: GPipe runs M+S-1 = 7 stage-steps, interleaved runs
+(M*v + S-1)/v = 5.5 stage-equivalents -> expected ratio ~0.79.
+
+Usage (CPU mesh — run BEFORE any TPU backend init):
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/pp_bubble_bench.py
+
+Prints one JSON line with per-variant times and the measured ratio.
+VERDICT-r3 "Next #8" artifact; the exactness tests live in
+tests/test_pipeline.py::TestInterleavedSchedule.
+"""
+
+import json
+import statistics
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadence_gemma_tpu import common
+from cadence_gemma_tpu.models import griffin as griffin_lib
+from cadence_gemma_tpu.parallel import pipeline as pp
+
+R = common.TemporalBlockType.RECURRENT
+A = common.TemporalBlockType.ATTENTION
+STAGES = 4
+M = 4  # microbatches
+
+
+def main():
+  config = common.GriffinConfig(
+      vocab_size=128, width=1024, mlp_expanded_width=3072, num_heads=8,
+      block_types=(R, R, A) * 8,
+      embeddings_scale_by_sqrt_dim=True, attention_window_size=64,
+      logits_soft_cap=30.0, lru_width=1024,
+      scan_type=common.ScanType.LINEAR_NATIVE,
+  )
+  model = griffin_lib.Griffin(
+      config, dtype=jnp.float32, param_dtype=jnp.float32,
+      gradient_checkpointing=False,
+  )
+  mesh = jax.sharding.Mesh(
+      np.array(jax.devices()[:STAGES]), (pp.STAGE_AXIS,)
+  )
+  b, t = M, 128
+  tokens = jnp.ones((b, t), jnp.int32)
+  pos = jnp.tile(jnp.arange(t)[None], (b, 1))
+  params = model.init(jax.random.PRNGKey(0), tokens, pos)["params"]
+  x = jax.random.normal(
+      jax.random.PRNGKey(1), (b, t, config.width), jnp.float32
+  )
+
+  result = {}
+  for v in (1, 2):
+    pipe = pp.GriffinPipeline(
+        model=model, mesh=mesh, num_microbatches=M, interleave=v
+    )
+    stacked, shared = pipe.stack_params(params)
+    stacked = jax.device_put(stacked, pipe.stage_sharding(stacked))
+    fn = jax.jit(pipe.apply_blocks)
+    out = fn(stacked, x, pos)
+    out.block_until_ready()  # CPU backend: block works
+    times = []
+    for _ in range(5):
+      t0 = time.perf_counter()
+      fn(stacked, x, pos).block_until_ready()
+      times.append(time.perf_counter() - t0)
+    ms = statistics.median(times) * 1e3
+    result[f"pp_forward_ms_v{v}"] = round(ms, 1)
+    result[f"pp_bubble_fraction_v{v}"] = round(pipe.bubble_fraction, 3)
+  result["pp_time_ratio_v2_over_v1"] = round(
+      result["pp_forward_ms_v2"] / result["pp_forward_ms_v1"], 3
+  )
+  result["pp_predicted_ratio"] = round(
+      (M * 2 + STAGES - 1) / 2 / (M + STAGES - 1), 3
+  )
+  print(json.dumps(result))
+
+
+if __name__ == "__main__":
+  main()
