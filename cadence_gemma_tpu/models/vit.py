@@ -205,13 +205,16 @@ class VisionTransformer(nn.Module):
   act_quant: bool = False
   use_flash_attention: bool | None = None
   # Pad the token count to this multiple through the block stack
-  # (729/734 → 768 = 6 x 128 MXU lanes). Measured ~12% faster per block
-  # on v5e despite the extra tokens (`multimodal_bench.py
-  # vision_breakdown`, r4): XLA picks better layouts at lane-aligned
-  # token counts. Exact for the real tokens — padded keys carry a fused
-  # -inf softmax bias, and every other op is per-token. 0 disables.
-  # Incompatible with use_flash_attention (the einsum path is faster at
-  # these shapes anyway, see _should_use_flash_mha).
+  # (729/734 → 768 = 6 x 128 MXU lanes). Isolated bf16 blocks measure up
+  # to ~1.4x faster at 768 tokens (XLA picks better layouts when the
+  # sublane dim tiles evenly), but at whole-encoder level most of that is
+  # already hidden by inter-op overlap: a same-process alternating A/B on
+  # the v5e (r4) gives 7.18 vs 7.32 ms/image int8+act and 9.26 vs 9.34
+  # bf16 — a consistent ~1-2% win, kept because it is free and exact.
+  # Exact for the real tokens — padded keys carry a fused -inf softmax
+  # bias, and every other op is per-token. 0 disables. Ignored when flash
+  # attention is forced on (the kernel masks internally by its own tile
+  # padding).
   pad_tokens_to: int = 128
 
   @nn.compact

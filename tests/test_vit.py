@@ -234,8 +234,9 @@ class TestLaneAlignedPadding:
 
   Every non-attention op is per-token and padded keys get -inf logits,
   so real-token features match the unpadded tower up to matmul-tiling
-  fp reassociation (r4 perf change — ~12% faster blocks at 6x128-aligned
-  token counts, measured on v5e: `multimodal_bench.py vision_breakdown`).
+  fp reassociation (r4 perf change — ~1-2% faster whole-encoder at
+  6x128-aligned token counts, measured A/B on v5e; see
+  models/vit.py pad_tokens_to).
   """
 
   def _tower(self, pad, prefix=3):
