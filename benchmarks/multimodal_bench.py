@@ -833,7 +833,8 @@ def bench_poisson_serving(num_slots=4, steps=48, prompt_len=256,
 
 
 def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
-                           prompt_len=128, mean_interarrival_s=0.05):
+                           prompt_len=128, mean_interarrival_s=0.05,
+                           slo_interarrival_s=0.45):
   """End-to-end HTTP-frontend latency under a Poisson client load.
 
   Unlike ``bench_poisson_serving`` (which measures the raw batcher tick
@@ -841,6 +842,13 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
   driver thread + handler-side submissions — and reports what a CLIENT
   experiences: time-to-first-token and request wall time from submit,
   queueing included, straight from the frontend's /v1/health metrics.
+
+  Two load regimes share one compiled sampler: ``mean_interarrival_s``
+  (default 0.05 s — far above capacity) saturates the batcher and yields
+  the aggregate-throughput figure, where TTFT percentiles only measure
+  queue drain; ``slo_interarrival_s`` (default 0.45 s ≈ 70% of the
+  measured ~3 req/s bf16-2B capacity at 4 slots) is the
+  latency-meaningful regime the ``ttft_s_p*`` fields report.
   """
   import threading as _threading
 
@@ -894,11 +902,10 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
   def words(n, seed):
     return " ".join(f"w{seed}_{i}" for i in range(n - 1))
 
-  gaps = np.random.RandomState(0).exponential(
-      mean_interarrival_s, n_requests
-  )
-
-  def run(seed0):
+  def run(seed0, interarrival_s):
+    gaps = np.random.RandomState(0).exponential(
+        interarrival_s, n_requests
+    )
     batcher = serving.ContinuousBatcher(
         sampler, num_slots=num_slots, max_steps_default=steps
     )
@@ -925,8 +932,9 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
     fe.close()
     return total / dt, stats
 
-  run(100)  # warmup: compile at the exact shapes used
-  tps, stats = run(500)
+  run(100, mean_interarrival_s)  # warmup: compile at the exact shapes
+  tps, sat_stats = run(500, mean_interarrival_s)
+  _, stats = run(700, slo_interarrival_s)
   result = {
       "metric": "frontend_serving_tokens_per_sec_per_chip",
       "value": round(tps, 1),
@@ -939,8 +947,16 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
       "wall_s_p50": stats.get("wall_s_p50"),
       "wall_s_p90": stats.get("wall_s_p90"),
       "wall_s_p99": stats.get("wall_s_p99"),
+      "saturated_ttft_s_p50": sat_stats.get("ttft_s_p50"),
+      "saturated_ttft_s_p99": sat_stats.get("ttft_s_p99"),
+      "slo_interarrival_s": slo_interarrival_s,
       "notes": "client-experienced latency from submit (queueing "
-               "included), read from the frontend\'s /v1/health metrics.",
+               "included), read from the frontend's /v1/health metrics. "
+               "value (tok/s) is from the saturating arrival rate "
+               f"({mean_interarrival_s} s mean gap); the ttft/wall "
+               "percentiles are from the ~70%-utilization run "
+               f"({slo_interarrival_s} s mean gap), where they measure "
+               "serving latency rather than queue drain.",
   }
   print(json.dumps(result))
   return result
