@@ -1,13 +1,17 @@
 """PyTorch Griffin backbone (behavior twin of the JAX model).
 
-Counterpart of reference ``recurrentgemma/torch/griffin.py:35-245``, with
-two deliberate departures:
-  * No embedded torch vision encoder/projector — the model takes pre-fused
-    vision features like the JAX path (the reference's torch model owns
-    timm encoders, ``torch/griffin.py:60-62``).
-  * Visual tokens splice in *after* the BOS token, matching the JAX path
-    (the reference's torch path prepends them, ``torch/griffin.py:184`` —
-    a cross-path inconsistency we do not replicate).
+Counterpart of reference ``recurrentgemma/torch/griffin.py:35-245``.
+Like the reference's torch model (which owns timm encoders,
+``torch/griffin.py:60-62``), this model CAN own its vision encoder: pass
+``vision_encoder=vit.DinoSigLIPEncoder()`` and give ``image`` as raw
+[b, 3, H, W] pixels — the model encodes and projects in its own forward.
+Pre-fused [b, n, vision_width] features remain accepted (the JAX-path
+convention), keeping the parity-oracle usage unchanged.
+
+One deliberate departure: visual tokens splice in *after* the BOS token,
+matching the JAX path (the reference's torch path prepends them,
+``torch/griffin.py:184`` — a cross-path inconsistency we do not
+replicate).
 """
 
 from __future__ import annotations
@@ -32,10 +36,16 @@ class Griffin(nn.Module):
       gradient_checkpointing: bool = False,
       device=None,
       dtype=None,
+      vision_encoder: Optional[nn.Module] = None,
   ):
     super().__init__()
     self.config = config
     self.gradient_checkpointing = gradient_checkpointing
+    # Model-owned pixels -> features encoder (reference
+    # torch/griffin.py:60-62 owns VisionEncoder + MLPProjector; here the
+    # projector equivalent is the checkpoint-compatible vl_connector).
+    # None keeps the model a pure text/pre-fused-features twin.
+    self.vision_encoder = vision_encoder
     kw = dict(device=device, dtype=dtype)
     self.embedder = modules.Embedder(
         vocab_size=config.vocab_size,
@@ -78,6 +88,8 @@ class Griffin(nn.Module):
 
     x = self.embedder.encode(tokens)
     if image is not None:
+      if image.ndim == 4:  # raw [b, 3, H, W] pixels — model-owned encode
+        image = self.encode_image(image)
       visual = self.vl_connector(image.to(x.dtype))
       n = visual.shape[1]
       x = torch.cat([x[:, :1], visual, x[:, 1:]], dim=1)
@@ -110,6 +122,20 @@ class Griffin(nn.Module):
     if cap:
       logits = torch.tanh(logits / cap) * cap
     return logits, (new_cache if return_cache else None)
+
+  def encode_image(self, pixels: torch.Tensor) -> torch.Tensor:
+    """Raw [b, 3, H, W] pixels -> [b, n, vision_width] fused features.
+
+    Requires a model-owned ``vision_encoder`` (reference
+    ``torch/griffin.py:179-183`` runs its encoders inside forward).
+    """
+    if self.vision_encoder is None:
+      raise ValueError(
+          "This model has no vision_encoder; construct Griffin with "
+          "vision_encoder=torch.vit.DinoSigLIPEncoder() to pass raw "
+          "pixels, or pass pre-fused [b, n, vision_width] features."
+      )
+    return self.vision_encoder(pixels)
 
   def init_cache(self, batch_size: int, dtype, device=None) -> Cache:
     return {

@@ -1,9 +1,12 @@
 """Eager PyTorch sampler (behavior twin of the JAX sampler).
 
 Counterpart of reference ``recurrentgemma/torch/sampler.py:70-449``: the
-same prefill-split + per-step decode state machine, run eagerly. Supports
-pre-fused image features via ``img_embed`` (the reference threads an
-``img_path`` down to its torch model's embedded encoders).
+same prefill-split + per-step decode state machine, run eagerly. Images
+enter as pre-fused features (``img_embed``), raw pixels (``pixels``), or
+a file path (``img_path`` — the reference threads an ``img_path`` down
+to its torch model's embedded encoders); the latter two require a model
+constructed with a ``vision_encoder`` and are encoded ONCE before the
+prefill split.
 """
 
 from __future__ import annotations
@@ -82,10 +85,38 @@ class Sampler:
       return_logits: bool = False,
       end_sampling_at_eos_token: bool = True,
       img_embed: Optional[torch.Tensor] = None,
+      pixels: Optional[torch.Tensor] = None,
+      img_path: str = "",
   ) -> SamplerOutput:
-    """Generates completions; mirrors the JAX sampler's output contract."""
+    """Generates completions; mirrors the JAX sampler's output contract.
+
+    At most one of ``img_embed`` / ``pixels`` / ``img_path`` may be
+    given (the ModalSampler contract). ``pixels``/``img_path`` run the
+    model-owned vision encoder once and share the features across the
+    batch, like the reference's single-image torch path.
+    """
     if total_generation_steps < 0:
       raise ValueError("total_generation_steps must be at least 0.")
+    given = [img_embed is not None, pixels is not None, img_path != ""]
+    if sum(given) > 1:
+      raise ValueError("Pass at most one of img_embed, pixels, img_path.")
+    if img_path:
+      from cadence_gemma_tpu.models import vit as vit_lib
+
+      # Host-side PIL decode + bicubic resize to the towers' input size
+      # (the torch encoder twin takes already-sized pixels).
+      size = getattr(
+          getattr(self.model, "vision_encoder", None), "input_size", 384
+      )
+      pixels = torch.from_numpy(
+          vit_lib.load_image(img_path, size=size)
+      ).to(self.device)
+    if pixels is not None:
+      if pixels.ndim == 3:
+        pixels = pixels[None]
+      img_embed = self.model.encode_image(pixels).to(self.dtype)
+      if img_embed.shape[0] == 1 and len(input_strings) > 1:
+        img_embed = img_embed.expand(len(input_strings), -1, -1)
 
     all_ids = [self.tokenize(s) for s in input_strings]
     lengths = torch.tensor(

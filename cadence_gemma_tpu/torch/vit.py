@@ -189,6 +189,7 @@ class DinoSigLIPEncoder(nn.Module):
     super().__init__()
     self.dino = VisionTransformer(dino_config)
     self.siglip = VisionTransformer(siglip_config)
+    self.input_size = dino_config.image_size  # host loaders resize to this
 
   def forward(self, pixels: torch.Tensor) -> torch.Tensor:
     dino_in = _normalize(pixels, jax_vit.DINO_MEAN, jax_vit.DINO_STD)

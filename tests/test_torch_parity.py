@@ -308,3 +308,84 @@ class TestFullModelParity:
     g_embed_jax = np.asarray(g_jax["embedder"]["input_embedding"])
     g_embed_th = th.embedder.input_embedding.grad.numpy()
     np.testing.assert_allclose(g_embed_jax, g_embed_th, atol=1e-4)
+
+
+class TestTorchModalPath:
+  """Torch Griffin with a MODEL-OWNED vision encoder (reference parity).
+
+  The reference's torch model owns its encoders and takes an image path
+  (torch/griffin.py:60-62,179-191); here Griffin(vision_encoder=...)
+  accepts raw pixels or img_path through the sampler. pixels / img_path
+  must reproduce the pre-fused-features path exactly (the encoder runs
+  once, before the prefill split).
+  """
+
+  @pytest.fixture(scope="class")
+  def modal(self):
+    import dataclasses
+
+    from cadence_gemma_tpu.models import vit as jax_vit
+    from cadence_gemma_tpu.torch import vit as torch_vit
+
+    tiny_dino = jax_vit.ViTConfig(
+        embed_dim=8, depth=2, num_heads=2, mlp_hidden_dim=16,
+        patch_size=4, image_size=8, num_prefix_tokens=2,
+        use_layer_scale=True, output_layer=1,
+    )
+    tiny_siglip = dataclasses.replace(
+        tiny_dino, embed_dim=4, mlp_hidden_dim=8, num_prefix_tokens=0,
+        use_layer_scale=False, gelu_approximate=True,
+    )
+    enc = torch_vit.DinoSigLIPEncoder(tiny_dino, tiny_siglip)
+    torch_vit.random_init_(enc.dino, seed=11)
+    torch_vit.random_init_(enc.siglip, seed=12)
+    th = th_griffin.Griffin(_config(), vision_encoder=enc.eval())
+    vocab = SimpleVocab([f"w{i}" for i in range(28)])
+    return th, th_sampler.Sampler(th, vocab)
+
+  def test_pixels_match_prefused_features(self, modal):
+    th, sampler = modal
+    gen = torch.Generator().manual_seed(4)
+    pixels = torch.rand(1, 3, 8, 8, generator=gen)
+    with torch.no_grad():
+      feats = th.encode_image(pixels).to(sampler.dtype)
+    prompts = ["w1 w2 w3", "w5 w6"]
+    out_px = sampler(prompts, total_generation_steps=5, pixels=pixels)
+    out_ft = sampler(
+        prompts, total_generation_steps=5,
+        img_embed=feats.expand(len(prompts), -1, -1),
+    )
+    for a, b in zip(out_px.tokens, out_ft.tokens):
+      np.testing.assert_array_equal(a.numpy(), b.numpy())
+
+  def test_img_path_matches_pixels(self, modal, tmp_path):
+    from PIL import Image
+
+    _, sampler = modal
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+    path = tmp_path / "img.png"  # png: lossless, so pixels match exactly
+    Image.fromarray(arr).save(path)
+    pixels = torch.from_numpy(
+        np.transpose(arr, (2, 0, 1))[None].astype(np.float32) / 255.0
+    )
+    out_path = sampler(["w1 w2"], total_generation_steps=5,
+                       img_path=str(path))
+    out_px = sampler(["w1 w2"], total_generation_steps=5, pixels=pixels)
+    np.testing.assert_array_equal(
+        out_path.tokens[0].numpy(), out_px.tokens[0].numpy()
+    )
+
+  def test_multiple_image_args_raise(self, modal):
+    _, sampler = modal
+    with pytest.raises(ValueError, match="at most one"):
+      sampler(["w1"], total_generation_steps=1,
+              pixels=torch.rand(1, 3, 8, 8), img_path="x.png")
+
+  def test_pixels_without_encoder_raise(self):
+    th = th_griffin.Griffin(_config())
+    vocab = SimpleVocab([f"w{i}" for i in range(28)])
+    sampler = th_sampler.Sampler(th, vocab)
+    with pytest.raises(ValueError, match="vision_encoder"):
+      sampler(["w1"], total_generation_steps=1,
+              pixels=torch.rand(1, 3, 8, 8))
