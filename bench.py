@@ -636,6 +636,37 @@ def bench_tower_roofline():
   }
 
 
+def bench_pp_bubble():
+  """Interleaved-vs-GPipe pipeline wall-clock (VERDICT r3 next #8).
+
+  The pipeline needs a multi-device mesh, so this runs
+  ``tools/pp_bubble_bench.py`` in a SUBPROCESS on the 8-virtual-CPU-device
+  mesh (the same environment the multichip dryrun uses) and merges its
+  one-line JSON. The TPU stays idle meanwhile; expect ~4-8 min of CPU
+  compile+run time.
+  """
+  import subprocess
+
+  env = dict(os.environ)
+  env.update({
+      "PALLAS_AXON_POOL_IPS": "",
+      "JAX_PLATFORMS": "cpu",
+      "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+      "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+  })
+  out = subprocess.run(
+      [sys.executable,
+       os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "tools", "pp_bubble_bench.py")],
+      env=env, capture_output=True, text=True, timeout=1500, check=True,
+  )
+  r = json.loads(out.stdout.strip().splitlines()[-1])
+  print(f"[bench] pp bubble: v2/v1 wall ratio "
+        f"{r['pp_time_ratio_v2_over_v1']} (predicted "
+        f"{r['pp_predicted_ratio']})", file=sys.stderr)
+  return r
+
+
 def bench_serving_slos():
   """Serving tail latency under Poisson load (VERDICT r3 weak #8).
 
@@ -913,6 +944,11 @@ def main():
   except Exception as e:
     print(f"[bench] tower roofline failed: {e!r}", file=sys.stderr)
     tower = {}
+  try:
+    pp_bubble = bench_pp_bubble()
+  except Exception as e:
+    print(f"[bench] pp bubble failed: {e!r}", file=sys.stderr)
+    pp_bubble = {}
 
   # Headline: the best decode throughput the framework can serve at (the
   # int8 weight-only path, a capability the reference lacks); bf16 numbers
@@ -1051,6 +1087,7 @@ def main():
   result.update(quant_acc)
   result.update(serving_slos)
   result.update(tower)
+  result.update(pp_bubble)
   print(json.dumps(result))
 
 

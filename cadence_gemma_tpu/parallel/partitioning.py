@@ -172,6 +172,10 @@ def _drop_indivisible(spec: P, shape: tuple, mesh: jax.sharding.Mesh) -> P:
     for a in axes:
       size *= mesh.shape[a]
     out.append(name if dim % size == 0 else None)
+  # Trailing Nones are semantic no-ops but break PartitionSpec equality
+  # (P(None) != P()); normalize so fully-replicated leaves come out P().
+  while out and out[-1] is None:
+    out.pop()
   return P(*out)
 
 

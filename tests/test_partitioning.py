@@ -109,6 +109,14 @@ class TestOptStateShardings:
         node = node[n]
       return node
 
+    def norm(spec):
+      # Trailing Nones are semantic no-ops; the spec tables write them
+      # explicitly while _drop_indivisible strips them.
+      entries = list(spec)
+      while entries and entries[-1] is None:
+        entries.pop()
+      return P(*entries)
+
     count_seen = moment_seen = 0
     for path, sharding in flat:
       names = tuple(
@@ -120,7 +128,9 @@ class TestOptStateShardings:
         assert sharding.spec == P(), (path, sharding)
       else:
         moment_seen += 1
-        assert sharding.spec == spec_at(names), (path, sharding)
+        assert norm(sharding.spec) == norm(spec_at(names)), (
+            path, sharding
+        )
     assert count_seen >= 1 and moment_seen > 10
 
   def test_replicates_without_model_axis(self, params):

@@ -50,7 +50,7 @@ def main():
   mesh = jax.sharding.Mesh(
       np.array(jax.devices()[:STAGES]), (pp.STAGE_AXIS,)
   )
-  b, t = M, 128
+  b, t = M, 64
   tokens = jnp.ones((b, t), jnp.int32)
   pos = jnp.tile(jnp.arange(t)[None], (b, 1))
   params = model.init(jax.random.PRNGKey(0), tokens, pos)["params"]
@@ -69,7 +69,7 @@ def main():
     out = fn(stacked, x, pos)
     out.block_until_ready()  # CPU backend: block works
     times = []
-    for _ in range(5):
+    for _ in range(3):
       t0 = time.perf_counter()
       fn(stacked, x, pos).block_until_ready()
       times.append(time.perf_counter() - t0)
