@@ -691,7 +691,7 @@ def bench_serving_slos():
   to_ms = lambda s: round(s * 1e3, 1) if s is not None else None  # noqa: E731
   return {
       # Throughput from the saturating arrival rate; latency percentiles
-      # from the ~70%-utilization Poisson run (at saturation TTFT only
+      # from the ~50%-utilization Poisson run (at saturation TTFT only
       # measures queue drain — that figure is kept as *_saturated_*).
       "serving_tok_s_under_load": r["value"],
       "serving_p50_ttft_ms": to_ms(r["ttft_s_p50"]),

@@ -834,7 +834,7 @@ def bench_poisson_serving(num_slots=4, steps=48, prompt_len=256,
 
 def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
                            prompt_len=128, mean_interarrival_s=0.05,
-                           slo_interarrival_s=0.45):
+                           slo_interarrival_s=0.7):
   """End-to-end HTTP-frontend latency under a Poisson client load.
 
   Unlike ``bench_poisson_serving`` (which measures the raw batcher tick
@@ -846,9 +846,11 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
   Two load regimes share one compiled sampler: ``mean_interarrival_s``
   (default 0.05 s — far above capacity) saturates the batcher and yields
   the aggregate-throughput figure, where TTFT percentiles only measure
-  queue drain; ``slo_interarrival_s`` (default 0.45 s ≈ 70% of the
+  queue drain; ``slo_interarrival_s`` (default 0.7 s ≈ 50% of the
   measured ~3 req/s bf16-2B capacity at 4 slots) is the
-  latency-meaningful regime the ``ttft_s_p*`` fields report.
+  latency-meaningful regime the ``ttft_s_p*`` fields report — backed off
+  from 70% after p50 swung 0.19 s → 1.9 s run-to-run there (queueing near
+  saturation amplifies shared-chip speed noise nonlinearly).
   """
   import threading as _threading
 
@@ -954,7 +956,7 @@ def bench_frontend_serving(num_slots=4, n_requests=32, steps=48,
                "included), read from the frontend's /v1/health metrics. "
                "value (tok/s) is from the saturating arrival rate "
                f"({mean_interarrival_s} s mean gap); the ttft/wall "
-               "percentiles are from the ~70%-utilization run "
+               "percentiles are from the ~50%-utilization run "
                f"({slo_interarrival_s} s mean gap), where they measure "
                "serving latency rather than queue drain.",
   }

@@ -46,6 +46,10 @@ CORE_FILES = {
     "test_export.py",
     "test_multihost.py",
     "test_presets.py",
+    # Fast (~20 s) and high-leverage: every TP layout flows through it;
+    # added after its opt-state specs caught a spec-normalization
+    # regression that the original 10-file tier missed (r4).
+    "test_partitioning.py",
 }
 
 
