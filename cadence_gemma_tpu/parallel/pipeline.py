@@ -45,8 +45,10 @@ Design notes:
     short tail unpipelined after the pipeline, replicated across devices
     like the final norm. Results are exact — the tail is ordinary
     sequential block application — and the memory story holds to within
-    the tail fraction (2/26 ≈ 8% for the 2B preset). PP composes with DP
-    over a second mesh axis.
+    the tail fraction (2/26 ≈ 8% for the 2B preset). PP composes with DP:
+    the batch shards over every OTHER mesh axis (each data slice runs its
+    own independent pipeline — the collectives name only the stage axis),
+    so a ``(stage, data)`` mesh pipelines 1/dp of the batch per slice.
 
 Embedding, the VL connector splice, the final norm, and the vocabulary
 projection run outside the pipeline (they belong to no stage); XLA
@@ -123,11 +125,12 @@ class GriffinPipeline:
   Attributes:
     model: The (unpipelined) model; supplies config, dtypes and the
       embedder/final-norm/VL-connector submodule behavior.
-    mesh: Device mesh containing ``axis_name`` (other axes, e.g. ``data``,
-      are free for DP — the pipeline is batch-elementwise outside its own
-      microbatching).
-    num_microbatches: GPipe microbatch count ``M``; the global batch must
-      divide by it. Larger M shrinks the bubble (overhead ``(S-1)/M``).
+    mesh: Device mesh containing ``axis_name``; the batch is sharded over
+      every other axis (DP — each data slice runs its own independent
+      pipeline over its 1/dp of the batch).
+    num_microbatches: GPipe microbatch count ``M`` per data slice; the
+      global batch must divide by ``M x dp``. Larger M shrinks the bubble
+      (overhead ``(S-1)/M``).
     axis_name: Mesh axis carrying the stages.
     interleave: Chunks per device ``v`` (circular schedule, see module
       docstring). 1 = plain GPipe; larger values cut the bubble fraction
@@ -316,9 +319,20 @@ class GriffinPipeline:
     batch = x.shape[0]
     n_mb, n_stages = self.num_microbatches, self.num_stages
     v, n_chunks = self.interleave, self.num_chunks
-    if batch % n_mb:
-      raise ValueError(f"batch {batch} % num_microbatches {n_mb} != 0")
-    mb = batch // n_mb
+    # DP composition: the batch shards over every mesh axis that is not
+    # the stage axis; each data slice runs its own independent pipeline
+    # (all collectives below name only the stage axis).
+    batch_axes = tuple(
+        a for a in self.mesh.axis_names if a != self.axis_name
+    )
+    dp = 1
+    for a in batch_axes:
+      dp *= self.mesh.shape[a]
+    if batch % (n_mb * dp):
+      raise ValueError(
+          f"batch {batch} % (num_microbatches {n_mb} x data-parallel "
+          f"{dp}) != 0"
+      )
     blocks = self._chunk_blocks()
 
     def chunk_fn(chunk_params, h, pos):
@@ -330,8 +344,10 @@ class GriffinPipeline:
 
     def pipelined(stacked_local, x_full, pos_full):
       # shard_map gives [v, ...] leaves on the chunk axis: this device's
-      # v chunks in lap order (see _chunk_of_position).
+      # v chunks in lap order (see _chunk_of_position). x_full/pos_full
+      # are this data slice's LOCAL batch (batch / dp rows).
       stage = jax.lax.axis_index(self.axis_name)
+      mb = x_full.shape[0] // n_mb
       x_mb = x_full.reshape(n_mb, mb, *x_full.shape[1:])
       pos_mb = pos_full.reshape(n_mb, mb, *pos_full.shape[1:])
 
@@ -402,19 +418,31 @@ class GriffinPipeline:
       # keeps the last stage's slice.
       return outputs
 
+    batch_spec = batch_axes if len(batch_axes) != 1 else batch_axes[0]
     outputs = jax.shard_map(
         pipelined,
         mesh=self.mesh,
         in_specs=(
             jax.tree_util.tree_map(lambda _: P(self.axis_name), stacked),
-            P(),
-            P(),
+            P(batch_spec) if batch_axes else P(),
+            P(batch_spec) if batch_axes else P(),
         ),
-        out_specs=P(self.axis_name),
+        out_specs=(
+            P(self.axis_name, batch_spec) if batch_axes
+            else P(self.axis_name)
+        ),
         check_vma=False,
     )(stacked, x, segment_pos)
     # [S * M, mb, t, d] -> last stage's [M, mb, t, d] -> [b, t, d].
     final = outputs[-n_mb:]
+    if batch_axes:
+      # Axis 1 concatenates the data slices' local microbatch slots
+      # ([M, dp, mb_local] order); the original batch order is
+      # [dp, M, mb_local] — swap before flattening.
+      mb_local = batch // n_mb // dp
+      final = final.reshape(
+          n_mb, dp, mb_local, *x.shape[1:]
+      ).swapaxes(0, 1)
     return final.reshape(batch, *x.shape[1:])
 
   # -- full model -------------------------------------------------------
