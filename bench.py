@@ -316,10 +316,17 @@ def _bench_sampler(s, make_prefill_args, label, sync_overhead,
   return tps, ttft * 1e3
 
 
-def bench_ours():
+# Enqueued (end-to-end on this relay) long-prompt variants are measured at
+# these lengths only; 1024 keeps its device-amortized fields (the ratio
+# that matters) but drops the 3 extra enqueued compiles (VERDICT-r4 #7).
+LONG_ENQUEUED_LENS = (512, 2048)
+
+
+def build_ours_context():
+  """Model/params/sampler state shared by the ours_* phases."""
   from cadence_gemma_tpu import common
-  from cadence_gemma_tpu.inference import sampler as sampler_lib
   from cadence_gemma_tpu.models import griffin
+  from cadence_gemma_tpu.ops import quantization
 
   config = common.GriffinConfig.from_preset(
       common.Preset.RECURRENT_GEMMA_2B_V1, vocab_size=VOCAB_SIZE
@@ -331,6 +338,28 @@ def bench_ours():
       lambda: model.init(jax.random.PRNGKey(0), tokens, pos)
   )
   params = _random_params_like(shapes)["params"]
+  qparams = jax.jit(quantization.quantize_params)(params)
+  qmodel = griffin.Griffin(
+      config, gradient_checkpointing=False, quantized=True
+  )
+  return {
+      "config": config,
+      "model": model,
+      "params": params,
+      "qmodel": qmodel,
+      "qparams": qparams,
+      "act_model": qmodel.clone(act_quant=True),
+      "overhead": measure_sync_overhead(),
+  }
+
+
+def bench_ours_core(ctx):
+  """Decode throughput + 128-token TTFTs + roofline for our stack."""
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+
+  config, model, params = ctx["config"], ctx["model"], ctx["params"]
+  qmodel, qparams = ctx["qmodel"], ctx["qparams"]
+  act_model, overhead = ctx["act_model"], ctx["overhead"]
 
   s = sampler_lib.Sampler(
       model, _BenchVocab(), params, bucket_prompt_lengths=False
@@ -348,7 +377,6 @@ def bench_ours():
     return (img,)
 
   make_args.extra = make_extra
-  overhead = measure_sync_overhead()
   tps, ttft_mm = _bench_sampler(
       s, make_args, "ours (multimodal prefill)", overhead
   )
@@ -362,13 +390,7 @@ def bench_ours():
 
   # int8 weight-only quantized decode: halves the weight bytes streamed per
   # step, so bandwidth-bound decode should nearly double.
-  from cadence_gemma_tpu.ops import quantization
-
   del s
-  qparams = jax.jit(quantization.quantize_params)(params)
-  qmodel = griffin.Griffin(
-      config, gradient_checkpointing=False, quantized=True
-  )
   sq = sampler_lib.Sampler(
       qmodel, _BenchVocab(), qparams, bucket_prompt_lengths=False
   )
@@ -389,12 +411,14 @@ def bench_ours():
   # int8 *activation* prefill (int8 x int8 MXU matmuls): prefill of a long
   # (especially multimodal, 857-token) prompt is MXU-compute-bound at bf16
   # peak; int8 doubles the MXU rate. Decode steps inside the same sampler
-  # stay weight-only (bandwidth-bound).
+  # stay weight-only (bandwidth-bound). Kept in ctx for the long-prompt
+  # phase.
   del sq
   sq_act = sampler_lib.Sampler(
       qmodel, _BenchVocab(), qparams, bucket_prompt_lengths=False,
       prefill_act_quant=True,
   )
+  ctx["sq_act"] = sq_act
   make_args_text2 = lambda seed: (_rand_tokens(seed),)
   make_args_text2.extra = make_extra
   _, ttft_mm_int8 = _bench_sampler(
@@ -420,7 +444,6 @@ def bench_ours():
 
   l_bf16 = first_logits(model, params)
   l_int8 = first_logits(qmodel, qparams)
-  act_model = qmodel.clone(act_quant=True)
   l_act = first_logits(act_model, qparams)
 
   # Device-compute TTFT (dispatch overhead excluded — see
@@ -441,54 +464,6 @@ def bench_ours():
       ), 3),
   }
   scale_ref = float(np.abs(l_bf16).max()) or 1.0
-  acc = {
-      "int8_logit_rel_err": round(
-          float(np.abs(l_int8 - l_bf16).max()) / scale_ref, 5
-      ),
-      "act_quant_logit_rel_err": round(
-          float(np.abs(l_act - l_bf16).max()) / scale_ref, 5
-      ),
-      "act_quant_vs_int8_logit_rel_err": round(
-          float(np.abs(l_act - l_int8).max()) / scale_ref, 5
-      ),
-  }
-
-  # Long-prompt text prefill: the north-star ratio measured where the
-  # prefill dominates the relay's dispatch jitter (see LONG_PROMPT_LENS).
-  # Device-amortized (the strictly comparable dispatch-free number) and
-  # enqueued (what this relayed environment delivers), bf16 and the
-  # pre-registered long-prompt int8 config (act-quant — it wins on MXU
-  # compute at every length >= 512 in every recorded run, BASELINE.md).
-  long_fields = {}
-  for ln in LONG_PROMPT_LENS:
-    iters, reps_dev = ((2, 6), 2) if ln >= 1024 else ((4, 12), 2)
-    long_fields[f"ttft_{ln}_bf16_device_ms"] = round(_device_prefill_ms(
-        _prefill_forward(model, length=ln), params,
-        f"ours bf16 text prefill {ln} (device)", iters=iters, reps=reps_dev,
-    ), 3)
-    long_fields[f"ttft_{ln}_int8_device_ms"] = round(_device_prefill_ms(
-        _prefill_forward(act_model, length=ln), qparams,
-        f"ours int8+act text prefill {ln} (device)", iters=iters,
-        reps=reps_dev,
-    ), 3)
-
-    def mk(seed, ln=ln):
-      return (_rand_tokens(seed, ln),)
-
-    s_long = sampler_lib.Sampler(
-        model, _BenchVocab(), params, bucket_prompt_lengths=False
-    )
-    _, t_bf16 = _bench_sampler(
-        s_long, mk, f"ours bf16 (text {ln})", overhead, prompt_len=ln,
-        reps=4, blocks=3, measure_decode=False,
-    )
-    del s_long
-    _, t_act = _bench_sampler(
-        sq_act, mk, f"ours int8+act (text {ln})", overhead, prompt_len=ln,
-        reps=4, blocks=3, measure_decode=False,
-    )
-    long_fields[f"ttft_{ln}_bf16_ms"] = round(t_bf16, 2)
-    long_fields[f"ttft_{ln}_int8_ms"] = round(t_act, 2)
 
   # Roofline health fields (machine-checkable versions of the BASELINE.md
   # analyses): decode is weight-bandwidth-bound — fraction of the 819 GB/s
@@ -507,7 +482,32 @@ def bench_ours():
   prefill_flops = 2.0 * (
       matmul_params * PROMPT_LEN + embed_params * 1
   )
-  roofline = {
+  best_tps = max(tps, tps_int8)
+  # Headline TTFT fields follow the PRE-REGISTERED per-shape int8 prefill
+  # policy (bench_schema 4+): act-quant for multimodal/long prompts
+  # (MXU-compute-bound), weight-only for 128-token text.
+  return {
+      "value": round(best_tps, 2),
+      "decode_tps_bf16": round(tps, 2),
+      "decode_tps_int8": round(tps_int8, 2),
+      "ttft_ms": round(ttft_mm, 2),
+      "ttft_ms_int8": round(ttft_mm_int8, 2),
+      "ttft_text_ms": round(ttft_text, 2),
+      "ttft_text_ms_int8": round(ttft_text_int8_wo, 2),
+      "ttft_ms_int8_weightonly": round(ttft_mm_int8_wo, 2),
+      "ttft_text_ms_int8_weightonly": round(ttft_text_int8_wo, 2),
+      "ttft_ms_int8_act": round(ttft_mm_int8, 2),
+      "ttft_text_ms_int8_act": round(ttft_text_int8, 2),
+      **dev,
+      "int8_logit_rel_err": round(
+          float(np.abs(l_int8 - l_bf16).max()) / scale_ref, 5
+      ),
+      "act_quant_logit_rel_err": round(
+          float(np.abs(l_act - l_bf16).max()) / scale_ref, 5
+      ),
+      "act_quant_vs_int8_logit_rel_err": round(
+          float(np.abs(l_act - l_int8).max()) / scale_ref, 5
+      ),
       "decode_hbm_fraction": round(
           (weight_bytes * tps_int8) / 819e9, 3
       ) if tps_int8 else None,
@@ -519,20 +519,55 @@ def bench_ours():
       ) if dev["ttft_text_device_ms"] > 0 else None,
       "weight_bytes_int8": int(weight_bytes),
   }
-  return {
-      "tps": tps,
-      "ttft_mm": ttft_mm,
-      "ttft_text": ttft_text,
-      "tps_int8": tps_int8,
-      "ttft_mm_int8": ttft_mm_int8,
-      "ttft_mm_int8_weightonly": ttft_mm_int8_wo,
-      "ttft_text_int8": ttft_text_int8,
-      "ttft_text_int8_weightonly": ttft_text_int8_wo,
-      **dev,
-      **acc,
-      **long_fields,
-      **roofline,
-  }
+
+
+def bench_ours_long(ctx, ln):
+  """One long-prompt length for our stack (the north-star lengths).
+
+  Ran as its own phase PER LENGTH (incremental artifact granularity).
+  Device-amortized (the strictly comparable dispatch-free number) at
+  every length; enqueued (what this relayed environment delivers) at
+  LONG_ENQUEUED_LENS only. bf16 and the pre-registered long-prompt int8
+  config (act-quant — it wins on MXU compute at every length >= 512 in
+  every recorded run, BASELINE.md).
+  """
+  from cadence_gemma_tpu.inference import sampler as sampler_lib
+
+  model, params = ctx["model"], ctx["params"]
+  qparams, act_model = ctx["qparams"], ctx["act_model"]
+  sq_act, overhead = ctx["sq_act"], ctx["overhead"]
+
+  long_fields = {}
+  iters, reps_dev = ((2, 6), 2) if ln >= 1024 else ((4, 12), 2)
+  long_fields[f"ttft_{ln}_bf16_device_ms"] = round(_device_prefill_ms(
+      _prefill_forward(model, length=ln), params,
+      f"ours bf16 text prefill {ln} (device)", iters=iters, reps=reps_dev,
+  ), 3)
+  long_fields[f"ttft_{ln}_int8_device_ms"] = round(_device_prefill_ms(
+      _prefill_forward(act_model, length=ln), qparams,
+      f"ours int8+act text prefill {ln} (device)", iters=iters,
+      reps=reps_dev,
+  ), 3)
+  if ln in LONG_ENQUEUED_LENS:
+
+    def mk(seed, ln=ln):
+      return (_rand_tokens(seed, ln),)
+
+    s_long = sampler_lib.Sampler(
+        model, _BenchVocab(), params, bucket_prompt_lengths=False
+    )
+    _, t_bf16 = _bench_sampler(
+        s_long, mk, f"ours bf16 (text {ln})", overhead, prompt_len=ln,
+        reps=4, blocks=3, measure_decode=False,
+    )
+    del s_long
+    _, t_act = _bench_sampler(
+        sq_act, mk, f"ours int8+act (text {ln})", overhead, prompt_len=ln,
+        reps=4, blocks=3, measure_decode=False,
+    )
+    long_fields[f"ttft_{ln}_bf16_ms"] = round(t_bf16, 2)
+    long_fields[f"ttft_{ln}_int8_ms"] = round(t_act, 2)
+  return long_fields
 
 
 def bench_speculative_ours():
@@ -542,16 +577,7 @@ def bench_speculative_ours():
   benchmarks/multimodal_bench.py (``spec`` / ``spec_int8`` modes); this
   just maps its result into the headline JSON's field names.
   """
-  import importlib.util
-
-  spec = importlib.util.spec_from_file_location(
-      "multimodal_bench",
-      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "benchmarks", "multimodal_bench.py"),
-  )
-  mb = importlib.util.module_from_spec(spec)
-  spec.loader.exec_module(mb)
-  r = mb.bench_speculative(int8=True)
+  r = _load_multimodal_bench().bench_speculative(int8=True)
   return {
       "decode_tps_speculative_int8": r["value"],
       "spec_tokens_per_verify_step": r["tokens_per_verify_step"],
@@ -603,36 +629,47 @@ def bench_tower_roofline():
 
   params = jax.tree_util.tree_unflatten(treedef, build())["params"]
   qparams = jax.jit(quantization.quantize_params)(params)
-  enc = vit_lib.DinoSigLIPEncoder(quantized=True, act_quant=True)
 
-  def enc_fn(i, p_, px):
-    px = px * (1 + 1e-6 * i.astype(px.dtype))
-    return enc.apply({"params": p_}, px).astype(jnp.float32).mean()
+  def measure(enc):
+    def enc_fn(i, p_, px):
+      px = px * (1 + 1e-6 * i.astype(px.dtype))
+      return enc.apply({"params": p_}, px).astype(jnp.float32).mean()
 
-  @jax.jit
-  def loop(p_, px, n, seed0):
-    def body(i, acc):
-      return acc + enc_fn(seed0 + i, p_, px)
+    @jax.jit
+    def loop(p_, px, n, seed0):
+      def body(i, acc):
+        return acc + enc_fn(seed0 + i, p_, px)
 
-    return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+      return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-  _sync(loop(qparams, pixels0, jnp.int32(1), jnp.int32(0)))  # compile
-  deltas = []
-  for rep in range(2):
-    t0 = time.perf_counter()
-    _sync(loop(qparams, pixels0, jnp.int32(2), jnp.int32(1000 + rep)))
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _sync(loop(qparams, pixels0, jnp.int32(8), jnp.int32(5000 + rep)))
-    t_big = time.perf_counter() - t0
-    deltas.append((t_big - t_small) / 6)
-  ms = max(statistics.median(deltas), 1e-9) * 1e3
-  print(f"[bench] vision encoder int8+act: {ms:.2f} ms/image (device)",
+    _sync(loop(qparams, pixels0, jnp.int32(1), jnp.int32(0)))  # compile
+    deltas = []
+    for rep in range(2):
+      t0 = time.perf_counter()
+      _sync(loop(qparams, pixels0, jnp.int32(2), jnp.int32(1000 + rep)))
+      t_small = time.perf_counter() - t0
+      t0 = time.perf_counter()
+      _sync(loop(qparams, pixels0, jnp.int32(8), jnp.int32(5000 + rep)))
+      t_big = time.perf_counter() - t0
+      deltas.append((t_big - t_small) / 6)
+    return max(statistics.median(deltas), 1e-9) * 1e3
+
+  # Same-process A/B (the only method that produced stable orderings on
+  # this chip, BASELINE.md §Vision-r4): the r4 serving config vs the r5
+  # bf16-resident-softmax variant (VERDICT-r4 next #4a).
+  ms = measure(vit_lib.DinoSigLIPEncoder(quantized=True, act_quant=True))
+  ms_sm16 = measure(vit_lib.DinoSigLIPEncoder(
+      quantized=True, act_quant=True, softmax_bf16=True
+  ))
+  best = min(ms, ms_sm16)
+  print(f"[bench] vision encoder int8+act: {ms:.2f} ms/image, "
+        f"+softmax_bf16: {ms_sm16:.2f} ms/image (device)",
         file=sys.stderr)
   return {
       "tower_device_ms_int8_act": round(ms, 2),
+      "tower_device_ms_int8_act_sm16": round(ms_sm16, 2),
       "tower_roofline_ms": round(roofline_ms, 2),
-      "tower_roofline_fraction": round(roofline_ms / ms, 3),
+      "tower_roofline_fraction": round(roofline_ms / best, 3),
   }
 
 
@@ -667,17 +704,7 @@ def bench_pp_bubble():
   return r
 
 
-def bench_serving_slos():
-  """Serving tail latency under Poisson load (VERDICT r3 weak #8).
-
-  Drives the production path — ServingFrontend's driver thread with
-  Poisson client arrivals on the 2B preset — and reports the
-  client-experienced latency percentiles from the frontend's own
-  /v1/health metrics, plus aggregate throughput under that load. Defined
-  once in benchmarks/multimodal_bench.py (``frontend`` mode); this maps
-  its result into headline field names so serving regressions are
-  visible round-over-round in BENCH_r{N}.json.
-  """
+def _load_multimodal_bench():
   import importlib.util
 
   spec = importlib.util.spec_from_file_location(
@@ -687,13 +714,31 @@ def bench_serving_slos():
   )
   mb = importlib.util.module_from_spec(spec)
   spec.loader.exec_module(mb)
-  r = mb.bench_frontend_serving()
+  return mb
+
+
+def bench_serving_slos():
+  """Serving tail latency under Poisson load, PRODUCTION configuration.
+
+  r4 measured SLOs on a non-production config (bf16, 4 slots) and its
+  tail was queueing behind those slots (VERDICT-r4 weak #3). This drives
+  the config the framework would actually ship — int8 weights, 8 decode
+  slots (the batched-decode sweet spot) — through ServingFrontend's
+  driver thread with Poisson client arrivals, at a SELF-CALIBRATED 50%
+  of the capacity measured in the same process, plus a speculative-
+  batcher variant at low concurrency. Defined once in
+  benchmarks/multimodal_bench.py (``frontend`` mode); this maps its
+  result into headline field names so serving regressions are visible
+  round-over-round in BENCH_r{N}.json.
+  """
+  r = _load_multimodal_bench().bench_frontend_serving()
   to_ms = lambda s: round(s * 1e3, 1) if s is not None else None  # noqa: E731
   return {
       # Throughput from the saturating arrival rate; latency percentiles
-      # from the ~50%-utilization Poisson run (at saturation TTFT only
-      # measures queue drain — that figure is kept as *_saturated_*).
+      # from the 50%-of-measured-capacity Poisson run (at saturation TTFT
+      # only measures queue drain — that figure is kept as *_saturated_*).
       "serving_tok_s_under_load": r["value"],
+      "serving_config": r.get("config"),
       "serving_p50_ttft_ms": to_ms(r["ttft_s_p50"]),
       "serving_p90_ttft_ms": to_ms(r["ttft_s_p90"]),
       "serving_p99_ttft_ms": to_ms(r["ttft_s_p99"]),
@@ -701,19 +746,97 @@ def bench_serving_slos():
       "serving_p99_wall_ms": to_ms(r["wall_s_p99"]),
       "serving_saturated_p50_ttft_ms": to_ms(r["saturated_ttft_s_p50"]),
       "serving_saturated_p99_ttft_ms": to_ms(r["saturated_ttft_s_p99"]),
+      "serving_slo_interarrival_s": r.get("slo_interarrival_s"),
+      "serving_spec_p50_ttft_ms": to_ms(r.get("spec_ttft_s_p50")),
+      "serving_spec_p99_ttft_ms": to_ms(r.get("spec_ttft_s_p99")),
+      "serving_spec_p50_wall_ms": to_ms(r.get("spec_wall_s_p50")),
   }
 
 
-def bench_quant_accuracy():
+def bench_real_weights_validation(timeout_s=900):
+  """Machine-readable record of the real-trained-weights validation gap.
+
+  The reference's quality story (Kaggle 2B/9B orbax weights, timm
+  pretrained ViTs, GSM8K 19.33%) has never flowed through this framework
+  because downloads are environment-blocked (VERDICT-r4 missing #1).
+  Each bench run attempts `tools/validate_real_weights.py` if a real
+  checkpoint is present (CADENCE_REAL_WEIGHTS_DIR, or conventional
+  paths) and otherwise records the blocker in the artifact instead of
+  staying silent.
+  """
+  import subprocess
+
+  root = os.environ.get("CADENCE_REAL_WEIGHTS_DIR", "")
+  candidates = [root] if root else [
+      "/root/weights", "/root/checkpoints", "/root/real_weights",
+  ]
+  found = next(
+      (c for c in candidates if c and os.path.isdir(c)), None
+  )
+  if found is None:
+    return {"real_weights_validation": (
+        "blocked: no real trained checkpoint in this environment "
+        "(downloads are blocked; set CADENCE_REAL_WEIGHTS_DIR to a dir "
+        "with the Kaggle 2b-it orbax checkpoint + tokenizer.model to "
+        "run tools/validate_real_weights.py). The no-download stand-in "
+        "— realistic-statistics synthetic weights — runs as the "
+        "quant_accuracy phase."
+    )}
+  tok = os.path.join(found, "tokenizer.model")
+  ckpt = next(
+      (os.path.join(found, d) for d in sorted(os.listdir(found))
+       if os.path.isdir(os.path.join(found, d))), None,
+  )
+  if not os.path.isfile(tok) or ckpt is None:
+    return {"real_weights_validation": (
+        f"blocked: {found} exists but no tokenizer.model + checkpoint "
+        "subdir layout recognized"
+    )}
+  try:
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "tools", "validate_real_weights.py"),
+         f"--lm_checkpoint={ckpt}", f"--tokenizer={tok}", "--limit=50"],
+        capture_output=True, text=True, timeout=timeout_s,
+    )
+  except subprocess.TimeoutExpired:
+    return {"real_weights_validation":
+            f"attempted: timed out after {timeout_s}s"}
+  tail = (proc.stdout + proc.stderr).strip()[-400:]
+  status = "pass" if proc.returncode == 0 else f"fail(rc={proc.returncode})"
+  return {"real_weights_validation": f"{status}: {tail}"}
+
+
+def _per_row_agreement(a: np.ndarray, b: np.ndarray):
+  """Per-prompt greedy-agreement stats between two [n, t] token buffers.
+
+  Returns (match_fraction[n], prefix_match[n], first_divergence[n]) where
+  first_divergence is -1 for rows that never diverge.
+  """
+  n = min(a.shape[1], b.shape[1])
+  eq = a[:, :n] == b[:, :n]
+  match = eq.mean(axis=1)
+  all_eq = eq.all(axis=1)
+  first_div = np.where(all_eq, -1, np.argmax(~eq, axis=1))
+  prefix = np.where(all_eq, 1.0, first_div / max(n, 1))
+  return match, prefix, first_div
+
+
+def bench_quant_accuracy(n_prompts=16, seeds=(42, 1337)):
   """Quantization accuracy on trained-like weight statistics.
 
-  BENCH_r03's logit-error fields were measured on uniform 0.02-scale
-  random weights, which overstate relative error (tiny logits) and
-  understate argmax margins. This re-measures on a synthetic checkpoint
-  with realistic per-tensor statistics (the model's own initializers +
-  trained-like norm/embedder perturbations —
-  ``checkpoint/synthetic.py``), and adds the metric that matters for
-  exact serving: greedy-token agreement over a 255-step decode.
+  r4 measured greedy-token agreement on ONE prompt from ONE synthetic
+  seed — rare-event statistics (argmax flips) need more support
+  (VERDICT-r4 weak #4). This decodes ``n_prompts`` distinct prompts as
+  ONE batched greedy decode per (variant, seed) — the batch rows are
+  independent generations, so one compiled program covers all prompts —
+  across ``len(seeds)`` realistic-statistics synthetic checkpoints
+  (``checkpoint/synthetic.py``; trained-like per-tensor statistics, the
+  no-download stand-in for real weights). Reports min/mean agreement and
+  the first-divergence step per prompt, plus the first-token logit
+  errors. Compiled programs are reused across seeds (params enter as an
+  argument).
   """
   from cadence_gemma_tpu import common
   from cadence_gemma_tpu.checkpoint import synthetic
@@ -725,15 +848,18 @@ def bench_quant_accuracy():
       common.Preset.RECURRENT_GEMMA_2B_V1, vocab_size=VOCAB_SIZE
   )
   model = griffin.Griffin(config, gradient_checkpointing=False)
-  params = synthetic.realistic_params(model, jax.random.PRNGKey(42))
-  qparams = jax.jit(quantization.quantize_params)(params)
   qmodel = griffin.Griffin(
       config, gradient_checkpointing=False, quantized=True
   )
   act_model = qmodel.clone(act_quant=True)
 
-  toks = _rand_tokens(2024)
-  pos = jnp.tile(jnp.arange(PROMPT_LEN)[None], (BATCH, 1))
+  def prompts():
+    return jax.random.randint(
+        jax.random.PRNGKey(2024), (n_prompts, PROMPT_LEN), 3, 1000,
+        jnp.int32,
+    )
+
+  pos = jnp.tile(jnp.arange(PROMPT_LEN)[None], (n_prompts, 1))
 
   def first_logits(m, p):
     f = jax.jit(
@@ -742,52 +868,83 @@ def bench_quant_accuracy():
             last_logits_only=True,
         )[0]
     )
-    return np.asarray(jax.device_get(f(p, toks)), np.float32)
+    return np.asarray(jax.device_get(f(p, prompts())), np.float32)
 
-  l_bf16 = first_logits(model, params)
-  l_int8 = first_logits(qmodel, qparams)
-  l_act = first_logits(act_model, qparams)
-  scale = float(np.abs(l_bf16).max()) or 1.0
+  samplers = {}  # variant -> Sampler (compiled once, reused across seeds)
 
-  def decode_tokens(m, p, label, act=False):
-    s = sampler_lib.Sampler(
-        m, _BenchVocab(), p, bucket_prompt_lengths=False,
-        prefill_act_quant=act,
-    )
+  def decode_tokens(key, m, p, act=False):
+    if key not in samplers:
+      samplers[key] = sampler_lib.Sampler(
+          m, _BenchVocab(), p, bucket_prompt_lengths=False,
+          prefill_act_quant=act,
+      )
+    s = samplers[key]
+    # Params flow in as an explicit argument; drop the constructor-time
+    # reference so at most one seed's trees are device-resident.
+    s.params = p
     state = s.prompt_processing_fn(
-        s.params, _rand_tokens(2024), None,
-        jnp.full((BATCH,), PROMPT_LEN, jnp.int32),
+        p, prompts(), None,
+        jnp.full((n_prompts,), PROMPT_LEN, jnp.int32),
         DECODE_STEPS, False, False,
     )
-    out = s.sample_fn(s.params, state, False)
+    out = s.sample_fn(p, state, False)
     toks_out = np.asarray(jax.device_get(out.tokens_buffer))
-    print(f"[bench] quant accuracy decode done: {label}", file=sys.stderr)
+    print(f"[bench] quant accuracy decode done: {key}", file=sys.stderr)
     return toks_out
 
-  t_bf16 = decode_tokens(model, params, "bf16 (realistic weights)")
-  t_int8 = decode_tokens(qmodel, qparams, "int8 (realistic weights)")
-  t_act = decode_tokens(
-      qmodel, qparams, "int8+act prefill (realistic weights)", act=True
-  )
-  agree_int8 = synthetic.greedy_token_agreement(t_bf16, t_int8)
-  agree_act = synthetic.greedy_token_agreement(t_bf16, t_act)
+  stats = {"int8": [], "act": []}  # per-variant (match, prefix, first_div)
+  logit_errs = {"int8": [], "act": []}
+  scale = None
+  for seed in seeds:
+    params = synthetic.realistic_params(model, jax.random.PRNGKey(seed))
+    qparams = jax.jit(quantization.quantize_params)(params)
+    l_bf16 = first_logits(model, params)
+    l_int8 = first_logits(qmodel, qparams)
+    l_act = first_logits(act_model, qparams)
+    s_ = float(np.abs(l_bf16).max()) or 1.0
+    scale = s_ if scale is None else scale
+    logit_errs["int8"].append(float(np.abs(l_int8 - l_bf16).max()) / s_)
+    logit_errs["act"].append(float(np.abs(l_act - l_bf16).max()) / s_)
+
+    t_bf16 = decode_tokens("bf16", model, params)
+    t_int8 = decode_tokens("int8", qmodel, qparams)
+    t_act = decode_tokens("act", qmodel, qparams, act=True)
+    stats["int8"].append(_per_row_agreement(t_bf16, t_int8))
+    stats["act"].append(_per_row_agreement(t_bf16, t_act))
+    for s in samplers.values():
+      s.params = None  # free this seed's trees before building the next
+    del params, qparams
+
+  def fields(key, prefix_name):
+    match = np.concatenate([m for m, _, _ in stats[key]])
+    pref = np.concatenate([p for _, p, _ in stats[key]])
+    fdiv = np.concatenate([d for _, _, d in stats[key]])
+    return {
+        f"{prefix_name}_token_agreement": round(float(match.mean()), 4),
+        f"{prefix_name}_token_agreement_min": round(float(match.min()), 4),
+        f"{prefix_name}_token_agreement_mean": round(float(match.mean()), 4),
+        f"{prefix_name}_token_prefix_match": round(float(pref.mean()), 4),
+        f"{prefix_name}_token_prefix_match_min": round(float(pref.min()), 4),
+        f"{prefix_name}_first_divergence_steps": [int(x) for x in fdiv],
+    }
+
   return {
       "int8_logit_rel_err_realistic": round(
-          float(np.abs(l_int8 - l_bf16).max()) / scale, 5
+          max(logit_errs["int8"]), 5
       ),
       "act_quant_logit_rel_err_realistic": round(
-          float(np.abs(l_act - l_bf16).max()) / scale, 5
+          max(logit_errs["act"]), 5
       ),
       "realistic_logit_scale": round(scale, 3),
-      "int8_token_agreement": agree_int8["match_fraction"],
-      "int8_token_prefix_match": agree_int8["prefix_match"],
-      "act_quant_token_agreement": agree_act["match_fraction"],
-      "act_quant_token_prefix_match": agree_act["prefix_match"],
+      "quant_accuracy_prompts": int(n_prompts * len(seeds)),
+      "quant_accuracy_seeds": list(seeds),
+      **fields("int8", "int8"),
+      **fields("act", "act_quant"),
   }
 
 
-def bench_reference():
-  """Runs the reference JAX implementation on the same chip."""
+def build_reference_context():
+  """Loads the reference implementation and builds its model/sampler."""
   # Stub modules the reference imports but the measured path never calls.
   stubs = {
       "sentencepiece": {"SentencePieceProcessor": object},
@@ -819,276 +976,297 @@ def bench_reference():
     from recurrentgemma import common as ref_common  # noqa: PLC0415
     from recurrentgemma.jax import griffin as ref_griffin  # noqa: PLC0415
     from recurrentgemma.jax import sampler as ref_sampler  # noqa: PLC0415
-
-    config = ref_common.GriffinConfig.from_preset(
-        ref_common.Preset.RECURRENT_GEMMA_2B_V1, vocab_size=VOCAB_SIZE
-    )
-    # The reference's Pallas kernel cannot run on current JAX (it imports
-    # the removed jax._src.lax.control_flow.for_loop API); its only
-    # runnable scan is the native one.
-    config = config._replace(scan_type=ref_common.ScanType.LINEAR_NATIVE)
-    model = ref_griffin.Griffin(config, gradient_checkpointing=False)
-    tokens = jnp.ones((BATCH, 8), jnp.int32)
-    pos = jnp.tile(jnp.arange(8)[None], (BATCH, 1))
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), tokens, pos)
-    )
-    params = _random_params_like(shapes)["params"]
-
-    s = ref_sampler.Sampler(model, _BenchVocab(), params)
-
-    def make_args(seed):
-      return (_rand_tokens(seed),)
-
-    overhead = measure_sync_overhead()
-    tps, ttft = _bench_sampler(
-        s, make_args, "reference (text prefill)", overhead
-    )
-    # Same in-program device-time methodology as ours, reproducing the
-    # reference sampler's full-logits prefill semantics.
-    dev_ms = _device_prefill_ms(
-        _prefill_forward(model, last_logits_only=False), params,
-        "reference text prefill (device)",
-    )
-    # Long-prompt head-to-head (same methodology as ours — the reference
-    # prefill materializes the full [b, t, vocab] logits, its sampler's
-    # actual semantics).
-    long_fields = {}
-    for ln in LONG_PROMPT_LENS:
-      iters = (2, 6) if ln >= 1024 else (4, 12)
-      long_fields[f"ttft_{ln}_ref_device_ms"] = round(_device_prefill_ms(
-          _prefill_forward(model, last_logits_only=False, length=ln),
-          params, f"reference text prefill {ln} (device)", iters=iters,
-          reps=2,
-      ), 3)
-
-      def mk(seed, ln=ln):
-        return (_rand_tokens(seed, ln),)
-
-      _, t_ref = _bench_sampler(
-          s, mk, f"reference (text {ln})", overhead, prompt_len=ln,
-          reps=4, blocks=3, measure_decode=False,
-      )
-      long_fields[f"ttft_{ln}_ref_ms"] = round(t_ref, 2)
-    return tps, ttft, dev_ms, long_fields
   finally:
+    # Imports are done (modules live in sys.modules); drop the path so it
+    # cannot shadow anything for the rest of the run.
     sys.path.remove("/root/reference")
+
+  config = ref_common.GriffinConfig.from_preset(
+      ref_common.Preset.RECURRENT_GEMMA_2B_V1, vocab_size=VOCAB_SIZE
+  )
+  # The reference's Pallas kernel cannot run on current JAX (it imports
+  # the removed jax._src.lax.control_flow.for_loop API); its only
+  # runnable scan is the native one.
+  config = config._replace(scan_type=ref_common.ScanType.LINEAR_NATIVE)
+  model = ref_griffin.Griffin(config, gradient_checkpointing=False)
+  tokens = jnp.ones((BATCH, 8), jnp.int32)
+  pos = jnp.tile(jnp.arange(8)[None], (BATCH, 1))
+  shapes = jax.eval_shape(
+      lambda: model.init(jax.random.PRNGKey(0), tokens, pos)
+  )
+  params = _random_params_like(shapes)["params"]
+  return {
+      "model": model,
+      "params": params,
+      "sampler": ref_sampler.Sampler(model, _BenchVocab(), params),
+      "overhead": measure_sync_overhead(),
+  }
+
+
+def bench_reference_core(ctx, result):
+  """Reference decode + 128-token head-to-head vs the stored ours fields.
+
+  The ours context is freed before this runs — only its numbers (already
+  in ``result``) are needed.
+  """
+  model, params = ctx["model"], ctx["params"]
+  s, overhead = ctx["sampler"], ctx["overhead"]
+
+  def make_args(seed):
+    return (_rand_tokens(seed),)
+
+  tps, ttft = _bench_sampler(
+      s, make_args, "reference (text prefill)", overhead
+  )
+  # Same in-program device-time methodology as ours, reproducing the
+  # reference sampler's full-logits prefill semantics.
+  dev_ms = _device_prefill_ms(
+      _prefill_forward(model, last_logits_only=False), params,
+      "reference text prefill (device)",
+  )
+  best_tps = result.get("value") or 0.0
+  ours_tps = result.get("decode_tps_bf16")
+  ours_text_ttft_ms = result.get("ttft_text_ms")
+  int8_text_ttft_ms = result.get("ttft_text_ms_int8")
+  ours_text_dev = result.get("ttft_text_device_ms")
+  ours_text_int8_dev = result.get("ttft_text_int8_device_ms")
+  return {
+      "reference_decode_tps": round(tps, 2) if tps else None,
+      "reference_text_ttft_ms": round(ttft, 2) if ttft else None,
+      "reference_text_ttft_device_ms": (
+          round(dev_ms, 3) if dev_ms else None
+      ),
+      "vs_baseline": round(best_tps / tps, 3) if tps else 1.0,
+      "vs_baseline_bf16": (
+          round(ours_tps / tps, 3) if tps and ours_tps else 1.0
+      ),
+      "ttft_text_vs_reference": (
+          round(ttft / ours_text_ttft_ms, 3)
+          if ttft and ours_text_ttft_ms else None
+      ),
+      "ttft_text_int8_vs_reference": (
+          round(ttft / int8_text_ttft_ms, 3)
+          if ttft and int8_text_ttft_ms else None
+      ),
+      "ttft_text_device_vs_reference": (
+          round(dev_ms / ours_text_dev, 3)
+          if dev_ms and ours_text_dev else None
+      ),
+      "ttft_text_int8_device_vs_reference": (
+          round(dev_ms / ours_text_int8_dev, 3)
+          if dev_ms and ours_text_int8_dev else None
+      ),
+  }
+
+
+def bench_reference_long(ctx, result, ln):
+  """One long-prompt length: reference measurement + that length's ratios.
+
+  Ran as its own phase PER LENGTH so each ``ttft_ratio_{L}`` lands in the
+  incremental artifact the moment it exists — the r4 driver kill happened
+  mid-way through exactly this loop (BENCH_r04 tail), which under the old
+  all-at-the-end structure lost every ratio. Enqueued variants at
+  LONG_ENQUEUED_LENS only.
+  """
+  model, params = ctx["model"], ctx["params"]
+  s, overhead = ctx["sampler"], ctx["overhead"]
+  iters = (2, 6) if ln >= 1024 else (4, 12)
+  fields = {}
+  fields[f"ttft_{ln}_ref_device_ms"] = round(_device_prefill_ms(
+      _prefill_forward(model, last_logits_only=False, length=ln),
+      params, f"reference text prefill {ln} (device)", iters=iters,
+      reps=2,
+  ), 3)
+  if ln in LONG_ENQUEUED_LENS:
+
+    def mk(seed, ln=ln):
+      return (_rand_tokens(seed, ln),)
+
+    _, t_ref = _bench_sampler(
+        s, mk, f"reference (text {ln})", overhead, prompt_len=ln,
+        reps=4, blocks=3, measure_decode=False,
+    )
+    fields[f"ttft_{ln}_ref_ms"] = round(t_ref, 2)
+
+  # This length's ratio fields (the north-star measurement): reference
+  # bf16 over ours, device-amortized (dispatch-free, strictly comparable)
+  # and enqueued (end-to-end on this relay).
+  ref_dev = fields.get(f"ttft_{ln}_ref_device_ms")
+  ref_enq = fields.get(f"ttft_{ln}_ref_ms")
+  ours_dev = result.get(f"ttft_{ln}_int8_device_ms")
+  ours_dev_bf16 = result.get(f"ttft_{ln}_bf16_device_ms")
+  ours_enq = result.get(f"ttft_{ln}_int8_ms")
+  fields[f"ttft_ratio_{ln}"] = (
+      round(ref_dev / ours_dev, 3) if ref_dev and ours_dev else None
+  )
+  fields[f"ttft_ratio_{ln}_bf16"] = (
+      round(ref_dev / ours_dev_bf16, 3)
+      if ref_dev and ours_dev_bf16 else None
+  )
+  fields[f"ttft_ratio_{ln}_enqueued"] = (
+      round(ref_enq / ours_enq, 3) if ref_enq and ours_enq else None
+  )
+  return fields
+
+
+NOTES = (
+    "INCREMENTAL ARTIFACT (bench_schema 5): a cumulative headline JSON "
+    "line is printed after EVERY phase, most-important-first, so the "
+    "last parsed JSON line always carries every field measured so far "
+    "even if the process is killed mid-run (BENCH_r04 lost all headline "
+    "fields to an rc=124 timeout). completed_phases / skipped_phases / "
+    "bench_elapsed_s record coverage; BENCH_BUDGET_S (default 2400 s) "
+    "bounds the run — core phases run until the budget is exhausted, "
+    "extras (speculative/tower/pp_bubble) only start if their estimate "
+    "still fits. "
+    "vs_baseline compares our best serving path (int8 weight-only, a "
+    "capability the reference lacks) to the reference at bf16; the "
+    "apples-to-apples bf16 decode figure is vs_baseline_bf16 (~1.0x — "
+    "both are HBM-bandwidth-bound at the same weight bytes/step). "
+    "The reference runs its LINEAR_NATIVE scan because its Pallas "
+    "kernel imports an API removed in jax 0.9 (scan is <2% of decode "
+    "step time, so this does not distort the comparison). ttft_ms "
+    "includes on-device image prefill (729 visual tokens); the "
+    "reference multimodal path cannot run here (needs timm CUDA "
+    "ViTs); reference_text_ttft_ms is its text-only prefill of the "
+    "same prompt, directly comparable to ttft_text_ms. "
+    "ttft_ms_int8 / ttft_text_ms_int8 follow the PRE-REGISTERED "
+    "per-shape int8 prefill policy (since bench_schema 4): act-quant "
+    "for multimodal/long prompts (>=512 tokens, where its MXU-compute "
+    "win is consistent), weight-only for 128-token text (below that, "
+    "the modes differ by less than run jitter); raw per-mode numbers "
+    "*_int8_act / *_weightonly ship alongside. "
+    "ttft_{512,1024,2048}_* are the long-prompt text head-to-head "
+    "(same prompt, same methodology, both stacks): ttft_ratio_{L} "
+    "= reference bf16 over ours int8-act on the device-amortized "
+    "numbers; *_bf16 variants alongside, *_enqueued at 512/2048 only "
+    "(schema 5 trim). *_device_ms are in-program loop-amortized "
+    "prefill times (varying content per iteration): the relay's "
+    "~1.8 ms per-execution dispatch overhead and enqueue jitter "
+    "cancel in an iteration-count delta, so these are the "
+    "device-compute times a local host would see; the enqueued ttft_* "
+    "counterparts are what THIS relayed environment delivers "
+    "end-to-end. The reference device number reproduces its "
+    "full-[b,t,vocab]-logits prefill semantics. "
+    "int8_token_agreement_* are greedy-token agreement vs bf16 over "
+    "quant_accuracy_prompts independent 255-step decodes on "
+    "realistic-statistics synthetic checkpoints (multi-prompt, "
+    "multi-seed since schema 5; the scalar int8_token_agreement is "
+    "their mean, comparable to r4's single-prompt value). "
+    "serving_p*_ttft_ms are from the PRODUCTION config (int8 weights, "
+    "8 slots) at a self-calibrated 50% of measured capacity — r4's "
+    "bf16/4-slot numbers are not directly comparable. "
+    "decode_tps_speculative_int8 is greedy self-speculative decoding "
+    "(prompt-lookup drafts, exact outputs); its speedup equals the "
+    "measured acceptance and is workload-dependent — the benchmarked "
+    "prompt is n-gram predictable, so it shows the mechanism's ceiling."
+)
 
 
 def main():
+  t_start = time.monotonic()
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+  result = {
+      "metric": "decode_tokens_per_sec_per_chip_2b_multimodal",
+      "bench_schema": 5,
+      "value": 0.0,
+      "unit": "tokens/sec/chip",
+      "vs_baseline": 1.0,
+      "bench_budget_s": budget_s,
+      "completed_phases": [],
+      "skipped_phases": [],
+      "notes": NOTES,
+  }
+
+  def emit():
+    result["bench_elapsed_s"] = round(time.monotonic() - t_start, 1)
+    print(json.dumps(result), flush=True)
+
   probe_error = _probe_backend()
   if probe_error is not None:
     # An honest failure record beats a hang: value 0 is unmistakably not a
     # measurement, and the error field says why.
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip_2b_multimodal",
-        "value": 0.0,
-        "unit": "tokens/sec/chip",
-        "vs_baseline": 0.0,
-        "error": f"tpu_relay_unavailable: {probe_error}",
-        "notes": (
-            "The remote TPU relay did not come up; no measurement was "
-            "taken this run. See BASELINE.md for the most recent recorded "
-            "numbers from this same benchmark."
-        ),
-    }))
+    result["vs_baseline"] = 0.0
+    result["error"] = f"tpu_relay_unavailable: {probe_error}"
+    result["notes"] = (
+        "The remote TPU relay did not come up; no measurement was "
+        "taken this run. See BASELINE.md for the most recent recorded "
+        "numbers from this same benchmark."
+    )
+    emit()
     return
-  # Kernel numerics on the real hardware first (tiling/layout bugs don't
-  # show in CPU interpret mode; a kernel can be fast and wrong).
-  try:
+
+  ctx = {}
+
+  def phase_kernels():
+    # Kernel numerics on the real hardware (tiling/layout bugs don't
+    # show in CPU interpret mode; a kernel can be fast and wrong).
     import verify_kernels
 
-    kernel_results = verify_kernels.run()
-  except Exception as e:
-    kernel_results = {
-        "kernel_numerics_ok": False, "kernel_check_error": repr(e)[:200]
-    }
-  ours = bench_ours()
-  ours_tps = ours["tps"]
-  ours_ttft_ms = ours["ttft_mm"]
-  ours_text_ttft_ms = ours["ttft_text"]
-  int8_tps = ours["tps_int8"]
-  # Two int8 prefill configurations ship (weight-only and int8-activation).
-  # The headline picks the PRE-REGISTERED per-shape default (r4 change,
-  # closing the r3 best-of-two-noisy-medians advisory): act-quant for the
-  # 857-token multimodal prefill (MXU-compute-bound; act-quant won it
-  # ~1.5x in every recorded run) and weight-only for the 128-token text
-  # prefill (below the length where the compute win beats the extra
-  # quantize passes; at 128 tokens the two differ by less than run
-  # jitter). Raw per-mode numbers ship alongside; long-prompt text fields
-  # use act-quant (its consistent-win regime).
-  int8_ttft_ms = ours["ttft_mm_int8"]
-  int8_text_ttft_ms = ours["ttft_text_int8_weightonly"]
-  try:
-    ref_tps, ref_ttft_ms, ref_dev_ms, ref_long = bench_reference()
-  except Exception as e:  # Reference may not run in this environment.
-    print(f"[bench] reference baseline failed: {e!r}", file=sys.stderr)
-    ref_tps, ref_ttft_ms, ref_dev_ms, ref_long = None, None, None, {}
-  try:
-    spec_results = bench_speculative_ours()
-  except Exception as e:
-    print(f"[bench] speculative decode failed: {e!r}", file=sys.stderr)
-    spec_results = {}
-  try:
-    quant_acc = bench_quant_accuracy()
-  except Exception as e:
-    print(f"[bench] quant accuracy failed: {e!r}", file=sys.stderr)
-    quant_acc = {}
-  try:
-    serving_slos = bench_serving_slos()
-  except Exception as e:
-    print(f"[bench] serving SLOs failed: {e!r}", file=sys.stderr)
-    serving_slos = {}
-  try:
-    tower = bench_tower_roofline()
-  except Exception as e:
-    print(f"[bench] tower roofline failed: {e!r}", file=sys.stderr)
-    tower = {}
-  try:
-    pp_bubble = bench_pp_bubble()
-  except Exception as e:
-    print(f"[bench] pp bubble failed: {e!r}", file=sys.stderr)
-    pp_bubble = {}
+    return verify_kernels.run()
 
-  # Headline: the best decode throughput the framework can serve at (the
-  # int8 weight-only path, a capability the reference lacks); bf16 numbers
-  # are reported alongside for the like-for-like comparison.
-  best_tps = max(ours_tps, int8_tps)
-  # Long-prompt ratio fields (the north-star measurement): reference bf16
-  # over ours, per length, device-amortized (dispatch-free, strictly
-  # comparable) and enqueued (end-to-end on this relay).
-  long_prompt = {}
-  for ln in LONG_PROMPT_LENS:
-    for suffix in ("bf16", "int8"):
-      long_prompt[f"ttft_{ln}_{suffix}_device_ms"] = ours.get(
-          f"ttft_{ln}_{suffix}_device_ms"
-      )
-      long_prompt[f"ttft_{ln}_{suffix}_ms"] = ours.get(
-          f"ttft_{ln}_{suffix}_ms"
-      )
-    ref_dev = ref_long.get(f"ttft_{ln}_ref_device_ms") if ref_long else None
-    ref_enq = ref_long.get(f"ttft_{ln}_ref_ms") if ref_long else None
-    long_prompt[f"ttft_{ln}_ref_device_ms"] = ref_dev
-    long_prompt[f"ttft_{ln}_ref_ms"] = ref_enq
-    ours_dev = ours.get(f"ttft_{ln}_int8_device_ms")
-    ours_dev_bf16 = ours.get(f"ttft_{ln}_bf16_device_ms")
-    ours_enq = ours.get(f"ttft_{ln}_int8_ms")
-    long_prompt[f"ttft_ratio_{ln}"] = (
-        round(ref_dev / ours_dev, 3) if ref_dev and ours_dev else None
+  def phase_ours_core():
+    ctx.update(build_ours_context())
+    return bench_ours_core(ctx)
+
+  ref_ctx = {}
+
+  def phase_reference_core():
+    ctx.clear()  # free our params/samplers before the reference's tree
+    ref_ctx.update(build_reference_context())
+    return bench_reference_core(ref_ctx, result)
+
+  # (name, core, est_s, fn): core phases run whenever any budget remains
+  # (each carries fields the round's artifact must have; incremental
+  # emission protects against an external kill); extra phases only start
+  # if their cold-cache estimate still fits in the budget. Long-prompt
+  # lengths are separate phases — each ttft_ratio_{L} lands the moment it
+  # is measured — ordered 512, 2048, 1024 (the enqueued-variant lengths
+  # first; 1024 is device-only).
+  phases = [
+      ("kernel_numerics", True, 240, phase_kernels),
+      ("real_weights_validation", True, 60, bench_real_weights_validation),
+      ("ours_core", True, 600, phase_ours_core),
+      ("ours_long_512", True, 150, lambda: bench_ours_long(ctx, 512)),
+      ("ours_long_2048", True, 180, lambda: bench_ours_long(ctx, 2048)),
+      ("ours_long_1024", True, 90, lambda: bench_ours_long(ctx, 1024)),
+      ("reference_core", True, 300, phase_reference_core),
+      ("reference_long_512", True, 120,
+       lambda: bench_reference_long(ref_ctx, result, 512)),
+      ("reference_long_2048", True, 150,
+       lambda: bench_reference_long(ref_ctx, result, 2048)),
+      ("reference_long_1024", True, 60,
+       lambda: bench_reference_long(ref_ctx, result, 1024)),
+      ("quant_accuracy", True, 420,
+       lambda: (ref_ctx.clear(), bench_quant_accuracy())[1]),
+      ("serving_slos", True, 420, bench_serving_slos),
+      ("speculative", False, 300, bench_speculative_ours),
+      ("tower_roofline", False, 240, bench_tower_roofline),
+      ("pp_bubble", False, 360, bench_pp_bubble),
+  ]
+  for name, core, est_s, fn in phases:
+    elapsed = time.monotonic() - t_start
+    over = (
+        elapsed > budget_s if core else elapsed + est_s > budget_s
     )
-    long_prompt[f"ttft_ratio_{ln}_bf16"] = (
-        round(ref_dev / ours_dev_bf16, 3)
-        if ref_dev and ours_dev_bf16 else None
-    )
-    long_prompt[f"ttft_ratio_{ln}_enqueued"] = (
-        round(ref_enq / ours_enq, 3) if ref_enq and ours_enq else None
-    )
-  result = {
-      "metric": "decode_tokens_per_sec_per_chip_2b_multimodal",
-      "bench_schema": 4,
-      "value": round(best_tps, 2),
-      "unit": "tokens/sec/chip",
-      "vs_baseline": round(best_tps / ref_tps, 3) if ref_tps else 1.0,
-      "vs_baseline_bf16": round(ours_tps / ref_tps, 3) if ref_tps else 1.0,
-      "decode_tps_bf16": round(ours_tps, 2),
-      "decode_tps_int8": round(int8_tps, 2),
-      "ttft_ms": round(ours_ttft_ms, 2),
-      "ttft_ms_int8": round(int8_ttft_ms, 2),
-      "ttft_text_ms": round(ours_text_ttft_ms, 2),
-      "ttft_text_ms_int8": round(int8_text_ttft_ms, 2),
-      "reference_decode_tps": round(ref_tps, 2) if ref_tps else None,
-      "reference_text_ttft_ms": (
-          round(ref_ttft_ms, 2) if ref_ttft_ms else None
-      ),
-      "ttft_text_vs_reference": (
-          round(ref_ttft_ms / ours_text_ttft_ms, 3)
-          if ref_ttft_ms and ours_text_ttft_ms
-          else None
-      ),
-      "ttft_text_int8_vs_reference": (
-          round(ref_ttft_ms / int8_text_ttft_ms, 3)
-          if ref_ttft_ms and int8_text_ttft_ms
-          else None
-      ),
-      "ttft_ms_int8_weightonly": round(
-          ours["ttft_mm_int8_weightonly"], 2
-      ),
-      "ttft_text_ms_int8_weightonly": round(
-          ours["ttft_text_int8_weightonly"], 2
-      ),
-      "ttft_ms_int8_act": round(ours["ttft_mm_int8"], 2),
-      "ttft_text_ms_int8_act": round(ours["ttft_text_int8"], 2),
-      "ttft_text_device_ms": ours["ttft_text_device_ms"],
-      "ttft_text_int8_device_ms": ours["ttft_text_int8_device_ms"],
-      "ttft_mm_int8_device_ms": ours["ttft_mm_int8_device_ms"],
-      "reference_text_ttft_device_ms": (
-          round(ref_dev_ms, 3) if ref_dev_ms else None
-      ),
-      "ttft_text_device_vs_reference": (
-          round(ref_dev_ms / ours["ttft_text_device_ms"], 3)
-          if ref_dev_ms and ours["ttft_text_device_ms"] > 0 else None
-      ),
-      "ttft_text_int8_device_vs_reference": (
-          round(ref_dev_ms / ours["ttft_text_int8_device_ms"], 3)
-          if ref_dev_ms and ours["ttft_text_int8_device_ms"] > 0 else None
-      ),
-      "int8_logit_rel_err": ours["int8_logit_rel_err"],
-      "act_quant_logit_rel_err": ours["act_quant_logit_rel_err"],
-      "act_quant_vs_int8_logit_rel_err": ours[
-          "act_quant_vs_int8_logit_rel_err"
-      ],
-      **long_prompt,
-      "decode_hbm_fraction": ours["decode_hbm_fraction"],
-      "prefill_tflops_fraction": ours["prefill_tflops_fraction"],
-      "weight_bytes_int8": ours["weight_bytes_int8"],
-      "notes": (
-          "vs_baseline compares our best serving path (int8 weight-only, a "
-          "capability the reference lacks) to the reference at bf16; the "
-          "apples-to-apples bf16 decode figure is vs_baseline_bf16 (~1.0x — "
-          "both are HBM-bandwidth-bound at the same weight bytes/step). "
-          "The reference runs its LINEAR_NATIVE scan because its Pallas "
-          "kernel imports an API removed in jax 0.9 (scan is <2% of decode "
-          "step time, so this does not distort the comparison). ttft_ms "
-          "includes on-device image prefill (729 visual tokens); the "
-          "reference multimodal path cannot run here (needs timm CUDA "
-          "ViTs); reference_text_ttft_ms is its text-only prefill of the "
-          "same prompt, directly comparable to ttft_text_ms. "
-          "decode_tps_speculative_int8 is greedy self-speculative decoding "
-          "(prompt-lookup drafts, exact outputs); its speedup equals the "
-          "measured acceptance (spec_tokens_per_verify_step) and is "
-          "workload-dependent — the benchmarked prompt is n-gram "
-          "predictable, so it shows the mechanism's ceiling. "
-          "ttft_ms_int8 / ttft_text_ms_int8 follow the PRE-REGISTERED "
-          "per-shape int8 prefill policy (bench_schema 4): act-quant for "
-          "multimodal/long prompts (>=512 tokens, where its MXU-compute "
-          "win is consistent), weight-only for 128-token text (below "
-          "that, the modes differ by less than run jitter). In "
-          "BENCH_r03 these same field names were best-of-two-modes and "
-          "in r01/r02 act-quant-only; the raw per-mode numbers "
-          "*_int8_act / *_weightonly are comparable across all rounds. "
-          "ttft_{512,1024,2048}_* are the long-prompt text head-to-head "
-          "(same prompt, same methodology, both stacks): ttft_ratio_{L} "
-          "= reference bf16 over ours int8-act on the device-amortized "
-          "numbers; *_bf16 and *_enqueued variants alongside. "
-          "The *_logit_rel_err fields are the measured first-token logit "
-          "deltas of each quantization mode vs bf16 on the same prompt. "
-          "*_device_ms are in-program loop-amortized prefill times "
-          "(varying content per iteration): the relay's ~1.8 ms "
-          "per-execution dispatch overhead and run-to-run enqueue jitter "
-          "cancel in a 12-vs-4-iteration delta, so these are the "
-          "device-compute times a local host would see; the enqueued "
-          "ttft_* counterparts above are what THIS relayed environment "
-          "delivers end-to-end. The reference device number reproduces "
-          "its full-[b,t,vocab]-logits prefill semantics."
-      ),
-  }
-  result.update(kernel_results)
-  result.update(spec_results)
-  result.update(quant_acc)
-  result.update(serving_slos)
-  result.update(tower)
-  result.update(pp_bubble)
-  print(json.dumps(result))
+    if budget_s > 0 and over:
+      result["skipped_phases"].append(name)
+      print(f"[bench] SKIP {name}: elapsed {elapsed:.0f}s vs budget "
+            f"{budget_s:.0f}s", file=sys.stderr)
+      emit()
+      continue
+    t_phase = time.monotonic()
+    try:
+      fields = fn()
+      if fields:
+        result.update(fields)
+      result["completed_phases"].append(name)
+    except Exception as e:
+      print(f"[bench] phase {name} failed: {e!r}", file=sys.stderr)
+      result[f"{name}_error"] = repr(e)[:200]
+    print(f"[bench] phase {name}: {time.monotonic() - t_phase:.0f}s",
+          file=sys.stderr)
+    emit()
 
 
 if __name__ == "__main__":
