@@ -24,6 +24,7 @@ import jaxtyping as jt
 
 from cadence_gemma_tpu import array_typing as at
 from cadence_gemma_tpu.inference import sampler as sampler_lib
+from cadence_gemma_tpu.parallel import partitioning
 
 SamplerOutput = sampler_lib.SamplerOutput
 
@@ -65,17 +66,20 @@ class ModalSampler(sampler_lib.Sampler):
     self.vision_encoder = vision_encoder
     if vision_params is not None and self.mesh is not None:
       # Multi-chip serving: the LM params take the Megatron TP layouts
-      # (base class); the vision towers replicate — their batch-1 encode
-      # is MXU-compute-bound and small next to the LM, so replication
-      # costs HBM but no step time, and keeps the fused pixels→first-
-      # token program on one mesh (mixing mesh-committed LM params with
-      # host-committed vision params would not compile).
-      repl = jax.sharding.NamedSharding(
-          self.mesh, jax.sharding.PartitionSpec()
-      )
+      # (base class), and since r5 the vision towers do too —
+      # attn_qkv/mlp_fc1 column-parallel, attn_proj/mlp_fc2 row-parallel
+      # over the ``model`` axis (parallel/partitioning.py ViT rules) —
+      # so a TP-8 mesh no longer carries the full ~800M-param encoder
+      # pair on every chip (r4 replicated them). Falls back to
+      # replication for meshes without a model axis, and per-leaf for
+      # indivisible dims. Everything stays on one mesh (mixing
+      # mesh-committed LM params with host-committed vision params
+      # would not compile).
       vision_params = jax.device_put(
           vision_params,
-          jax.tree_util.tree_map(lambda _: repl, vision_params),
+          partitioning.param_shardings_or_replicated(
+              self.mesh, vision_params
+          ),
       )
     self.vision_params = vision_params
     if vision_encoder is not None and jit_compile:
