@@ -127,6 +127,16 @@ class ViTBlock(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   use_flash_attention: bool | None = None
+  # Store the [b, n, q, k] attention logits in bf16 instead of fp32 (the
+  # softmax's max/exp/sum still accumulate in fp32 — only the HBM-resident
+  # tensor narrows). The fp32 logits round trip is the towers' largest
+  # non-matmul cost (BASELINE.md §Vision-r4); bf16 storage halves that
+  # traffic at a bounded accuracy cost: logits round to ~2^-8 relative
+  # BEFORE exp, so per-row probabilities drift O(1e-3) — parity-tested
+  # against the fp32 path in test_vit.py. OFF by default (the bf16 towers
+  # are the numerics oracle vs timm); the int8-serving encoder turns it
+  # on, where it is strictly smaller than the int8 quantization error.
+  softmax_bf16: bool = False
 
   @nn.compact
   def __call__(
@@ -172,7 +182,18 @@ class ViTBlock(nn.Module):
       ) * (head_dim**-0.5)
       if key_bias is not None:
         logits = logits + key_bias
-      probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+      if self.softmax_bf16:
+        # bf16-resident logits; fp32 max/exp/sum stay in-register inside
+        # the fused softmax loop (see the field comment). The -inf key
+        # bias survives the bf16 cast exactly.
+        logits = logits.astype(jnp.bfloat16)
+        m = jax.lax.stop_gradient(
+            jnp.max(logits, axis=-1, keepdims=True)
+        )
+        e = jnp.exp((logits - m).astype(jnp.float32))
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(self.dtype)
+      else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
       out = jnp.einsum("bnqk,bknh->bqnh", probs, v)
     out = out.reshape(out.shape[0], out.shape[1], cfg.embed_dim)
     out = dense(cfg.embed_dim, "attn_proj")(out)
@@ -204,6 +225,7 @@ class VisionTransformer(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   use_flash_attention: bool | None = None
+  softmax_bf16: bool = False  # see ViTBlock.softmax_bf16
   # Pad the token count to this multiple through the block stack
   # (729/734 → 768 = 6 x 128 MXU lanes). Isolated bf16 blocks measure up
   # to ~1.4x faster at 768 tokens (XLA picks better layouts when the
@@ -281,6 +303,7 @@ class VisionTransformer(nn.Module):
           cfg, dtype=self.dtype, param_dtype=self.param_dtype,
           quantized=self.quantized, act_quant=self.act_quant,
           use_flash_attention=self.use_flash_attention,
+          softmax_bf16=self.softmax_bf16,
           name=f"block{i}",
       )(x, key_bias)
 
@@ -341,6 +364,7 @@ class DinoSigLIPEncoder(nn.Module):
   quantized: bool = False
   act_quant: bool = False
   use_flash_attention: bool | None = None
+  softmax_bf16: bool = False  # see ViTBlock.softmax_bf16
   pad_tokens_to: int = 128  # see VisionTransformer.pad_tokens_to
 
   @nn.compact
@@ -353,6 +377,7 @@ class DinoSigLIPEncoder(nn.Module):
         cfg, dtype=self.dtype, param_dtype=self.param_dtype,
         quantized=self.quantized, act_quant=self.act_quant,
         use_flash_attention=self.use_flash_attention,
+        softmax_bf16=self.softmax_bf16,
         pad_tokens_to=self.pad_tokens_to,
         name=name,
     )

