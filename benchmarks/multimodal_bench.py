@@ -614,6 +614,13 @@ def bench_decode_roofline(int8=True, steps=64):
   model = griffin.Griffin(
       config, gradient_checkpointing=False, quantized=int8
   )
+  # A/B twin for the fused residual-add+RMSNorm epilogue (VERDICT r4 #8):
+  # same param tree, one Pallas kernel per block boundary instead of two
+  # XLA elementwise fusions.
+  fused_model = griffin.Griffin(
+      config, gradient_checkpointing=False, quantized=int8,
+      fused_epilogue=True,
+  )
   fp_model = griffin.Griffin(config, gradient_checkpointing=False)
   tokens0 = jnp.ones((1, 8), jnp.int32)
   pos0 = jnp.tile(jnp.arange(8)[None], (1, 1))
@@ -640,12 +647,12 @@ def bench_decode_roofline(int8=True, steps=64):
   )
   cache0 = model.init_cache(1, jnp.bfloat16)
 
-  def decode_loop(return_logits=True, write_cache=True):
+  def decode_loop(return_logits=True, write_cache=True, m=model):
     @jax.jit
     def f(p, c, tok):
       def body(i, carry):
         t, cc, acc = carry
-        logits, new_c = model.apply(
+        logits, new_c = m.apply(
             {"params": p}, t, jnp.full((1, 1), 100 + i, jnp.int32),
             cache=cc, return_logits=return_logits,
             return_cache=True, last_logits_only=True,
@@ -686,6 +693,12 @@ def bench_decode_roofline(int8=True, steps=64):
   results["decode_step_no_cache_writes_ms"] = round(
       run_once(decode_loop(write_cache=False), make_tok) * 1e3, 3
   )
+  try:
+    results["decode_step_fused_epilogue_ms"] = round(
+        run_once(decode_loop(m=fused_model), make_tok) * 1e3, 3
+    )
+  except Exception as e:  # record, don't kill the breakdown
+    results["decode_step_fused_epilogue_error"] = repr(e)[:160]
 
   hbm_gbps = 819.0  # v5e paper number
   floor_ms = param_bytes / (hbm_gbps * 1e9) * 1e3

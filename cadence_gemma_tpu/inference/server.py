@@ -665,6 +665,11 @@ class ServingFrontend:
       the frontend installs its own to route per-request token deltas.
     step_size: Decode steps per tick. Smaller = lower streaming latency,
       larger = fewer host round-trips per token.
+    step_size_idle: Optional larger tick size used whenever the
+      submission queue is empty at tick start (amortizes the per-tick
+      host/relay round trips when nobody is waiting to join; a new
+      arrival waits at most one such tick before its admission).
+      ``None`` (default) always uses ``step_size``.
     idle_wait_s: How long the driver sleeps waiting for work when no
       request is live (new submissions wake it immediately).
     default_prefix_state: Optional shared context (e.g. a system prompt
@@ -694,6 +699,7 @@ class ServingFrontend:
 
   def __init__(self, batcher: serving_lib.ContinuousBatcher,
                step_size: int = 8, idle_wait_s: float = 0.05,
+               step_size_idle: int | None = None,
                default_prefix_state: Any | None = None,
                adapter_resolver: Any | None = None,
                max_sessions: int = 64,
@@ -707,6 +713,15 @@ class ServingFrontend:
     batcher.stream_callback = self._on_tokens
     self.batcher = batcher
     self.step_size = step_size
+    # When the submission queue is empty at tick start, run this many
+    # decode steps per tick instead (None = always step_size). Each tick
+    # is one device program + one streaming fetch, so larger idle ticks
+    # amortize the fixed host/relay round trips over more tokens; the
+    # cost is that a request arriving mid-tick waits out the current
+    # program before its admission prefill — bounding that wait at
+    # step_size_idle decode steps. A latency/throughput dial, off by
+    # default.
+    self.step_size_idle = step_size_idle
     self.idle_wait_s = idle_wait_s
     self.default_prefix_state = default_prefix_state
     self.adapter_resolver = adapter_resolver
@@ -1118,7 +1133,10 @@ class ServingFrontend:
       self._wake.wait(timeout=self.idle_wait_s)
       self._wake.clear()
       return
-    self.batcher.step(self.step_size)
+    n = self.step_size
+    if self.step_size_idle is not None and self._inbox.empty():
+      n = self.step_size_idle
+    self.batcher.step(n)
     for rid, tokens, text in self.batcher.pop_finished():
       sub = self._by_id.pop(rid, None)
       if sub is not None:

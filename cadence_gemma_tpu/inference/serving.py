@@ -46,6 +46,7 @@ batch-1 solo run with the same key.)
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Any
@@ -55,6 +56,15 @@ import jax.numpy as jnp
 
 from cadence_gemma_tpu.inference import sampler as sampler_lib
 from cadence_gemma_tpu.inference import speculative
+
+# Compiled-program reuse across batcher instances (see
+# ContinuousBatcher.__init__). Maps a trace-relevant config key to
+# (sampler, {fn_name: jitted_fn}); the sampler is stored for an identity
+# check (an id() in the key could be recycled after GC). Bounded LRU —
+# each entry pins one batcher instance (the one whose bound methods were
+# jitted), which is tiny next to the params that enter as arguments.
+_PROGRAM_CACHE: collections.OrderedDict = collections.OrderedDict()
+_PROGRAM_CACHE_SIZE = 8
 
 
 @dataclasses.dataclass
@@ -145,6 +155,7 @@ class ContinuousBatcher:
       dynamic_grammar_budget: tuple[int, int, int] | None = None,
       per_request_sampling: bool = False,
       record_logprobs: int = 0,
+      reuse_programs: bool = True,
   ):
     """See the class docstring.
 
@@ -231,6 +242,12 @@ class ContinuousBatcher:
         ``logprobs`` surface. Incompatible with ``draft_len`` (verify
         steps commit several tokens per program with no per-token
         distribution materialized).
+      reuse_programs: Adopt the jitted insert/step/extract programs of a
+        previous batcher with identical trace-relevant config over the
+        SAME sampler object (process-level LRU), so a new batcher starts
+        ticking without re-tracing the model (see :meth:`_init_programs`).
+        Assumes the sampler has not been mutated since; pass ``False``
+        to force fresh wrappers.
     """
     self.sampler = sampler
     self.num_slots = num_slots
@@ -379,9 +396,6 @@ class ContinuousBatcher:
           collections.OrderedDict()
       )
       self._gid_refs: dict[int, int] = {}
-      self._write_grammar_fn = jax.jit(
-          self._write_grammar, donate_argnums=0
-      )
       # Per-slot grammar id + DFA state live in the step program's carry.
       self._state.update(
           gid=jnp.zeros((num_slots,), jnp.int32),
@@ -414,13 +428,9 @@ class ContinuousBatcher:
           self._sampler_adapters,
       )
       self._model_ml = sampler.model.clone(lora_rows=num_slots)
-      self._scatter_adapters_fn = jax.jit(
-          self._scatter_adapters, donate_argnums=0
-      )
 
     self.preserve_states = preserve_states
     self._states: dict[int, sampler_lib.PrefixState] = {}
-    self._extract_state_fn = jax.jit(self._extract_state)
 
     if sampler.mesh is not None:
       # Multi-chip serving: the batcher's persistent state lives on the
@@ -458,6 +468,50 @@ class ContinuousBatcher:
             jax.tree_util.tree_map(lambda _: repl, self._constraints),
         )
 
+    self._init_programs(reuse_programs)
+
+  def _program_cache_key(self) -> tuple:
+    """Everything the traced programs close over, as a hashable key."""
+    cons_sig = None
+    if self._constraints is not None:
+      cons_sig = tuple(
+          (tuple(l.shape), str(l.dtype))
+          for l in jax.tree_util.tree_leaves(self._constraints)
+      )
+    return (
+        id(self.sampler), self.num_slots, self._buffer_len,
+        self._hist_len, self.draft_len, self.ngram, self.multi_lora,
+        self.preserve_states, self.record_logprobs,
+        self.per_request_sampling, self.dynamic_grammar_slots, cons_sig,
+    )
+
+  def _init_programs(self, reuse: bool) -> None:
+    """Builds (or adopts) the jitted device programs.
+
+    ``jax.jit`` caches per wrapper, and each batcher's programs are jits
+    of its own bound methods — so WITHOUT reuse, every new batcher over
+    the same sampler re-traces and re-lowers the 2B decode/prefill-insert
+    programs (tens of seconds of host work, even when the backend's
+    executable cache hits). A rolling restart or per-run batcher
+    (benchmarks, tests, config flips) pays that on its first ticks. With
+    ``reuse_programs`` (default), batchers whose trace-relevant config
+    matches share one set of jitted wrappers via a process-level LRU;
+    the sampler identity is checked (not just ``id()``) before adopting.
+    """
+    if reuse:
+      key = self._program_cache_key()
+      hit = _PROGRAM_CACHE.get(key)
+      if hit is not None and hit[0] is self.sampler:
+        _PROGRAM_CACHE.move_to_end(key)
+        fns = hit[1]
+        self._insert_fn = fns["insert"]
+        self._step_fn = fns["step"]
+        self._extract_state_fn = fns["extract"]
+        if "write_grammar" in fns:
+          self._write_grammar_fn = fns["write_grammar"]
+        if "scatter_adapters" in fns:
+          self._scatter_adapters_fn = fns["scatter_adapters"]
+        return
     self._insert_fn = jax.jit(self._insert, donate_argnums=0,
                               static_argnums=(4, 7))
     # Params enter as an argument: closing over them would bake ~weights-
@@ -465,6 +519,26 @@ class ContinuousBatcher:
     # executable would carry its own copy of the weights in HBM).
     self._step_fn = jax.jit(self._step_n, donate_argnums=1,
                             static_argnums=2)
+    self._extract_state_fn = jax.jit(self._extract_state)
+    fns = {
+        "insert": self._insert_fn,
+        "step": self._step_fn,
+        "extract": self._extract_state_fn,
+    }
+    if self._constraints is not None:
+      self._write_grammar_fn = jax.jit(
+          self._write_grammar, donate_argnums=0
+      )
+      fns["write_grammar"] = self._write_grammar_fn
+    if self.multi_lora:
+      self._scatter_adapters_fn = jax.jit(
+          self._scatter_adapters, donate_argnums=0
+      )
+      fns["scatter_adapters"] = self._scatter_adapters_fn
+    if reuse:
+      _PROGRAM_CACHE[key] = (self.sampler, fns)
+      while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_SIZE:
+        _PROGRAM_CACHE.popitem(last=False)
 
   # -- device programs --------------------------------------------------------
 

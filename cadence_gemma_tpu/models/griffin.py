@@ -61,6 +61,9 @@ class Griffin(nn.Module):
   lora_rows: int = 0
   lora_alpha: float | None = None
   use_flash_attention: bool | None = None  # None = auto (t > window on TPU)
+  # Fused residual-add + RMSNorm Pallas epilogue in every block (TPU-only;
+  # see ops/fused_epilogue.py and ResidualBlock.fused_epilogue).
+  fused_epilogue: bool = False
   dtype: at.dtype = jnp.bfloat16
   param_dtype: at.dtype = jnp.bfloat16
 
@@ -96,6 +99,7 @@ class Griffin(nn.Module):
             lora_alpha=self.lora_alpha,
             scan_sharding_spec=self.scan_sharding_spec,
             use_flash_attention=self.use_flash_attention,
+            fused_epilogue=self.fused_epilogue,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -190,7 +190,16 @@ class QuantizableDense(nn.Module):
 
 
 class RMSNorm(nn.Module):
-  """Root-mean-square normalization with a (scale + 1) learned gain."""
+  """Root-mean-square normalization with a (scale + 1) learned gain.
+
+  With ``residual`` given, the preceding residual add is fused into the
+  norm via one Pallas kernel (``ops/fused_epilogue.py``; VERDICT r4 #8
+  decode-epilogue experiment) and the call returns ``(normed, y)`` where
+  ``y = x + residual`` is the new residual stream. That path accumulates
+  the mean-of-squares in float32 (documented deviation; the plain path
+  reduces in the promoted activation dtype, matching the reference).
+  TPU-only — callers gate it (``ResidualBlock.fused_epilogue``).
+  """
 
   width: int
   eps: float = 1e-6
@@ -199,10 +208,25 @@ class RMSNorm(nn.Module):
 
   @nn.compact
   @at.typed
-  def __call__(self, x: at.ExpandedActivations) -> at.ExpandedActivations:
+  def __call__(
+      self,
+      x: at.ExpandedActivations,
+      residual: at.ExpandedActivations | None = None,
+  ) -> (
+      at.ExpandedActivations
+      | tuple[at.ExpandedActivations, at.ExpandedActivations]
+  ):
     scale = self.param(
         "scale", nn.initializers.zeros_init(), (self.width,), self.param_dtype
     )
+    if residual is not None:
+      from cadence_gemma_tpu.ops import fused_epilogue
+
+      x, residual = nn.dtypes.promote_dtype(x, residual, dtype=self.dtype)
+      y, normed = fused_epilogue.fused_add_rmsnorm(
+          x, residual, scale, self.eps
+      )
+      return normed, y
     x, scale = nn.dtypes.promote_dtype(x, scale, dtype=self.dtype)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
     normed = x * jax.lax.rsqrt(var + self.eps)

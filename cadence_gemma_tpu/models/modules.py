@@ -761,6 +761,10 @@ class ResidualBlock(nn.Module):
   lora_alpha: float | None = None
   scan_sharding_spec: scan.ShardingSpec | None = None
   use_flash_attention: bool | None = None
+  # Fuse the post-temporal residual add into the channel pre-norm with one
+  # Pallas kernel (ops/fused_epilogue.py). TPU-only, default off; the
+  # decode ablation loop A/Bs it (VERDICT r4 #8).
+  fused_epilogue: bool = False
   dtype: at.dtype | None = None
   param_dtype: at.dtype = jnp.float32
 
@@ -841,10 +845,12 @@ class ResidualBlock(nn.Module):
         x, segment_pos, cache, return_cache=return_cache,
         pending_cache=pending_cache,
     )
-    x = x + residual
-
-    residual = x
-    x = self.channel_pre_norm(x)
+    if self.fused_epilogue:
+      x, residual = self.channel_pre_norm(x, residual=residual)
+    else:
+      x = x + residual
+      residual = x
+      x = self.channel_pre_norm(x)
     x = self.mlp_block(x)
     return x + residual, cache
 

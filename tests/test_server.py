@@ -1923,3 +1923,27 @@ class TestShardedFrontend:
                vocab.eos_id())
     finally:
       fe.close()
+
+
+class TestIdleStepSize:
+
+  def test_idle_boost_matches_solo(self, setup):
+    """step_size_idle ticks must not perturb results — only tick size.
+
+    With an empty inbox the driver runs the larger program; arrivals
+    mid-run still admit and complete exactly as solo.
+    """
+    sampler, vocab = setup
+    steps = 8
+    batcher = serving.ContinuousBatcher(sampler, num_slots=2,
+                                        max_steps_default=steps)
+    fe = server_lib.ServingFrontend(batcher, step_size=2,
+                                    step_size_idle=8)
+    try:
+      prompts = ["alpha beta", "gamma delta eps", "zeta eta"]
+      subs = [fe.submit(p) for p in prompts]
+      for p, sub in zip(prompts, subs):
+        tokens, _ = sub.result(timeout=120)
+        _check(tokens, _solo(sampler, p, steps), steps, vocab.eos_id())
+    finally:
+      fe.close()

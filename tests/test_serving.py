@@ -1056,3 +1056,59 @@ class TestShardedModalServing:
     res = {r: t for r, t, _ in batcher.run_until_drained(2)}
     _check(res[r1], want_img, steps, vocab.eos_id())
     _check(res[r2], want_txt, steps, vocab.eos_id())
+
+
+class TestProgramReuse:
+  """Batchers with identical trace-relevant config share jitted programs.
+
+  Without reuse every new batcher over the same sampler re-traces the
+  decode/insert programs (tens of seconds on the 2B model) — a rolling
+  restart or per-run batcher pays it mid-serving. The LRU adoption must
+  also never cross samplers or configs.
+  """
+
+  def test_same_config_shares_and_matches_solo(self, setup):
+    sampler, vocab = setup
+    b1 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8)
+    b2 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8)
+    assert b2._step_fn is b1._step_fn
+    assert b2._insert_fn is b1._insert_fn
+    # The adopted programs still produce solo-identical tokens.
+    prompt = "alpha beta gamma"
+    solo = _solo(sampler, prompt, 8)
+    rid = b2.add_request(prompt)
+    (got_id, got, _), = b2.run_until_drained(step_size=4)
+    assert got_id == rid
+    _check(got, solo, 8, vocab.eos_id())
+
+  def test_different_config_does_not_share(self, setup):
+    sampler, _ = setup
+    b1 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8)
+    b3 = serving.ContinuousBatcher(sampler, num_slots=3,
+                                   max_steps_default=8)
+    b4 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8,
+                                   preserve_states=True)
+    assert b3._step_fn is not b1._step_fn
+    assert b4._step_fn is not b1._step_fn
+
+  def test_different_sampler_does_not_share(self, setup):
+    sampler, vocab = setup
+    b1 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8)
+    other = sampler_lib.Sampler(sampler.model, vocab, sampler.params)
+    b2 = serving.ContinuousBatcher(other, num_slots=2,
+                                   max_steps_default=8)
+    assert b2._step_fn is not b1._step_fn
+
+  def test_opt_out(self, setup):
+    sampler, _ = setup
+    b1 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8)
+    b2 = serving.ContinuousBatcher(sampler, num_slots=2,
+                                   max_steps_default=8,
+                                   reuse_programs=False)
+    assert b2._step_fn is not b1._step_fn

@@ -69,12 +69,19 @@ def main():
     out = fn(stacked, x, pos)
     out.block_until_ready()  # CPU backend: block works
     times = []
-    for _ in range(3):
+    for _ in range(5):
       t0 = time.perf_counter()
       fn(stacked, x, pos).block_until_ready()
       times.append(time.perf_counter() - t0)
-    ms = statistics.median(times) * 1e3
+    # Min, not median: the virtual-device mesh time-slices however many
+    # PHYSICAL cores the host has, so any co-runner inflates individual
+    # reps arbitrarily (r5 saw the ratio swing 0.875 -> 1.206 under
+    # load). The fastest rep is the least-contended schedule execution.
+    ms = min(times) * 1e3
     result[f"pp_forward_ms_v{v}"] = round(ms, 1)
+    result[f"pp_forward_ms_v{v}_median"] = round(
+        statistics.median(times) * 1e3, 1
+    )
     result[f"pp_bubble_fraction_v{v}"] = round(pipe.bubble_fraction, 3)
   result["pp_time_ratio_v2_over_v1"] = round(
       result["pp_forward_ms_v2"] / result["pp_forward_ms_v1"], 3
