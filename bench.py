@@ -747,6 +747,10 @@ def bench_serving_slos():
       "serving_saturated_p50_ttft_ms": to_ms(r["saturated_ttft_s_p50"]),
       "serving_saturated_p99_ttft_ms": to_ms(r["saturated_ttft_s_p99"]),
       "serving_slo_interarrival_s": r.get("slo_interarrival_s"),
+      "serving_idle_boost_steps": r.get("idle_boost_steps"),
+      "serving_idle_p50_ttft_ms": to_ms(r.get("idle_ttft_s_p50")),
+      "serving_idle_p90_ttft_ms": to_ms(r.get("idle_ttft_s_p90")),
+      "serving_idle_p99_ttft_ms": to_ms(r.get("idle_ttft_s_p99")),
       "serving_spec_p50_ttft_ms": to_ms(r.get("spec_ttft_s_p50")),
       "serving_spec_p99_ttft_ms": to_ms(r.get("spec_ttft_s_p99")),
       "serving_spec_p50_wall_ms": to_ms(r.get("spec_wall_s_p50")),

@@ -856,7 +856,8 @@ def bench_frontend_serving(num_slots=8, n_requests=32, steps=48,
                            prompt_len=128, mean_interarrival_s=0.02,
                            slo_utilization=0.5, int8=True,
                            speculative=True, draft_len=7,
-                           spec_utilization=0.25, spec_n_requests=16):
+                           spec_utilization=0.25, spec_n_requests=16,
+                           idle_boost=32):
   """End-to-end HTTP-frontend latency under a Poisson client load.
 
   Unlike ``bench_poisson_serving`` (which measures the raw batcher tick
@@ -938,13 +939,15 @@ def bench_frontend_serving(num_slots=8, n_requests=32, steps=48,
   def words(n, seed):
     return " ".join(f"w{seed}_{i}" for i in range(n - 1))
 
-  def run(seed0, interarrival_s, n=n_requests, batcher_kwargs=None):
+  def run(seed0, interarrival_s, n=n_requests, batcher_kwargs=None,
+          fe_kwargs=None):
     gaps = np.random.RandomState(0).exponential(interarrival_s, n)
     batcher = serving.ContinuousBatcher(
         sampler, num_slots=num_slots, max_steps_default=steps,
         **(batcher_kwargs or {}),
     )
-    fe = server_lib.ServingFrontend(batcher, step_size=8)
+    fe = server_lib.ServingFrontend(batcher, step_size=8,
+                                    **(fe_kwargs or {}))
     subs = []
 
     def client():
@@ -977,6 +980,27 @@ def bench_frontend_serving(num_slots=8, n_requests=32, steps=48,
       max(steps / max(slo_utilization * tps, 1e-9), 0.02), 4
   )
   _, stats = run(700, slo_interarrival_s)
+  idle_fields = {}
+  if idle_boost:
+    # Same Poisson regime, but the driver runs `idle_boost`-step decode
+    # programs whenever the admission queue is empty — fewer fixed
+    # per-tick host round trips per token at the cost of a bounded
+    # extra admission wait for mid-tick arrivals (server.py
+    # step_size_idle). One extra compiled program (n=idle_boost).
+    run(800, mean_interarrival_s, n=num_slots + 2,
+        fe_kwargs={"step_size_idle": idle_boost})  # compile it
+    _, idle_stats = run(
+        850, slo_interarrival_s,
+        fe_kwargs={"step_size_idle": idle_boost},
+    )
+    idle_fields = {
+        "idle_boost_steps": idle_boost,
+        "idle_ttft_s_p50": idle_stats.get("ttft_s_p50"),
+        "idle_ttft_s_p90": idle_stats.get("ttft_s_p90"),
+        "idle_ttft_s_p99": idle_stats.get("ttft_s_p99"),
+        "idle_wall_s_p50": idle_stats.get("wall_s_p50"),
+        "idle_wall_s_p99": idle_stats.get("wall_s_p99"),
+    }
   spec_fields = {}
   if speculative:
     spec_kwargs = {"draft_len": draft_len}
@@ -1018,6 +1042,7 @@ def bench_frontend_serving(num_slots=8, n_requests=32, steps=48,
       "saturated_ttft_s_p99": sat_stats.get("ttft_s_p99"),
       "slo_interarrival_s": slo_interarrival_s,
       "slo_utilization": slo_utilization,
+      **idle_fields,
       **spec_fields,
       "notes": "client-experienced latency from submit (queueing "
                "included), read from the frontend's /v1/health metrics. "
