@@ -29,3 +29,8 @@ from cadence_gemma_tpu.torch.modules import ResidualBlock
 from cadence_gemma_tpu.torch.modules import VisionLanguageConnector
 from cadence_gemma_tpu.torch.sampler import Sampler
 from cadence_gemma_tpu.torch import vit
+
+try:  # DDP twin (gloo); torch builds without distributed support skip it.
+  from cadence_gemma_tpu.torch import distributed
+except ImportError:  # pragma: no cover
+  distributed = None

@@ -25,6 +25,7 @@ can be asserted (tests/test_torch_training.py).
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Optional
 
 import torch
@@ -117,6 +118,88 @@ def make_optimizer(
   )
 
 
+class FusedAdamW:
+  """Per-parameter AdamW stepped inside backward (reference
+  ``train.py:144-157`` ``_AdamW``).
+
+  Each trainable parameter gets its own single-param AdamW and a
+  ``register_post_accumulate_grad_hook`` that steps + zeroes it the moment
+  its gradient finishes accumulating — peak memory never holds the full
+  gradient tree (the reference's trick for fitting the 2B fine-tune on one
+  device). Two deliberate deviations from the reference:
+
+    * the Griffin weight-decay mask applies per parameter (the reference's
+      fused path decays everything, silently dropping the mask its JAX
+      loop uses, ``train_jax.py:551-563``);
+    * documented single-process only: global-norm clipping is impossible
+      (gradients are consumed before the norm could be computed) and DDP's
+      own backward hooks race the update, so the DDP path keeps the
+      standard :func:`make_optimizer`.
+  """
+
+  def __init__(
+      self,
+      model: torch.nn.Module,
+      learning_rate: float,
+      weight_decay: float = 0.1,
+      b2: float = 0.96,
+      eps: float = 1e-8,
+  ):
+    self._optim = {}
+    self._handles = []
+    for name, p in model.named_parameters():
+      if not p.requires_grad:
+        continue
+      parts = name.split(".")
+      exempt = (
+          "rg_lru" in parts
+          or "embedder" in parts
+          or parts[-1] in _NO_DECAY_LEAVES
+      )
+      self._optim[p] = torch.optim.AdamW(
+          [p], foreach=False, lr=learning_rate, betas=(0.9, b2), eps=eps,
+          weight_decay=0.0 if exempt else weight_decay,
+      )
+      self._handles.append(
+          p.register_post_accumulate_grad_hook(self._hook)
+      )
+
+  def _hook(self, parameter: torch.Tensor) -> None:
+    self._optim[parameter].step()
+    self._optim[parameter].zero_grad(set_to_none=True)
+
+  def state_dict(self) -> list[dict]:
+    """Per-parameter optimizer states, in registration order."""
+    return [opt.state_dict() for opt in self._optim.values()]
+
+  def load_state_dict(self, states: list[dict]) -> None:
+    for opt, state in zip(self._optim.values(), states, strict=True):
+      opt.load_state_dict(state)
+
+  def remove(self) -> None:
+    """Deregister the hooks (e.g. before wrapping the model in DDP)."""
+    for h in self._handles:
+      h.remove()
+    self._handles.clear()
+
+
+def fused_train_step(
+    model: torch.nn.Module,
+    fused: FusedAdamW,
+    pad_id: int,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    img_embed: Optional[torch.Tensor] = None,
+) -> torch.Tensor:
+  """One step under :class:`FusedAdamW`: backward IS the update."""
+  del fused  # updates fire from the hooks; taken as an arg for lifetime
+  loss = forward_and_loss_fn(
+      model, input_tokens, input_mask, pad_id, image=img_embed
+  )
+  loss.backward()
+  return loss.detach()
+
+
 def set_trainable(model: torch.nn.Module, frozen_llm: bool) -> None:
   """Stage-1 freeze: only ``vl_connector`` trains when ``frozen_llm``."""
   for name, param in model.named_parameters():
@@ -204,11 +287,17 @@ def train_epoch(
     img_embeds: Optional[Iterable] = None,
     accumulation_steps: int = 1,
     grad_clip_norm: Optional[float] = 1.0,
+    save_every: Optional[int] = None,
+    save_path: Optional[str] = None,
 ) -> list[float]:
   """Drives :func:`train_step` over an iterable of (tokens, mask) batches.
 
   A tail group shorter than ``accumulation_steps`` still steps the
   optimizer (flushed after the loop) — no batch's gradients are dropped.
+  With ``save_every``/``save_path``, a ``{"params": state_dict}``
+  checkpoint is written every N microbatches (reference
+  ``train.py:295-298`` saves ``./temp.pt`` every 100 steps; here the path
+  is explicit and the write is atomic via a same-directory rename).
   """
   losses = []
   img_iter = iter(img_embeds) if img_embeds is not None else None
@@ -228,6 +317,10 @@ def train_epoch(
         accumulation_index=last_index,
     )
     losses.append(float(loss))
+    if save_every and save_path and (i + 1) % save_every == 0:
+      tmp = f"{save_path}.tmp"
+      torch.save({"params": model.state_dict()}, tmp)
+      os.replace(tmp, save_path)
   if 0 <= last_index < accumulation_steps - 1:
     # Flush the partial tail group: its microbatches averaged with the
     # full-group divisor, which slightly underweights them — acceptable

@@ -50,6 +50,9 @@ CORE_FILES = {
     # added after its opt-state specs caught a spec-normalization
     # regression that the original 10-file tier missed (r4).
     "test_partitioning.py",
+    # ~36 s: the evidence for the DDP parity claim (2-rank gloo group
+    # reproducing the single-process step bit-for-bit across ranks).
+    "test_torch_ddp.py",
 }
 
 

@@ -228,3 +228,79 @@ class TestOptimization:
     t_tokens, t_mask, t_img = _torch_batch()
     loss = th_trainer.validation_step(th, PAD, t_tokens, t_mask, t_img)
     assert loss.requires_grad is False and np.isfinite(float(loss))
+
+
+class TestFusedAdamW:
+  """Reference ``train.py:144-157``: per-param AdamW stepped in backward."""
+
+  def _fresh_pair(self, stack):
+    config, _, _, params = stack
+    out = []
+    for _ in range(2):
+      m = th_griffin.Griffin(config)
+      test_utils.flax_params_to_torch_module(params, m)
+      out.append(m)
+    return out
+
+  def test_matches_standard_adamw(self, stack):
+    m_std, m_fused = self._fresh_pair(stack)
+    t_tokens, t_mask, t_img = _torch_batch()
+
+    opt = th_trainer.make_optimizer(m_std, 1e-2)
+    th_trainer.train_step(m_std, opt, PAD, t_tokens, t_mask, t_img,
+                          grad_clip_norm=None)
+
+    fused = th_trainer.FusedAdamW(m_fused, 1e-2)
+    loss = th_trainer.fused_train_step(m_fused, fused, PAD, t_tokens,
+                                       t_mask, t_img)
+    assert np.isfinite(float(loss))
+    # Gradients were consumed inside backward — nothing left materialized.
+    assert all(p.grad is None for p in m_fused.parameters())
+    for (n, a), (_, b) in zip(
+        m_fused.named_parameters(), m_std.named_parameters()
+    ):
+      np.testing.assert_allclose(
+          a.detach().numpy(), b.detach().numpy(), atol=1e-6, err_msg=n
+      )
+
+  def test_state_roundtrip_and_remove(self, stack):
+    m, m2 = self._fresh_pair(stack)
+    t_tokens, t_mask, t_img = _torch_batch()
+    fused = th_trainer.FusedAdamW(m, 1e-2)
+    th_trainer.fused_train_step(m, fused, PAD, t_tokens, t_mask, t_img)
+    states = fused.state_dict()
+    fused2 = th_trainer.FusedAdamW(m2, 1e-2)
+    fused2.load_state_dict(states)
+    assert len(states) == len(fused2.state_dict())
+    # After remove(), backward accumulates grads instead of stepping.
+    before = [p.detach().clone() for p in m.parameters()]
+    fused.remove()
+    loss = th_trainer.forward_and_loss_fn(m, t_tokens, t_mask, PAD,
+                                          image=t_img)
+    loss.backward()
+    assert any(p.grad is not None for p in m.parameters())
+    for p0, (n, p1) in zip(before, m.named_parameters()):
+      np.testing.assert_array_equal(p0.numpy(), p1.detach().numpy(),
+                                    err_msg=n)
+
+
+class TestPeriodicSave:
+
+  def test_train_epoch_saves_checkpoint(self, stack, tmp_path):
+    config, _, _, params = stack
+    m = th_griffin.Griffin(config)
+    test_utils.flax_params_to_torch_module(params, m)
+    opt = th_trainer.make_optimizer(m, 1e-3)
+    t_tokens, t_mask, _ = _torch_batch()
+    path = str(tmp_path / "ckpt.pt")
+    th_trainer.train_epoch(
+        m, opt, PAD, [(t_tokens, t_mask)] * 3,
+        save_every=2, save_path=path,
+    )
+    saved = torch.load(path)
+    state = m.state_dict()
+    assert set(saved["params"]) == set(state)
+    # Saved at step 2 of 3 — an intermediate state, not the final one.
+    assert any(
+        not torch.equal(saved["params"][k], state[k]) for k in state
+    )
