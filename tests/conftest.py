@@ -22,6 +22,14 @@ import jax  # noqa: E402
 # created lazily, so the platform override still applies).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache. Measured effect is modest (~10% on the
+# heavy pipeline tests — jax *tracing* dominates their wall clock, and
+# tracing is not cacheable), but the big XLA compiles do hit. Keyed by
+# HLO+backend, so it cannot mask numerics. Cold runs are unchanged.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/cadence_gemma_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import pytest  # noqa: E402
 
 
@@ -58,5 +66,6 @@ CORE_FILES = {
 
 def pytest_collection_modifyitems(items):
   for item in items:
-    if item.path is not None and item.path.name in CORE_FILES:
+    if (item.path is not None and item.path.name in CORE_FILES
+        and item.get_closest_marker("noncore") is None):
       item.add_marker(pytest.mark.core)

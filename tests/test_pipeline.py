@@ -142,7 +142,10 @@ class TestStagePartitioning:
 
 class TestForwardParity:
 
-  @pytest.mark.parametrize("with_image", [False, True])
+  @pytest.mark.parametrize("with_image", [
+      pytest.param(False, marks=pytest.mark.noncore),  # full suite
+      True,  # image splice is the structural superset — stays in core
+  ])
   def test_logits_match_plain_model(self, stack, with_image):
     model, params, pipe, stacked, shared = stack
     tokens, pos, _, img = _batch()
@@ -453,7 +456,10 @@ class TestPipelineWithDataParallel:
     mesh = jax.sharding.Mesh(devices, (pp.STAGE_AXIS, "data"))
     return model, params, mesh
 
-  @pytest.mark.parametrize("interleave", [1, 2])
+  @pytest.mark.parametrize("interleave", [
+      pytest.param(1, marks=pytest.mark.noncore),  # GPipe×DP: full suite
+      2,  # interleaved×DP — the riskiest cross product stays in core
+  ])
   def test_logits_match_plain_model(self, stack_dp, interleave):
     model, params, mesh = stack_dp
     pipe = pp.GriffinPipeline(

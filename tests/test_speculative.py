@@ -81,7 +81,11 @@ def assert_caches_equal(got, want):
 
 class TestCacheCommit:
 
-  @pytest.mark.parametrize("commit", [0, 2, 4])
+  @pytest.mark.parametrize("commit", [
+      pytest.param(0, marks=pytest.mark.noncore),
+      2,
+      pytest.param(4, marks=pytest.mark.noncore),
+  ])
   def test_commit_equals_truncated_run(self, commit):
     """Commit at j == the cache from processing only tokens[:j+1]."""
     model, _, params = tiny_model()
