@@ -6,6 +6,7 @@ or cancelling), its tokens match a solo Sampler run bit-for-bit.
 """
 
 import json
+import re
 import threading
 import urllib.request
 
@@ -1433,7 +1434,10 @@ class TestProductionHardening:
         assert resp.headers["Content-Type"].startswith("text/plain")
         text = resp.read().decode()
       assert "cadence_up 1" in text
-      assert "cadence_completed_total 1" in text
+      # >=1, not ==1: the blocker requests may also complete between the
+      # stats poll and the scrape (seen under heavy CPU load).
+      m = re.search(r"cadence_completed_total (\d+)", text)
+      assert m is not None and int(m.group(1)) >= 1, text
       assert "# TYPE cadence_tokens_out_total counter" in text
       assert 'cadence_ttft_seconds{quantile="0.5"}' in text
     finally:
