@@ -1119,7 +1119,7 @@ NOTES = (
     "last parsed JSON line always carries every field measured so far "
     "even if the process is killed mid-run (BENCH_r04 lost all headline "
     "fields to an rc=124 timeout). completed_phases / skipped_phases / "
-    "bench_elapsed_s record coverage; BENCH_BUDGET_S (default 2400 s) "
+    "bench_elapsed_s record coverage; BENCH_BUDGET_S (default 2700 s) "
     "bounds the run — core phases run until the budget is exhausted, "
     "extras (speculative/tower/pp_bubble) only start if their estimate "
     "still fits. "
@@ -1169,7 +1169,7 @@ NOTES = (
 
 def main():
   t_start = time.monotonic()
-  budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+  budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
   result = {
       "metric": "decode_tokens_per_sec_per_chip_2b_multimodal",
       "bench_schema": 5,
@@ -1244,7 +1244,10 @@ def main():
       ("quant_accuracy", True, 420,
        lambda: (ref_ctx.clear(), bench_quant_accuracy())[1]),
       ("serving_slos", True, 420, bench_serving_slos),
-      ("speculative", False, 300, bench_speculative_ours),
+      # Core since schema 5.1: the speculative decode throughput is a
+      # headline (3.1-3.3x reference decode) — a cold-compile run must
+      # not drop it while extras (tower/pp) still may.
+      ("speculative", True, 300, bench_speculative_ours),
       ("tower_roofline", False, 240, bench_tower_roofline),
       ("pp_bubble", False, 360, bench_pp_bubble),
   ]
