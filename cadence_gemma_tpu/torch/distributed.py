@@ -200,6 +200,36 @@ def ddp_train_step(
   return loss.detach()
 
 
+def _flush_tail_group(
+    model: DDP,
+    optimizer: torch.optim.Optimizer,
+    grad_clip_norm: Optional[float],
+) -> None:
+  """Step on a partial accumulation tail whose grads were never synced.
+
+  Tail microbatches ran under ``no_sync`` (their group's final microbatch
+  never arrived), so DDP's reducer has not averaged them — do it manually
+  with one all-reduce per gradient, then clip + step, matching
+  ``trainer.train_epoch``'s tail semantics (the tail underweights
+  slightly via the full-group divisor; dropping it entirely is worse).
+  Every rank reaches this code with the same tail size, so the
+  collectives match.
+  """
+  world = dist.get_world_size() if dist.is_initialized() else 1
+  params = [p for p in model.parameters()
+            if p.requires_grad and p.grad is not None]
+  if not params:
+    return
+  for p in params:
+    if world > 1:
+      dist.all_reduce(p.grad, op=dist.ReduceOp.SUM)
+      p.grad /= world
+  if grad_clip_norm is not None:
+    torch.nn.utils.clip_grad_norm_(params, grad_clip_norm)
+  optimizer.step()
+  optimizer.zero_grad(set_to_none=True)
+
+
 def ddp_train_epoch(
     model: DDP,
     optimizer: torch.optim.Optimizer,
@@ -208,17 +238,25 @@ def ddp_train_epoch(
     img_embeds: Optional[Iterable] = None,
     accumulation_steps: int = 1,
     grad_clip_norm: Optional[float] = 1.0,
+    save_every: Optional[int] = None,
+    save_path: Optional[str] = None,
 ) -> list[float]:
   """Drive :func:`ddp_train_step` over (tokens, mask) batches.
 
   Every rank must iterate the same number of batches (collectives are
   blocking); shard each global batch with :func:`shard_batch` beforehand.
-  Returned losses are the all-reduced global values per microbatch.
+  Returned losses are the all-reduced global values per microbatch. A
+  tail group shorter than ``accumulation_steps`` still steps the
+  optimizer (see :func:`_flush_tail_group`). With ``save_every``/
+  ``save_path``, rank 0 writes an atomic checkpoint every N microbatches
+  (``trainer.save_checkpoint``).
   """
   losses = []
   img_iter = iter(img_embeds) if img_embeds is not None else None
+  last_index = -1
   for i, (tokens, mask) in enumerate(batches):
     img = next(img_iter) if img_iter is not None else None
+    last_index = i % accumulation_steps
     loss = ddp_train_step(
         model,
         optimizer,
@@ -228,9 +266,14 @@ def ddp_train_epoch(
         img_embed=img,
         grad_clip_norm=grad_clip_norm,
         accumulation_steps=accumulation_steps,
-        accumulation_index=i % accumulation_steps,
+        accumulation_index=last_index,
     )
     losses.append(float(reduce_mean_loss(loss)))
+    if (save_every and save_path and (i + 1) % save_every == 0
+        and (not dist.is_initialized() or dist.get_rank() == 0)):
+      _trainer.save_checkpoint(save_path, model.module)
+  if 0 <= last_index < accumulation_steps - 1:
+    _flush_tail_group(model, optimizer, grad_clip_norm)
   return losses
 
 

@@ -200,6 +200,17 @@ def fused_train_step(
   return loss.detach()
 
 
+def save_checkpoint(path: str, model: torch.nn.Module) -> None:
+  """Atomic ``{"params": state_dict}`` write (same-directory rename).
+
+  The reference saves non-atomically to ``./temp.pt`` every 100 steps
+  (``train.py:295-298``) — a kill mid-write corrupts the file there.
+  """
+  tmp = f"{path}.tmp"
+  torch.save({"params": model.state_dict()}, tmp)
+  os.replace(tmp, path)
+
+
 def set_trainable(model: torch.nn.Module, frozen_llm: bool) -> None:
   """Stage-1 freeze: only ``vl_connector`` trains when ``frozen_llm``."""
   for name, param in model.named_parameters():
@@ -318,9 +329,7 @@ def train_epoch(
     )
     losses.append(float(loss))
     if save_every and save_path and (i + 1) % save_every == 0:
-      tmp = f"{save_path}.tmp"
-      torch.save({"params": model.state_dict()}, tmp)
-      os.replace(tmp, save_path)
+      save_checkpoint(save_path, model)
   if 0 <= last_index < accumulation_steps - 1:
     # Flush the partial tail group: its microbatches averaged with the
     # full-group divisor, which slightly underweights them — acceptable

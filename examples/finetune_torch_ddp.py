@@ -123,8 +123,6 @@ def _batches(opts, config, rank):
 
 
 def _worker(rank, world, opts):
-  import torch
-
   from cadence_gemma_tpu.torch import distributed as th_dist
   from cadence_gemma_tpu.torch import trainer as th_trainer
 
@@ -133,26 +131,16 @@ def _worker(rank, world, opts):
     model, config = _load_model(opts)
     ddp = th_dist.wrap_ddp(model)
     opt = th_trainer.make_optimizer(ddp, opts["lr"])
-    losses = []
-    for i, (tokens, mask) in enumerate(_batches(opts, config, rank)):
-      loss = th_dist.ddp_train_step(
-          ddp, opt, 0, tokens, mask,
-          accumulation_steps=opts["accum"],
-          accumulation_index=i % opts["accum"],
-      )
-      losses.append(float(th_dist.reduce_mean_loss(loss)))
-      if rank == 0:
-        if i % 10 == 0:
-          print(f"microbatch {i}: loss {losses[-1]:.4f}")
-        if (i + 1) % opts["save_every"] == 0:
-          tmp = f"{opts['output']}.tmp"
-          torch.save({"params": ddp.module.state_dict()}, tmp)
-          os.replace(tmp, opts["output"])
+    losses = th_dist.ddp_train_epoch(
+        ddp, opt, 0, _batches(opts, config, rank),
+        accumulation_steps=opts["accum"],
+        save_every=opts["save_every"], save_path=opts["output"],
+    )
     if rank == 0 and losses:
+      for i in range(0, len(losses), 10):
+        print(f"microbatch {i}: loss {losses[i]:.4f}")
       print(f"final loss {losses[-1]:.4f} over {len(losses)} microbatches")
-      tmp = f"{opts['output']}.tmp"
-      torch.save({"params": ddp.module.state_dict()}, tmp)
-      os.replace(tmp, opts["output"])
+      th_trainer.save_checkpoint(opts["output"], ddp.module)
       print(f"saved {opts['output']}")
   finally:
     th_dist.cleanup()

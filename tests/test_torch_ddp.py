@@ -72,6 +72,15 @@ def _single_step(with_image, accumulation, lr=1e-2):
   """Single-process oracle on the full global batch."""
   model = _fresh_model()
   opt = th_trainer.make_optimizer(model, lr)
+  if accumulation == "tail":
+    tokens, mask, _ = _global_batch(rows=12)
+    loss = th_trainer.train_epoch(
+        model, opt, PAD,
+        [(tokens[4 * i:4 * (i + 1)], mask[4 * i:4 * (i + 1)])
+         for i in range(3)],
+        accumulation_steps=2,
+    )
+    return model, loss
   tokens, mask, img = _global_batch(rows=8 if accumulation else 4)
   if accumulation:
     losses = []
@@ -95,6 +104,9 @@ CASES = [  # (name, with_image, accumulation)
     ("text", False, False),
     ("image", True, False),
     ("accum2", False, True),
+    # 3 microbatches with accumulation_steps=2: the partial tail group
+    # must still step (manual all-reduce flush), matching train_epoch.
+    ("tail", False, "tail"),
 ]
 
 
@@ -109,6 +121,21 @@ def _worker(rank, world, tmpdir):
     for name, with_image, accumulation in CASES:
       model = th_dist.wrap_ddp(_fresh_model())
       opt = th_trainer.make_optimizer(model, 1e-2)
+      if accumulation == "tail":
+        tokens, mask, _ = _global_batch(rows=12)
+        losses = th_dist.ddp_train_epoch(
+            model, opt, PAD,
+            [(th_dist.shard_batch(tokens[4 * i:4 * (i + 1)], rank, world),
+              th_dist.shard_batch(mask[4 * i:4 * (i + 1)], rank, world))
+             for i in range(3)],
+            accumulation_steps=2,
+        )
+        out[name] = {
+            "losses": losses,
+            "state": {k: v.clone()
+                      for k, v in model.module.state_dict().items()},
+        }
+        continue
       tokens, mask, img = _global_batch(rows=8 if accumulation else 4)
       losses = []
       if accumulation:
