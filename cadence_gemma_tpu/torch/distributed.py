@@ -35,7 +35,6 @@ from typing import Iterable, Optional, Sequence
 
 import torch
 import torch.distributed as dist
-import torch.nn.functional as F
 from torch.nn.parallel import DistributedDataParallel as DDP
 
 from cadence_gemma_tpu.torch import trainer as _trainer
@@ -102,12 +101,17 @@ def shard_batch(
   return rows[rank * per:(rank + 1) * per]
 
 
+def all_reduce_sum(value: torch.Tensor) -> torch.Tensor:
+  """All-reduced detached copy (SUM); identity without a process group."""
+  out = value.detach().clone()
+  if dist.is_available() and dist.is_initialized():
+    dist.all_reduce(out, op=dist.ReduceOp.SUM)
+  return out
+
+
 def global_mask_count(target_mask: torch.Tensor) -> torch.Tensor:
   """All-reduced total mask count (fp32, detached constant)."""
-  count = target_mask.sum().float().detach().clone()
-  if dist.is_available() and dist.is_initialized():
-    dist.all_reduce(count, op=dist.ReduceOp.SUM)
-  return count
+  return all_reduce_sum(target_mask.sum().float())
 
 
 def ddp_forward_and_loss_fn(
@@ -127,28 +131,11 @@ def ddp_forward_and_loss_fn(
   global count). The scalar itself is rank-local; use
   :func:`reduce_mean_loss` for the (exact global) logging value.
   """
-  positions = _trainer.get_positions(input_tokens, pad_id)
-  logits, _ = model(
-      input_tokens,
-      positions,
-      None,
-      return_logits=True,
-      return_cache=False,
-      image=image,
+  total, local_count = _trainer.masked_logprob_sum(
+      model, input_tokens, input_mask, pad_id, image=image
   )
-  logits = logits[:, :-1].float()
-  targets = input_tokens[:, 1:]
-  target_mask = input_mask[:, 1:]
-  if image is not None:
-    n_img = logits.shape[1] - targets.shape[1]
-    targets = F.pad(targets, (n_img, 0))
-    target_mask = F.pad(target_mask, (n_img, 0))
-
   world = dist.get_world_size() if dist.is_initialized() else 1
-  count = global_mask_count(target_mask) + 1e-8
-  logp = F.log_softmax(logits, dim=-1)
-  picked = torch.gather(logp, -1, targets.long().unsqueeze(-1)).squeeze(-1)
-  return -(picked * target_mask.float()).sum() * world / count
+  return -total * world / (all_reduce_sum(local_count) + 1e-8)
 
 
 def reduce_mean_loss(loss: torch.Tensor) -> torch.Tensor:
@@ -181,14 +168,20 @@ def ddp_train_step(
   """
   if accumulation_index == 0:
     optimizer.zero_grad(set_to_none=True)
-  loss = ddp_forward_and_loss_fn(
-      model, input_tokens, input_mask, pad_id, image=img_embed
-  )
   final = accumulation_index == accumulation_steps - 1
   if final:
+    loss = ddp_forward_and_loss_fn(
+        model, input_tokens, input_mask, pad_id, image=img_embed
+    )
     (loss / accumulation_steps).backward()
   else:
+    # The FORWARD must also run under no_sync: DDP latches
+    # require_backward_grad_sync at forward time (prepare_for_backward),
+    # so wrapping only the backward still all-reduces every microbatch.
     with model.no_sync():
+      loss = ddp_forward_and_loss_fn(
+          model, input_tokens, input_mask, pad_id, image=img_embed
+      )
       (loss / accumulation_steps).backward()
   if final:
     if grad_clip_norm is not None:

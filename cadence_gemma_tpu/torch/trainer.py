@@ -40,18 +40,18 @@ def get_positions(tokens: torch.Tensor, pad_id: int) -> torch.Tensor:
   return positions - (positions >= 1).to(positions.dtype)
 
 
-def forward_and_loss_fn(
+def masked_logprob_sum(
     model,
     input_tokens: torch.Tensor,
     input_mask: torch.Tensor,
     pad_id: int,
     image: Optional[torch.Tensor] = None,
-) -> torch.Tensor:
-  """Masked next-token NLL; zero loss on spliced visual positions.
+) -> tuple[torch.Tensor, torch.Tensor]:
+  """(masked target log-prob sum, mask count) — the loss pre-division.
 
-  Mirrors ``training.trainer.forward_and_loss_fn`` (which itself mirrors
-  reference ``train_jax.py:351-409``) so the two frameworks' losses and
-  gradients agree bit-for-bit up to dtype rounding.
+  Shared by :func:`forward_and_loss_fn` (local normalization) and the DDP
+  loss (global normalization, ``distributed.ddp_forward_and_loss_fn``) so
+  the forward/shift/splice-pad logic exists exactly once.
   """
   positions = get_positions(input_tokens, pad_id)
   logits, _ = model(
@@ -73,31 +73,54 @@ def forward_and_loss_fn(
 
   logp = F.log_softmax(logits, dim=-1)
   picked = torch.gather(logp, -1, targets.long().unsqueeze(-1)).squeeze(-1)
-  norm = target_mask.sum().float() + 1e-8
-  return -(picked * target_mask.float()).sum() / norm
+  return (picked * target_mask.float()).sum(), target_mask.sum().float()
+
+
+def forward_and_loss_fn(
+    model,
+    input_tokens: torch.Tensor,
+    input_mask: torch.Tensor,
+    pad_id: int,
+    image: Optional[torch.Tensor] = None,
+) -> torch.Tensor:
+  """Masked next-token NLL; zero loss on spliced visual positions.
+
+  Mirrors ``training.trainer.forward_and_loss_fn`` (which itself mirrors
+  reference ``train_jax.py:351-409``) so the two frameworks' losses and
+  gradients agree bit-for-bit up to dtype rounding.
+  """
+  total, count = masked_logprob_sum(
+      model, input_tokens, input_mask, pad_id, image=image
+  )
+  return -total / (count + 1e-8)
+
+
+def decay_exempt(name: str) -> bool:
+  """The Griffin weight-decay mask predicate for one parameter name.
+
+  Same predicate as ``training.trainer.griffin_weight_decay_mask``: no
+  decay anywhere under ``rg_lru`` or ``embedder``, nor on leaves named
+  ``b``/``bias``/``scale`` (``a_param`` sits under ``rg_lru`` in the JAX
+  tree; the torch twin names it explicitly). The single source of truth
+  for both :func:`weight_decay_param_groups` and :class:`FusedAdamW`.
+  """
+  parts = name.split(".")
+  return (
+      "rg_lru" in parts
+      or "embedder" in parts
+      or parts[-1] in _NO_DECAY_LEAVES
+  )
 
 
 def weight_decay_param_groups(
     model: torch.nn.Module, weight_decay: float
 ) -> list[dict]:
-  """AdamW param groups realizing the Griffin decay mask.
-
-  Same predicate as ``training.trainer.griffin_weight_decay_mask``: no
-  decay anywhere under ``rg_lru`` or ``embedder``, nor on leaves named
-  ``b``/``bias``/``scale`` (``a_param`` sits under ``rg_lru`` in the JAX
-  tree; the torch twin names it explicitly).
-  """
+  """AdamW param groups realizing the Griffin decay mask."""
   decay, no_decay = [], []
   for name, param in model.named_parameters():
     if not param.requires_grad:
       continue
-    parts = name.split(".")
-    exempt = (
-        "rg_lru" in parts
-        or "embedder" in parts
-        or parts[-1] in _NO_DECAY_LEAVES
-    )
-    (no_decay if exempt else decay).append(param)
+    (no_decay if decay_exempt(name) else decay).append(param)
   return [
       {"params": decay, "weight_decay": weight_decay},
       {"params": no_decay, "weight_decay": 0.0},
@@ -150,15 +173,9 @@ class FusedAdamW:
     for name, p in model.named_parameters():
       if not p.requires_grad:
         continue
-      parts = name.split(".")
-      exempt = (
-          "rg_lru" in parts
-          or "embedder" in parts
-          or parts[-1] in _NO_DECAY_LEAVES
-      )
       self._optim[p] = torch.optim.AdamW(
           [p], foreach=False, lr=learning_rate, betas=(0.9, b2), eps=eps,
-          weight_decay=0.0 if exempt else weight_decay,
+          weight_decay=0.0 if decay_exempt(name) else weight_decay,
       )
       self._handles.append(
           p.register_post_accumulate_grad_hook(self._hook)

@@ -114,12 +114,25 @@ def _worker(rank, world, tmpdir):
   """Runs ALL cases in one process group — jax/torch import dominates
   spawn cost, so one spawn for the whole matrix is ~3x faster than one
   per case."""
+  from torch.distributed.algorithms.ddp_comm_hooks import default_hooks
+
   th_dist.setup(rank, world,
                 init_method=f"file://{os.path.join(tmpdir, 'store')}")
   try:
     out = {}
     for name, with_image, accumulation in CASES:
       model = th_dist.wrap_ddp(_fresh_model())
+      # Count gradient-sync all-reduces: under correct no_sync usage the
+      # hook fires once per completed group x bucket, NOT per microbatch
+      # (DDP latches the sync flag at FORWARD time — wrapping only the
+      # backward silently syncs every microbatch).
+      syncs = {"n": 0}
+
+      def counting_hook(state, bucket, _c=syncs):
+        _c["n"] += 1
+        return default_hooks.allreduce_hook(state, bucket)
+
+      model.register_comm_hook(None, counting_hook)
       opt = th_trainer.make_optimizer(model, 1e-2)
       if accumulation == "tail":
         tokens, mask, _ = _global_batch(rows=12)
@@ -132,6 +145,7 @@ def _worker(rank, world, tmpdir):
         )
         out[name] = {
             "losses": losses,
+            "sync_calls": syncs["n"],
             "state": {k: v.clone()
                       for k, v in model.module.state_dict().items()},
         }
@@ -160,6 +174,7 @@ def _worker(rank, world, tmpdir):
         losses.append(float(th_dist.reduce_mean_loss(loss)))
       out[name] = {
           "losses": losses,
+          "sync_calls": syncs["n"],
           "state": {k: v.clone()
                     for k, v in model.module.state_dict().items()},
       }
@@ -215,3 +230,15 @@ def test_shard_batch_partitions():
   assert torch.equal(torch.cat(parts), rows)
   with pytest.raises(ValueError):
     th_dist.shard_batch(rows, 0, 4)
+
+
+def test_gradient_sync_fires_once_per_group(ddp_results):
+  """Every case completes exactly ONE synced accumulation group, so the
+  comm-hook call count (groups x buckets) must be identical across the
+  1-microbatch, 2-microbatch, and 2+tail cases — a per-microbatch sync
+  (the wrap-only-backward no_sync bug) would double it for accum2/tail."""
+  counts = {name: ddp_results[0][name]["sync_calls"]
+            for name, _, _ in CASES}
+  assert counts["accum2"] == counts["text"], counts
+  assert counts["tail"] == counts["text"], counts
+  assert counts["text"] > 0, counts
